@@ -1,0 +1,91 @@
+"""HTML link extraction — regex-first, like the reference (SURVEY §2.2 M4).
+
+Behavioral analogue of ``cocrawler/parse.py`` (find_html_links_re /
+find_body_links_re / find_css_links_re): compiled regexes pull ``href`` /
+``src`` attribute values out of anchors, links, scripts, images, iframes,
+and ``url(...)`` references out of CSS. Anchors/links become *links*;
+src-ish references become *embeds*. All raw strings are then cleaned and
+joined against the page's base URL by urls.canonicalize.
+
+Regexes are compiled at import time; extraction is per-document but each
+document is processed with C-speed finditer — no per-character Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# href= on <a> and <link>; case-insensitive, tolerant of quoting styles
+_HREF = re.compile(
+    r"""<(?:a|link)\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+# src= on img/script/iframe/embed/source/video/audio
+_SRC = re.compile(
+    r"""<(?:img|script|iframe|embed|source|video|audio|frame)\b[^>]*?\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+# CSS url(...) references
+_CSS_URL = re.compile(r"""url\(\s*(?:"([^"]*)"|'([^']*)'|([^)'"\s]+))\s*\)""", re.IGNORECASE)
+
+_BASE = re.compile(
+    r"""<base\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
+
+def _first_group(m: re.Match) -> str:
+    return next(g for g in m.groups() if g is not None)
+
+
+def find_html_links(html: str) -> tuple[list[str], list[str]]:
+    """Return (links, embeds) raw strings from an HTML body.
+
+    links = <a>/<link> hrefs; embeds = src attributes + css url() refs.
+    Mirrors the reference's split (cocrawler/parse.py returns links & embeds
+    separately so embeds can get different priority).
+    """
+    links = [_first_group(m) for m in _HREF.finditer(html)]
+    embeds = [_first_group(m) for m in _SRC.finditer(html)]
+    embeds += [_first_group(m) for m in _CSS_URL.finditer(html)]
+    return links, embeds
+
+
+def find_base(html: str, default: str) -> str:
+    """Effective base URL: <base href=...> if present, else the page URL."""
+    m = _BASE.search(html)
+    return _first_group(m) if m else default
+
+
+def extract_links_batch(htmls, page_urls) -> dict[str, np.ndarray]:
+    """Batch link extraction -> flat arrays (src_idx, raw, kind).
+
+    src_idx indexes the input batch row; the caller joins back to page
+    metadata and runs canonicalize_batch on `raw` with per-row base URLs.
+    """
+    src_idx: list[int] = []
+    raw: list[str] = []
+    kind: list[str] = []
+    bases: list[str] = []
+    for i, html in enumerate(htmls):
+        if not html:
+            continue
+        base = find_base(html, page_urls[i])
+        links, embeds = find_html_links(html)
+        for u in links:
+            src_idx.append(i)
+            raw.append(u)
+            kind.append("href")
+            bases.append(base)
+        for u in embeds:
+            src_idx.append(i)
+            raw.append(u)
+            kind.append("embed")
+            bases.append(base)
+    return {
+        "src_idx": np.array(src_idx, dtype=np.int64),
+        "raw": np.array(raw, dtype=object),
+        "kind": np.array(kind, dtype=object),
+        "base": np.array(bases, dtype=object),
+    }

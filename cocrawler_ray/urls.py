@@ -1,0 +1,282 @@
+"""URL canonicalization, SURT keys, validity and special-redirect classes.
+
+Behavioral re-implementation of ``cocrawler/urls.py::URL``,
+``::clean_webpage_links`` and ``::special_redirect`` (SURVEY.md §2.2 M1-M3).
+The reference's semantics, reconstructed from public knowledge of upstream
+cocrawler (the reference tree was empty — SURVEY.md §0):
+
+- clean raw link text: strip surrounding whitespace/control chars, unescape
+  HTML entities;
+- resolve relative links against the base URL (RFC 3986 merge +
+  remove_dot_segments);
+- lowercase scheme and host, strip trailing host dot, drop the fragment,
+  strip default ports (http:80 / https:443), empty path -> "/";
+- normalize percent-encoding: decode unreserved characters, uppercase the
+  remaining hex digits;
+- SURT (Sort-friendly URI Reordering Transform) key: reversed host labels
+  comma-joined, leading "www" label dropped, then ")/" + path + "?" + query.
+  (The surt library is not installed; this is a self-contained subset whose
+  exact shape is pinned by tests/test_canonicalize.py.)
+- registered domain: PSL-less two-label heuristic with a small common-2LD
+  list (tldextract is not installed; flagged in SURVEY §Appendix).
+
+Hot path: ``canonicalize_batch`` is called from ``map_batches``; the cheap
+checks are vectorized, the per-string parse is a compiled-regex fast path
+with a urllib fallback for unusual URLs.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+from urllib.parse import urljoin, urlsplit
+
+import numpy as np
+
+VALID_SCHEMES = ("http", "https")
+MAX_URL_LEN = 2048
+
+_CTRL = re.compile(r"[\x00-\x20\x7f]+")
+_PCT = re.compile(r"%([0-9a-fA-F]{2})")
+# fast-path: scheme://host[:port]/path[?query][#frag] with a simple host
+_FAST = re.compile(
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<host>[^/?#:@\\]+)"
+    r"(?::(?P<port>\d*))?(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+# Common second-level public-suffix labels for the registered-domain
+# heuristic (NOT a full PSL — documented limitation).
+_COMMON_2LD = {"co", "com", "net", "org", "gov", "ac", "edu"}
+
+DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def clean_link_text(raw: str) -> str:
+    """Strip whitespace/control chars and unescape HTML entities.
+
+    Mirrors cocrawler/urls.py link-text cleanup before parsing.
+    """
+    s = raw.strip()
+    if "&" in s:
+        s = html.unescape(s)
+    # embedded newlines/tabs inside URLs are dropped, runs of spaces removed
+    s = _CTRL.sub(lambda m: "", s)
+    return s
+
+
+def _pct_norm(s: str) -> str:
+    """Percent-encoding normalization: decode unreserved, uppercase rest."""
+    if "%" not in s:
+        return s
+
+    def fix(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT.sub(fix, s)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    # re-add trailing slash semantics for ./.. endings
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    res = "/".join(out)
+    if not res.startswith("/"):
+        res = "/" + res.lstrip("/")
+    return res
+
+
+class Canonical:
+    """Result of canonicalization — the fields cocrawler's URL object carries."""
+
+    __slots__ = ("url", "surt", "host", "registered_domain", "scheme", "path", "query")
+
+    def __init__(self, url: str, surt: str, host: str, registered_domain: str,
+                 scheme: str, path: str, query: str):
+        self.url = url
+        self.surt = surt
+        self.host = host
+        self.registered_domain = registered_domain
+        self.scheme = scheme
+        self.path = path
+        self.query = query
+
+
+def canonicalize(raw: str, base: str | None = None) -> Canonical | None:
+    """Clean + resolve + normalize one URL. None if invalid/non-fetchable.
+
+    Reference: cocrawler/urls.py::URL construction (clean -> urljoin ->
+    normalize -> surt).
+    """
+    s = clean_link_text(raw)
+    if not s:
+        return None
+    if base and "://" not in s.split("?", 1)[0].split("#", 1)[0][:16]:
+        # relative (or scheme-relative //host/...) — resolve against base
+        s = urljoin(base, s)
+    if len(s) > MAX_URL_LEN:
+        return None
+
+    m = _FAST.match(s)
+    if m:
+        scheme = m.group("scheme").lower()
+        host = m.group("host").lower().rstrip(".")
+        port = m.group("port")
+        path = m.group("path") or "/"
+        query = m.group("query")
+    else:
+        try:
+            sp = urlsplit(s)
+        except ValueError:
+            return None
+        scheme = sp.scheme.lower()
+        host = (sp.hostname or "").rstrip(".")
+        port = None
+        try:
+            if sp.port is not None:
+                port = str(sp.port)
+        except ValueError:
+            return None
+        path = sp.path or "/"
+        query = sp.query or None
+
+    if scheme not in VALID_SCHEMES or not host:
+        return None
+
+    if port == "" or port == DEFAULT_PORTS.get(scheme):
+        port = None
+    path = _pct_norm(remove_dot_segments(path))
+    query = _pct_norm(query) if query else None
+
+    netloc = host if port is None else f"{host}:{port}"
+    url = f"{scheme}://{netloc}{path}"
+    if query is not None:
+        url += "?" + query
+    return Canonical(
+        url=url,
+        surt=make_surt(host, port, path, query),
+        host=host,
+        registered_domain=registered_domain(host),
+        scheme=scheme,
+        path=path,
+        query=query or "",
+    )
+
+
+def make_surt(host: str, port: str | None, path: str, query: str | None) -> str:
+    """SURT key: com,example)/path?query — scheme-free, www-stripped."""
+    labels = host.split(".")
+    if labels and labels[0] == "www":
+        labels = labels[1:] or labels
+    rev = ",".join(reversed(labels))
+    if port is not None:
+        rev += ":" + port
+    s = rev + ")" + path
+    if query:
+        s += "?" + query
+    return s
+
+
+def registered_domain(host: str) -> str:
+    """Two-label heuristic with common-2LD list (tldextract stand-in)."""
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if labels[-2] in _COMMON_2LD and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+# -- special redirects (cocrawler/urls.py::special_redirect) ----------------
+
+
+def special_redirect(url: str, next_url: str) -> str | None:
+    """Classify a redirect as trivial ('same', 'tohttps', 'towww',
+    'tohttps+towww', 'addslash', 'removeslash', ...) or None if substantive.
+
+    A trivial redirect's target is treated as the same URL for seen/dedup
+    purposes (SURVEY §2.2 M2).
+    """
+    if url == next_url:
+        return "same"
+    a, b = canonicalize(url), canonicalize(next_url)
+    if a is None or b is None:
+        return None
+    parts = []
+    if a.scheme != b.scheme:
+        if b.scheme == "https":
+            parts.append("tohttps")
+        else:
+            parts.append("tohttp")
+    ah, bh = a.host, b.host
+    if ah != bh:
+        if bh == "www." + ah:
+            parts.append("towww")
+        elif ah == "www." + bh:
+            parts.append("tounwww")
+        else:
+            return None
+    if (a.path, a.query) != (b.path, b.query):
+        if a.query == b.query and b.path == a.path + "/":
+            parts.append("addslash")
+        elif a.query == b.query and a.path == b.path + "/":
+            parts.append("removeslash")
+        else:
+            return None
+    if not parts:
+        return "same"
+    return "+".join(parts)
+
+
+# -- vectorized batch front-end (map_batches hot path) ----------------------
+
+
+def canonicalize_batch(raws, bases=None) -> dict[str, np.ndarray]:
+    """Canonicalize a batch of raw link strings against per-row base URLs.
+
+    Returns dict of numpy arrays: url, surt, host, registered_domain, valid.
+    Invalid rows have empty strings and valid=False. The per-string parse is
+    a compiled-regex fast path; caller filters on `valid`.
+    """
+    n = len(raws)
+    url = np.empty(n, dtype=object)
+    surt = np.empty(n, dtype=object)
+    host = np.empty(n, dtype=object)
+    rdom = np.empty(n, dtype=object)
+    valid = np.zeros(n, dtype=bool)
+    if bases is None:
+        bases = [None] * n
+    elif isinstance(bases, str):
+        bases = [bases] * n
+    for i in range(n):
+        c = canonicalize(raws[i], bases[i])
+        if c is None:
+            url[i] = ""
+            surt[i] = ""
+            host[i] = ""
+            rdom[i] = ""
+        else:
+            url[i] = c.url
+            surt[i] = c.surt
+            host[i] = c.host
+            rdom[i] = c.registered_domain
+            valid[i] = True
+    return {"url": url, "surt": surt, "host": host, "registered_domain": rdom, "valid": valid}
