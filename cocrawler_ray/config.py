@@ -1,0 +1,56 @@
+"""Crawl configuration (stands in for cocrawler's YAML config tree +
+CLI ``--config Section.Key:value`` overrides; SURVEY §2.10).
+
+A flat dataclass with the knobs that matter; `from_overrides` accepts
+"Key:value" strings for CLI parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class CrawlConfig:
+    out_dir: str = "/tmp/cocrawler_ray_out"
+    # partitioning (SURVEY §4.2): K actor shards for frontier/robots (hash(host))
+    # and seen (hash(surt)); size ~2x nodes in production, small here.
+    num_parts: int = 4
+    # politeness: max URLs per host per generation — the batch-mode image of
+    # cocrawler/scheduler.py's per-host crawl-delay burrow (SURVEY §2.9).
+    budget_per_host: int = 4
+    # Crawl.MaxDepth: children get priority = parent+1; depth > max_depth drops.
+    max_depth: int = 6
+    # Crawl.MaxCrawledUrls-style budget; None = unbounded.
+    max_urls: int | None = None
+    max_gens: int = 50
+    # global per-generation cap across a partition (qsize watermark analogue)
+    max_rows_per_part_gen: int | None = None
+    seed: int = 42
+    user_agent: str = "cocrawler"
+    # fetch actor pool (SURVEY §2.3 T5)
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 256
+    # checkpointing: snapshot frontier+seen every C generations (0 = off)
+    checkpoint_every: int = 0
+    # seen-set mode: exact shadow (conformance) vs cuckoo-only (scale demo)
+    exact_seen: bool = True
+    seen_capacity: int = 1 << 20
+    # skew: hosts with more than this many pending appends in one generation
+    # are flagged hot; appends beyond the cap are dropped+counted (explicit
+    # skew handling per north_rule).
+    hot_host_threshold: int = 10_000
+    # frontier cold-tail spill threshold (rows per partition)
+    spill_threshold: int = 2_000_000
+
+    @classmethod
+    def from_overrides(cls, *overrides: str, **kwargs) -> "CrawlConfig":
+        """CLI parity: CrawlConfig.from_overrides("max_depth:3", "num_parts:8")."""
+        cfg = cls(**kwargs)
+        for ov in overrides:
+            key, _, val = ov.partition(":")
+            field = {f.name: f for f in dataclasses.fields(cls)}[key]
+            typ = field.type if callable(field.type) else type(getattr(cfg, key) or "")
+            cast = int if "int" in str(typ) else str
+            setattr(cfg, key, cast(val))
+        return cfg

@@ -1,0 +1,704 @@
+"""Operator-conformance queries (SURVEY.md §2 "Query name" column).
+
+Each entry pairs a Ray Data pipeline (over the driver's parquet tables at
+``sf_dir``) with an equivalent DuckDB oracle SQL string. The driver runs
+both and compares row-count + schema + order-insensitive value hash, so:
+
+- every computed column is named identically in both;
+- aggregates/floats are ROUNDed identically on both sides;
+- DuckDB integer sums are CAST to BIGINT (they'd otherwise be HUGEINT).
+
+Crawl-semantic operators (canonicalize, link-extract, seeds...) have no
+natural crawl input in the TPC-H-ish tables, so both sides first CONSTRUCT
+the same deterministic URL/HTML inputs from table columns, then the Ray
+side runs the REAL operator while the SQL side states the expected result
+analytically — a genuine two-implementation oracle.
+
+Queries with no SQL entry (language-ID, MinHash-LSH, SimHash, winnowing
+fingerprints, LSH-ANN, image stages) are checked rows-only by the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from cocrawler_ray import facet, parse, seeds, urls
+from cocrawler_ray.stages import dedup, joins, similarity, text as textops
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return reg
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ===========================================================================
+# M1 — URL canonicalizer (the real operator vs an analytic expectation)
+# ===========================================================================
+
+@_q("q_canonicalize", """
+SELECT doc_id,
+       'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/' || source
+           || '/page' || CAST(doc_id AS VARCHAR) AS url,
+       'com,example' || CAST(doc_id % 7 AS VARCHAR) || ')/' || source
+           || '/page' || CAST(doc_id AS VARCHAR) AS surt,
+       'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+FROM documents
+""")
+def q_canonicalize(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        source = batch.column("source").to_pylist()
+        raw = [f"HTTP://Example{d % 7}.COM:80/a/../{s}/page{d}#frag"
+               for d, s in zip(doc_id, source)]
+        res = urls.canonicalize_batch(raw)
+        assert res["valid"].all()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(res["url"], pa.string()),
+            "surt": pa.array(res["surt"], pa.string()),
+            "host": pa.array(res["host"], pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# M2 — special-redirect classifier
+@_q("q_special_redirect", """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'same' WHEN 1 THEN 'tohttps'
+                       WHEN 2 THEN 'towww' ELSE 'addslash' END AS redir_class
+FROM documents
+""")
+def q_special_redirect(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        out = []
+        for d in doc_id:
+            u1 = f"http://site{d % 5}.test/p{d}"
+            m = d % 4
+            if m == 0:
+                u2 = u1
+            elif m == 1:
+                u2 = u1.replace("http://", "https://")
+            elif m == 2:
+                u2 = u1.replace("http://", "http://www.")
+            else:
+                u2 = u1 + "/"
+            out.append(urls.special_redirect(u1, u2))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "redir_class": pa.array(out, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# M3 — URL validity filter
+@_q("q_url_filter", """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'http' ELSE 'https' END
+           || '://d' || CAST(doc_id AS VARCHAR) || '.test/x' AS url
+FROM documents WHERE doc_id % 5 IN (0, 1)
+""")
+def q_url_filter(sf_dir: str):
+    schemes = ["http", "https", "javascript", "mailto", "ftp"]
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        raw = [f"{schemes[d % 5]}://d{d}.test/x" for d in doc_id]
+        res = urls.canonicalize_batch(raw)
+        keep = res["valid"]
+        return pa.table({"doc_id": pa.array(doc_id[keep]),
+                         "url": pa.array(res["url"][keep], pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# M4 — HTML link extractor (real regex extractor + base-URL join)
+@_q("q_link_extract", """
+SELECT doc_id, 'http://docs.test/d' || CAST(doc_id AS VARCHAR) AS dst_url,
+       'href' AS kind
+FROM documents
+UNION ALL
+SELECT doc_id, 'http://img.test/i' || CAST(doc_id AS VARCHAR) || '.png', 'embed'
+FROM documents WHERE doc_id % 3 = 0
+""")
+def q_link_extract(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        htmls = []
+        for d in doc_id:
+            h = f'<a href="/d{d}">x</a>'
+            if d % 3 == 0:
+                h += f'<img src="http://img.test/i{d}.png">'
+            htmls.append(h)
+        page_urls = [f"http://docs.test/page{d}" for d in doc_id]
+        ex = parse.extract_links_batch(htmls, page_urls)
+        res = urls.canonicalize_batch(ex["raw"], ex["base"])
+        keep = res["valid"]
+        return pa.table({
+            "doc_id": pa.array(doc_id[ex["src_idx"][keep]]),
+            "dst_url": pa.array(res["url"][keep], pa.string()),
+            "kind": pa.array(ex["kind"][keep], pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# M5 — facet extractor
+@_q("q_facet_extract", """
+SELECT doc_id, 'title' AS k, 'Doc ' || CAST(doc_id AS VARCHAR) AS v FROM documents
+UNION ALL
+SELECT doc_id, 'description', source FROM documents
+""")
+def q_facet_extract(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        source = batch.column("source").to_pylist()
+        ids, ks, vs = [], [], []
+        for d, s in zip(doc_id, source):
+            html = (f"<head><title>Doc {d}</title>"
+                    f'<meta name="description" content="{s}"></head>')
+            for k, v in facet.find_head_facets(html):
+                ids.append(d); ks.append(k); vs.append(v)
+        return pa.table({"doc_id": pa.array(np.array(ids, dtype=np.int64)),
+                         "k": pa.array(ks, pa.string()),
+                         "v": pa.array(vs, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# S1 — seed expansion (real seeds.py flow vs analytic expectation)
+@_q("q_seed_expand", """
+SELECT 'http://' || lower(replace(n_name, ' ', '-')) || '.test/start' AS url,
+       lower(replace(n_name, ' ', '-')) || '.test' AS host,
+       1 AS priority, 0 AS depth
+FROM nation
+""")
+def q_seed_expand(sf_dir: str):
+    ds = read(sf_dir, "nation", ["n_name"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        lines = [n.replace(" ", "-") + ".test/start"
+                 for n in batch.column("n_name").to_pylist()]
+        t = seeds.expand_seeds_batch(pa.table({"text": lines}))
+        return pa.table({
+            "url": t.column("url"),
+            "host": t.column("host"),
+            "priority": pc.cast(t.column("priority"), pa.int32()),
+            "depth": pc.cast(t.column("depth"), pa.int32()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# M8 — priority scorer (child = parent+1, MaxDepth gate)
+@_q("q_priority_score", """
+SELECT event_id, CAST(1 + event_id % 3 + 1 AS INTEGER) AS priority,
+       CAST(event_id % 6 + 1 AS INTEGER) AS depth
+FROM events WHERE event_id % 6 + 1 <= 4
+""")
+def q_priority_score(sf_dir: str):
+    ds = read(sf_dir, "events", ["event_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        parent_prio = (1 + eid % 3).astype(np.int32)
+        parent_depth = (eid % 6).astype(np.int32)
+        prio, depth = parent_prio + 1, parent_depth + 1
+        keep = depth <= 4
+        return pa.table({"event_id": pa.array(eid[keep]),
+                         "priority": pa.array(prio[keep]),
+                         "depth": pa.array(depth[keep])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# M7 — redirect-chain following (3 hops of broadcast-join lookups)
+@_q("q_redirect_chain", """
+WITH m AS (SELECT doc_id, (doc_id * 7 + 3) % 500 AS nxt FROM documents)
+SELECT a.doc_id, a.nxt AS hop1, b.nxt AS hop2, c.nxt AS hop3
+FROM m a JOIN m b ON b.doc_id = a.nxt JOIN m c ON c.doc_id = b.nxt
+WHERE a.doc_id % 50 = 0
+""")
+def q_redirect_chain(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id"])
+    all_ids = ds.to_pandas()["doc_id"].to_numpy()
+    nxt = (all_ids * 7 + 3) % 500
+    mapping = dict(zip(all_ids.tolist(), nxt.tolist()))
+    ref = ray.put(mapping)
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        d0 = batch.column("doc_id").to_numpy()
+        d0 = d0[d0 % 50 == 0]
+        rows = []
+        for d in d0:
+            h1 = m.get(int(d))
+            h2 = m.get(h1) if h1 is not None else None
+            h3 = m.get(h2) if h2 is not None else None
+            if h3 is not None:
+                rows.append((int(d), h1, h2, h3))
+        if not rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hop1": pa.array([], pa.int64()),
+                             "hop2": pa.array([], pa.int64()),
+                             "hop3": pa.array([], pa.int64())})
+        a, b, c, dd = zip(*rows)
+        return pa.table({"doc_id": pa.array(a, pa.int64()), "hop1": pa.array(b, pa.int64()),
+                         "hop2": pa.array(c, pa.int64()), "hop3": pa.array(dd, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# S3-ish — payload digest (sha256; warc.py uses sha1, duckdb lacks it)
+@_q("q_fetched_digest", "SELECT doc_id, sha256(text) AS digest FROM documents")
+def q_fetched_digest(sf_dir: str):
+    import hashlib
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                   for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "digest": pa.array(digests, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# M9 — fetch-result normalizer (status mapping + per-status stats)
+@_q("q_fetch_stats", """
+SELECT CASE event_type WHEN 'error' THEN 500 WHEN 'click' THEN 200
+                       WHEN 'view' THEN 200 ELSE 304 END AS status,
+       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+""")
+def q_fetch_stats(sf_dir: str):
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        status = np.array([500 if e == "error" else 200 if e in ("click", "view") else 304
+                           for e in et], dtype=np.int32)
+        return pa.table({"status": pa.array(status), "value": batch.column("value")})
+
+    out = (ds.map_batches(f, batch_format="pyarrow")
+           .groupby("status")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+# ===========================================================================
+# Aggregations (A1-A4) and ordering (O1, O3) on events
+# ===========================================================================
+
+@_q("q_global_counters", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 2) AS sum_value, ROUND(max(value), 2) AS max_value
+FROM events GROUP BY event_type
+""")
+def q_global_counters(sf_dir: str):
+    out = (read(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"),
+                      Max("value", alias_name="max_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(2)
+    out["max_value"] = out["max_value"].round(2)
+    return out
+
+
+@_q("q_host_counts",
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id")
+def q_host_counts(sf_dir: str):
+    out = (read(sf_dir, "events", ["user_id"])
+           .groupby("user_id").aggregate(Count(alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+@_q("q_latency_summary", """
+SELECT event_type, ROUND(avg(value), 6) AS avg_value,
+       ROUND(min(value), 2) AS min_value, ROUND(max(value), 2) AS max_value
+FROM events GROUP BY event_type
+""")
+def q_latency_summary(sf_dir: str):
+    out = (read(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type")
+           .aggregate(Mean("value", alias_name="avg_value"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value"))
+           .to_pandas())
+    out["avg_value"] = out["avg_value"].round(6)
+    out["min_value"] = out["min_value"].round(2)
+    out["max_value"] = out["max_value"].round(2)
+    return out[["event_type", "avg_value", "min_value", "max_value"]]
+
+
+@_q("q_latency_percentile", """
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+""")
+def q_latency_percentile(sf_dir: str):
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [round(float(np.percentile(v, 50)), 6)],
+                             "p95": [round(float(np.percentile(v, 95)), 6)]})
+
+    return (read(sf_dir, "events", ["event_type", "value"])
+            .groupby("event_type").map_groups(pct, batch_format="pandas"))
+
+
+@_q("q_distinct_hosts", """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+""")
+def q_distinct_hosts(sf_dir: str):
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    n_users = len(ds.unique("user_id"))
+    n_types = len(ds.unique("event_type"))
+    return pd.DataFrame({"n_users": [np.int64(n_users)], "n_types": [np.int64(n_types)]})
+
+
+@_q("q_topk_hosts", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+""")
+def q_topk_hosts(sf_dir: str):
+    out = (read(sf_dir, "events", ["user_id"])
+           .groupby("user_id").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["n", "user_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+@_q("q_frontier_order", """
+SELECT event_id, CAST(event_id % 5 + 1 AS INTEGER) AS priority,
+       (event_id * 2654435761) % 4294967296 AS rand
+FROM events ORDER BY priority, rand, event_id LIMIT 100
+""")
+def q_frontier_order(sf_dir: str):
+    ds = read(sf_dir, "events", ["event_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        prio = (eid % 5 + 1).astype(np.int32)
+        rand = (eid * 2654435761) % 4294967296
+        return pa.table({"event_id": pa.array(eid), "priority": pa.array(prio),
+                         "rand": pa.array(rand.astype(np.int64))})
+
+    return (ds.map_batches(f, batch_format="pyarrow")
+            .sort(["priority", "rand", "event_id"]).limit(100))
+
+
+# ===========================================================================
+# Joins (J1-J4)
+# ===========================================================================
+
+@_q("q_anti_join_seen", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""")
+def q_anti_join_seen(sf_dir: str):
+    # broadcast the seen-key set (custkeys with a big order), anti-join
+    # customers — the batch form of the URL-seen check (J1). Scale path:
+    # Bloom filter of the key set behind the same interface.
+    seen_keys = (read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                 .map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0))
+                              .select(["o_custkey"]), batch_format="pyarrow")
+                 .unique("o_custkey"))
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return joins.broadcast_anti(cust, np.asarray(seen_keys), "c_custkey")
+
+
+@_q("q_robots_join", """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q_robots_join(sf_dir: str):
+    # broadcast tiny dims (J2 — per-host robots rules pattern)
+    nation = read(sf_dir, "nation").to_pandas()
+    region = read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "r_name"]]
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    out = (joins.broadcast_join(cust, dim, "c_nationkey", "n_nationkey")
+           .groupby("r_name").aggregate(Count(alias_name="n_customers"))
+           .to_pandas())
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out
+
+
+@_q("q_host_window", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal > 0)
+GROUP BY o_orderpriority
+""")
+def q_host_window(sf_dir: str):
+    # semi-join against the open-window key set (J3 — host-window pattern)
+    open_keys = (read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+                 .map_batches(lambda t: t.filter(pc.greater(t["c_acctbal"], 0.0))
+                              .select(["c_custkey"]), batch_format="pyarrow")
+                 .unique("c_custkey"))
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    out = (joins.broadcast_semi(orders, np.asarray(open_keys), "o_custkey")
+           .groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+@_q("q_fetch_join", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def q_fetch_join(sf_dir: str):
+    # both-sides-large hash-partitioned shuffle join (J4 — fetch-lookup)
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = joins.hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                             num_partitions=8)
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+# ===========================================================================
+# Dedup (D1, D2) + pricing summary
+# ===========================================================================
+
+@_q("q_dedup_first", """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+""")
+def q_dedup_first(sf_dir: str):
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("event_id", kind="stable").head(1)
+
+    return (read(sf_dir, "events", ["user_id", "event_type", "event_id", "value"])
+            .groupby(["user_id", "event_type"])
+            .map_groups(first, batch_format="pandas"))
+
+
+@_q("q_union_links", """
+SELECT DISTINCT id FROM (
+  SELECT o_custkey AS id FROM orders
+  UNION ALL SELECT l_suppkey FROM lineitem)
+""")
+def q_union_links(sf_dir: str):
+    a = (read(sf_dir, "orders", ["o_custkey"])
+         .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow"))
+    b = (read(sf_dir, "lineitem", ["l_suppkey"])
+         .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow"))
+    ids = a.union(b).unique("id")
+    return pd.DataFrame({"id": np.sort(np.asarray(ids))})
+
+
+@_q("q_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(sf_dir: str):
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def add_disc(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    out = (ds.map_batches(add_disc, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="n"))
+           .to_pandas())
+    for c, r in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 6)]:
+        out[c] = out[c].round(r)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+# ===========================================================================
+# Text / dedup / similarity addenda (documents, embeddings)
+# ===========================================================================
+
+@_q("q_exact_dedup", """
+SELECT doc_id, md5(text) AS digest FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""")
+def q_exact_dedup(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup(ds, "doc_id", "text")
+    return out.map_batches(lambda t: t.select(["doc_id", "digest"]), batch_format="pyarrow")
+
+
+@_q("q_token_count", """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+FROM documents
+""")
+def q_token_count(sf_dir: str):
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(textops.token_count_batch, batch_format="pyarrow")
+            .map_batches(lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"))
+
+
+@_q("q_quality_score", """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       ROUND(length(replace(text, ' ', '')) * 1.0
+             / CASE WHEN trim(text) = '' THEN 1
+               ELSE length(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS avg_token_len
+FROM documents
+""")
+def q_quality_score(sf_dir: str):
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(textops.quality_score_batch, batch_format="pyarrow")
+            .map_batches(lambda t: t.select(["doc_id", "len", "n_spaces", "avg_token_len"]),
+                         batch_format="pyarrow"))
+
+
+@_q("q_langid")  # heuristic — rows-only check
+def q_langid(sf_dir: str):
+    return (read(sf_dir, "documents", ["doc_id", "text", "lang"])
+            .map_batches(textops.langid_batch, batch_format="pyarrow")
+            .map_batches(lambda t: t.select(["doc_id", "lang", "lang_pred"]),
+                         batch_format="pyarrow"))
+
+
+@_q("q_fingerprint")  # winnowing fingerprint — rows-only check
+def q_fingerprint(sf_dir: str):
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(textops.fingerprint_batch, batch_format="pyarrow")
+            .map_batches(lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"))
+
+
+@_q("q_minhash_dedup")  # MinHash-LSH candidates + Jaccard verify — rows-only
+def q_minhash_dedup(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    texts = dict(zip(*[ds.to_pandas()[c] for c in ("doc_id", "text")]))
+    return dedup.minhash_lsh_pairs(ds, "doc_id", "text", num_perm=64, bands=16,
+                                   verify_threshold=0.5, texts_for_verify=texts)
+
+
+@_q("q_simhash")  # rows-only
+def q_simhash(sf_dir: str):
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(dedup.simhash_batch, fn_kwargs=dict(id_col="doc_id"),
+                         batch_format="pyarrow"))
+
+
+@_q("q_phash_bands", """
+SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 8) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings GROUP BY band
+""")
+def q_phash_bands(sf_dir: str):
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        first = pc.list_element(batch.column("embedding"), 0)
+        band = np.floor(first.to_numpy(zero_copy_only=False).astype(np.float64) * 8).astype(np.int64)
+        return pa.table({"band": pa.array(band)})
+
+    out = (ds.map_batches(f, batch_format="pyarrow")
+           .groupby("band").aggregate(Count(alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+@_q("q_ann_cosine", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT CAST(qv AS DOUBLE[]) FROM q)), 6) AS sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id LIMIT 10
+""")
+def q_ann_cosine(sf_dir: str):
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = [r for r in ds.take(5) if r["vec_id"] == 0]
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    return similarity.cosine_topk(ds, qv, k=10, exclude_ids={0})
+
+
+@_q("q_ann_lsh")  # LSH-bucketed approximate ANN — rows-only
+def q_ann_lsh(sf_dir: str):
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = [r for r in ds.take(5) if r["vec_id"] == 0]
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    return similarity.lsh_topk(ds, qv, k=10, n_bits=6)
+
+
+@_q("q_embed_neardup", """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+""")
+def q_embed_neardup(sf_dir: str):
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_neardup_pairs(ds, threshold=0.45)
+
+
+# multimodal plumbing — rows-only (operates on a deterministic mini corpus)
+@_q("q_image_decode_stats")
+def q_image_decode_stats(sf_dir: str):
+    from cocrawler_ray import synth
+    from cocrawler_ray.stages.multimodal import ImageDecodeStats
+    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=64, seed=42)
+    return (rd.from_arrow(web)
+            .map_batches(ImageDecodeStats, batch_format="pyarrow", batch_size=16,
+                         concurrency=2))

@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) stages over opaque binary columns.
+
+The engine treats media as ``binary`` payload columns + typed metadata
+(w, h, fmt — the input_hint schema). Stages are actor-pool map_batches
+classes: decoder state (codec tables / models) is built once per actor in
+``__init__``, batches stay small because rows are wide (ray_guide.md
+memory notes).
+
+The three synthetic codecs (raw16/pngz/qnt in codecs.py) decode for REAL
+here. Standard formats (jpeg/png via PIL) and audio/video sampling are
+STUBBED behind import-try / NotImplementedError as the sandbox lacks the
+libraries — the Ray-side plumbing (schema, actor signature, batch sizing,
+output layout) is identical and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cocrawler_ray import codecs
+
+try:  # real-image path, absent in this sandbox
+    from PIL import Image  # noqa: F401
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+class ImageDecodeStats:
+    """Decode payloads -> per-channel mean/std + recomputed phash.
+
+    Use: ds.map_batches(ImageDecodeStats, concurrency=N, batch_size=64,
+    batch_format="pyarrow") — small batch_size because rows carry payloads.
+    """
+
+    def __init__(self):
+        self.decode = codecs.decode  # codec dispatch bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mean = np.zeros((n, 3)); std = np.zeros((n, 3))
+        ph = np.zeros(n, dtype=np.int64)
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        for i in range(n):
+            if fmts[i] in codecs.FORMATS:
+                img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            elif HAS_PIL:
+                raise NotImplementedError("PIL decode path: not exercised in sandbox")
+            else:
+                raise NotImplementedError(f"fmt {fmts[i]!r} needs PIL (not installed)")
+            mean[i] = img.reshape(-1, 3).mean(axis=0)
+            std[i] = img.reshape(-1, 3).std(axis=0)
+            ph[i] = codecs.average_phash(img)
+        out = batch.select(["image_id"])
+        for c, name in enumerate("rgb"):
+            out = out.append_column(f"mean_{name}", pa.array(np.round(mean[:, c], 4)))
+            out = out.append_column(f"std_{name}", pa.array(np.round(std[:, c], 4)))
+        return out.append_column("phash_decoded", pa.array(ph))
+
+
+class ImageResize:
+    """Block-mean resize to (out_w, out_h), re-encoded as raw16."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w, self.out_h = out_w, out_h
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        ys = (np.arange(self.out_h + 1) * h) // self.out_h
+        xs = (np.arange(self.out_w + 1) * w) // self.out_w
+        out = np.empty((self.out_h, self.out_w, 3), dtype=np.uint8)
+        for i in range(self.out_h):
+            for j in range(self.out_w):
+                out[i, j] = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        resized = []
+        for i in range(batch.num_rows):
+            img = codecs.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            resized.append(codecs.encode(self._resize(img), "raw16"))
+        n = batch.num_rows
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "bytes": pa.array(resized, pa.binary()),
+            "w": pa.array(np.full(n, self.out_w, dtype=np.int32)),
+            "h": pa.array(np.full(n, self.out_h, dtype=np.int32)),
+            "fmt": pa.array(["raw16"] * n, pa.string()),
+        })
+
+
+class FrameSample:
+    """Video frame-sampling stub: real Ray plumbing, fake decoder.
+
+    Emits every k-th 'frame' as a deterministic slice of the payload —
+    replace `_frames` with a pyav/ffmpeg call outside the sandbox."""
+
+    def __init__(self, every_k: int = 10):
+        self.every_k = every_k
+
+    def _frames(self, data: bytes) -> list[bytes]:
+        if not data:
+            return []
+        step = max(1, len(data) // 16)
+        chunks = [data[i:i + step] for i in range(0, len(data), step)]
+        return chunks[:: self.every_k]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for i, data in enumerate(batch.column("bytes").to_pylist()):
+            for j, fr in enumerate(self._frames(data)):
+                ids.append(batch.column("image_id")[i].as_py())
+                frames.append(fr)
+                idxs.append(j)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(np.array(idxs, dtype=np.int32)),
+            "frame_bytes": pa.array(frames, pa.binary()),
+        })

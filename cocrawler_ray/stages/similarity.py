@@ -1,0 +1,80 @@
+"""Similarity search over embedding columns (SURVEY addendum).
+
+- ``cosine_topk``: brute-force baseline — per-batch float64 matmul against
+  a broadcast query matrix; exact, streaming, no shuffle.
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucket keys computed
+  per batch; only buckets matching the query's key are scored. Recall<1 by
+  design; bucket bits trade recall for compute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def cosine_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_ids: set | None = None) -> pd.DataFrame:
+    """Exact top-k by cosine: per-batch local top-k, then driver-side merge
+    of the (tiny) per-batch results. Ties broken by id ascending."""
+    q = _norm_rows(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+    qref = ray.put(q)
+    excl = exclude_ids or set()
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]]))
+        sims = M @ qv
+        out = pd.DataFrame({id_col: batch[id_col].to_numpy(), "sim": np.round(sims, 6)})
+        out = out[~out[id_col].isin(excl)]
+        return out.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+
+    local = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (local.sort_values(["sim", id_col], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def hyperplane_key_batch(batch: pa.Table, planes: np.ndarray,
+                         vec_col: str = "embedding") -> pa.Table:
+    """LSH bucket key = sign bits against `planes` (n_bits, dim)."""
+    M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in batch.column(vec_col).to_pylist()]))
+    bits = (M @ planes.T) > 0
+    key = np.zeros(len(M), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        key |= bits[:, b].astype(np.int64) << b
+    return batch.append_column("lsh_key", pa.array(key))
+
+
+def lsh_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10, n_bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 17, probe_hamming: int = 1) -> pd.DataFrame:
+    """Approximate top-k: score only rows whose hyperplane key is within
+    `probe_hamming` bits of the query's key (multi-probe)."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    q = _norm_rows(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+    qkey = 0
+    qb = (planes @ q) > 0
+    for b in range(n_bits):
+        qkey |= int(qb[b]) << b
+    ok_keys = {qkey}
+    if probe_hamming >= 1:
+        for b in range(n_bits):
+            ok_keys.add(qkey ^ (1 << b))
+    keyed = ds.map_batches(hyperplane_key_batch, fn_kwargs=dict(planes=planes, vec_col=vec_col),
+                           batch_format="pyarrow")
+    cand = keyed.map_batches(
+        lambda t: t.filter(pa.array(np.isin(t.column("lsh_key").to_numpy(), list(ok_keys)))),
+        batch_format="pyarrow")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,160 @@
+"""Partitioned URL-seen filter: cuckoo filter + exact shadow set.
+
+Replaces the reference's single in-memory set (cocrawler/datalayer.py::
+seen/add_seen) with K hash(surt)-sharded partitions (north_rule). Each
+partition holds:
+
+- a **cuckoo filter** (4-slot buckets, 16-bit fingerprints ≈ 18 bits/key at
+  95% load) — the scale path: at 10^10 URLs the exact set cannot fit in RAM
+  (SURVEY §4.3), the cuckoo (~23 GB total across the cluster) can;
+- an **exact shadow set** of uint64 key hashes — authoritative at test
+  scale; conformance tests reconcile cuckoo false positives against it.
+
+``check_and_add`` is the batch API called once per map_batches batch per
+partition — at-most-once enqueue semantics (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U64 = np.uint64
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """4-way bucketized cuckoo filter over uint16 fingerprints (0 = empty)."""
+
+    def __init__(self, capacity: int, seed: int = 99):
+        # buckets sized to next power of two of capacity/4 at ~95% load
+        n = max(8, int(2 ** np.ceil(np.log2(capacity / 4 / 0.95 + 1))))
+        self.num_buckets = n
+        self.mask = _U64(n - 1)
+        self.table = np.zeros((n, 4), dtype=np.uint16)
+        self.seed = _U64(seed * 0x9E3779B9)
+        self.count = 0
+        self.overflowed = False
+
+    def _fp_and_buckets(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        keys = keys.astype(_U64)
+        fp = ((keys >> _U64(48)) & _U64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty marker
+        i1 = (keys & self.mask).astype(np.int64)
+        # partner bucket: i ^ hash(fp) — the cuckoo identity
+        with np.errstate(over="ignore"):
+            fph = (fp.astype(_U64) * _U64(0x5BD1E9955BD1E995)) ^ self.seed
+        i2 = ((i1.astype(_U64) ^ fph) & self.mask).astype(np.int64)
+        return fp, i1, i2
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._fp_and_buckets(keys)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def insert_batch(self, keys: np.ndarray) -> None:
+        fp, i1, i2 = self._fp_and_buckets(keys)
+        rng = np.random.default_rng(int(self.seed & _U64(0xFFFF)))
+        for k in range(len(keys)):
+            self._insert_one(int(fp[k]), int(i1[k]), int(i2[k]), rng)
+
+    def _insert_one(self, fp: int, i1: int, i2: int, rng) -> None:
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # evict loop
+        i = i1 if rng.integers(2) else i2
+        for _ in range(_MAX_KICKS):
+            slot = int(rng.integers(4))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            with np.errstate(over="ignore"):
+                fph = (_U64(fp) * _U64(0x5BD1E9955BD1E995)) ^ self.seed
+            i = int((_U64(i) ^ fph) & self.mask)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        self.overflowed = True  # degraded: caller should resize; flagged
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, capacity: int, seed: int = 99) -> "CuckooFilter":
+        cf = cls(capacity, seed)
+        cf.table = np.frombuffer(data, dtype=np.uint16).reshape(cf.num_buckets, 4).copy()
+        cf.count = int((cf.table != 0).sum())
+        return cf
+
+
+class SeenPartition:
+    """One hash(surt)%K shard of the URL-seen set."""
+
+    def __init__(self, part: int, capacity: int = 1 << 16, exact: bool = True):
+        self.part = part
+        self.capacity = capacity
+        self.exact = exact
+        self.shadow: set[int] = set()
+        self.cuckoo = CuckooFilter(capacity)
+
+    def check_and_add(self, keys: np.ndarray) -> np.ndarray:
+        """uint64 surt-hashes -> bool mask of NEW keys (first occurrence wins,
+        in array order). Adds all new keys."""
+        keys = np.asarray(keys, dtype=_U64)
+        new = np.zeros(len(keys), dtype=bool)
+        if self.exact:
+            shadow = self.shadow
+            for i, k in enumerate(keys.tolist()):
+                if k not in shadow:
+                    shadow.add(k)
+                    new[i] = True
+        else:
+            # scale path: cuckoo-only decision (FPs drop URLs at ~2^-14 rate)
+            dup_in_batch: set[int] = set()
+            maybe = self.cuckoo.contains_batch(keys)
+            for i, k in enumerate(keys.tolist()):
+                if not maybe[i] and k not in dup_in_batch:
+                    dup_in_batch.add(k)
+                    new[i] = True
+        self.cuckoo.insert_batch(keys[new])
+        return new
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=_U64)
+        if self.exact:
+            return np.fromiter((int(k) in self.shadow for k in keys), dtype=bool, count=len(keys))
+        return self.cuckoo.contains_batch(keys)
+
+    def size(self) -> int:
+        return len(self.shadow) if self.exact else self.cuckoo.count
+
+    def false_positive_count(self, probe_keys: np.ndarray) -> int:
+        """Cuckoo-vs-shadow reconciliation for conformance tests."""
+        maybe = self.cuckoo.contains_batch(np.asarray(probe_keys, dtype=_U64))
+        truth = self.contains(probe_keys)
+        return int((maybe & ~truth).sum())
+
+    # -- checkpoint ---------------------------------------------------------
+
+    def snapshot(self) -> pa.Table:
+        keys = np.fromiter(self.shadow, dtype=np.uint64, count=len(self.shadow))
+        keys.sort()
+        return pa.table({
+            "surt_hash": pa.array(keys, pa.uint64()),
+            "part": pa.array(np.full(len(keys), self.part, dtype=np.int32)),
+        })
+
+    def restore(self, table: pa.Table) -> None:
+        keys = table.column("surt_hash").to_numpy(zero_copy_only=False).astype(_U64)
+        self.shadow = set(keys.tolist())
+        self.cuckoo = CuckooFilter(self.capacity)
+        self.cuckoo.insert_batch(keys)

@@ -87,12 +87,12 @@ def _page_rows(page_ids: np.ndarray, hosts: np.ndarray, all_targets: list[np.nda
     for p in page_ids:
         hid = int(hosts[p])
         image_id = f"h{hid:04d}/p{p:06d}"
-        w = int(SIZES[int(codecs.hash64([image_id + "w"])[0] % 3)])
-        hh = int(SIZES[int(codecs.hash64([image_id + "h"])[0] % 3)])
+        w = int(SIZES[int(codecs.hash64([image_id + "w"])[0]) % 3])
+        hh = int(SIZES[int(codecs.hash64([image_id + "h"])[0]) % 3])
         img = codecs.make_image(image_id, w, hh)
         fmt = codecs.fmt_for(image_id)
-        adj = _ADJ[int(codecs.hash64([image_id + "a"])[0] % len(_ADJ))]
-        noun = _NOUN[int(codecs.hash64([image_id + "n"])[0] % len(_NOUN))]
+        adj = _ADJ[int(codecs.hash64([image_id + "a"])[0]) % len(_ADJ)]
+        noun = _NOUN[int(codecs.hash64([image_id + "n"])[0]) % len(_NOUN)]
         caption = f"caption {image_id} {adj} {noun}"
         cols["image_id"].append(image_id)
         cols["bytes"].append(codecs.encode(img, fmt))

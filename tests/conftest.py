@@ -20,9 +20,12 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    import logging
+
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     yield ray
     ray.shutdown()

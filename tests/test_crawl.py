@@ -1,0 +1,135 @@
+"""End-to-end crawl conformance (FIXTURES.md F5; SURVEY §5 #3-#5).
+
+The distributed engine must reproduce the oracle simulator's final
+URL-seen set AND crawl ordering, satisfy the per-row payload invariant
+(decoded-pixel PSNR>=40dB + caption equality vs the source web table),
+and resume from checkpoint to byte-identical results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cocrawler_ray import codecs, synth
+from cocrawler_ray.config import CrawlConfig
+from tests.oracle_crawler import OracleCrawler
+
+NUM_HOSTS = 12
+NUM_PAGES = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    web, html = synth.gen_web_tables(num_hosts=NUM_HOSTS, num_pages=NUM_PAGES, seed=SEED)
+    robots_t = synth.gen_robots_table(NUM_HOSTS)
+    seeds = synth.gen_seed_lines(NUM_HOSTS, NUM_PAGES, num_seeds=12, seed=SEED)
+    ids = web.column("image_id").to_pylist()
+    urls = [f"http://{i[:5]}.test/{i[6:]}" for i in ids]
+    html_by_url = dict(zip(urls, html.column("html").to_pylist()))
+    robots_bodies = dict(zip(robots_t.column("host").to_pylist(),
+                             robots_t.column("body").to_pylist()))
+    return web, html, robots_bodies, seeds, set(urls), html_by_url
+
+
+def run_oracle(corpus, budget=3, max_depth=4, max_gens=20):
+    _, _, robots_bodies, seeds, web_urls, html_by_url = corpus
+    oc = OracleCrawler(web_urls, html_by_url, robots_bodies,
+                       budget_per_host=budget, max_depth=max_depth,
+                       max_gens=max_gens, seed=SEED)
+    oc.add_seeds(seeds)
+    oc.run()
+    return oc
+
+
+def run_engine(corpus, tmp_path, budget=3, max_depth=4, max_gens=20, **kw):
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+    web, html, robots_bodies, seeds, _, _ = corpus
+    cfg = CrawlConfig(out_dir=str(tmp_path), num_parts=3, budget_per_host=budget,
+                      max_depth=max_depth, max_gens=max_gens, seed=SEED,
+                      fetch_concurrency=2, **kw)
+    job = CrawlJob(cfg, web, html, robots_bodies)
+    job.run(seeds)
+    return job
+
+
+def engine_ordering(fetched: pa.Table) -> list[str]:
+    import pandas as pd
+    df = fetched.to_pandas()
+    df = df.sort_values(["gen", "priority", "rand", "surt"], kind="stable")
+    return df["surt"].tolist()
+
+
+def test_crawl_conformance(ray_session, corpus, tmp_path):
+    oc = run_oracle(corpus)
+    job = run_engine(corpus, tmp_path)
+    fetched = job.fetched_table()
+
+    # final URL-seen set identical
+    assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
+    # crawl ordering identical (deterministic (gen, priority, rand, surt))
+    assert engine_ordering(fetched) == oc.ordering()
+    assert fetched.num_rows == len(oc.fetch_log)
+    # crawl made real progress across generations
+    assert fetched.num_rows > 20
+    assert len(set(fetched.column("gen").to_pylist())) > 2
+
+
+def test_payload_invariant(ray_session, corpus, tmp_path):
+    """input_hint per-row invariant: decoded-pixel PSNR>=40dB (lossy) +
+    caption equality vs the source web table, for every 200 row."""
+    web = corpus[0]
+    job = run_engine(corpus, tmp_path, budget=3, max_depth=3)
+    fetched = job.fetched_table()
+    src = {r["image_id"]: r for r in web.to_pylist()}
+    n200 = 0
+    for row in fetched.to_pylist():
+        if row["status"] != 200:
+            continue
+        n200 += 1
+        s = src[row["image_id"]]
+        assert row["caption"] == s["caption"]
+        dec = codecs.decode(row["bytes"], row["w"], row["h"], row["fmt"])
+        ref = codecs.decode(s["bytes"], s["w"], s["h"], s["fmt"])
+        assert np.array_equal(dec, ref)  # lossless vs fetched copy
+        orig = codecs.make_image(row["image_id"], row["w"], row["h"])
+        assert codecs.psnr(orig, dec) >= 40.0
+        assert row["phash"] == s["phash"]
+    assert n200 > 10
+
+
+def test_url_budget(ray_session, corpus, tmp_path):
+    job = run_engine(corpus, tmp_path, budget=3, max_depth=6, max_urls=17)
+    fetched = job.fetched_table()
+    # fetch stops within a partition-rounded margin of the budget
+    assert 0 < fetched.num_rows <= 17 + 3 * 3
+
+
+def test_resume_matches_uninterrupted(ray_session, corpus, tmp_path):
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+    web, html, robots_bodies, seeds, _, _ = corpus
+
+    # reference: uninterrupted run
+    ref = run_engine(corpus, tmp_path / "ref", budget=3, max_depth=4)
+    ref_fetched = ref.fetched_table()
+    ref_seen = ref.final_seen_surt_hashes()
+
+    # interrupted: run 3 gens with checkpoints, then resume in a NEW job
+    cfg1 = CrawlConfig(out_dir=str(tmp_path / "ckpt"), num_parts=3, budget_per_host=3,
+                       max_depth=4, max_gens=3, seed=SEED, checkpoint_every=1,
+                       fetch_concurrency=2)
+    j1 = CrawlJob(cfg1, web, html, robots_bodies)
+    j1.run(seeds)
+
+    cfg2 = CrawlConfig(out_dir=str(tmp_path / "ckpt"), num_parts=3, budget_per_host=3,
+                       max_depth=4, max_gens=30, seed=SEED, checkpoint_every=0,
+                       fetch_concurrency=2)
+    j2 = CrawlJob(cfg2, web, html, robots_bodies)
+    assert j2.restore_latest() == 3
+    j2.run(seed_lines=None)
+
+    assert np.array_equal(j2.final_seen_surt_hashes(), ref_seen)
+    resumed = j2.fetched_table()
+    assert engine_ordering(resumed) == engine_ordering(ref_fetched)
