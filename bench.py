@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline crawl pipeline + operator query suite.
+
+Default mode: one Ray session (``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS`` default 32)), runs
+
+  1. the headline crawl (BASELINE.json metric: sustained fetched-pages/sec
+     + frontier-append throughput over a Lance-shaped image+caption web
+     corpus) on a deterministic synthetic corpus cached under /tmp, and
+  2. a representative operator-query suite over ``$GRAFT_SF_DIR``
+     (default /root/testdata/sf0.1),
+
+then prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl": {pages, pages_per_sec, appends_per_sec, wall_s, gens}}
+
+``--scaling``: runs the headline crawl twice in FRESH subprocesses
+(``ray.init(num_cpus=8)`` then ``num_cpus=32``) on the SAME cached corpus
+— the sandbox stand-in for the north_rule's N vs 4N node clusters — and
+reports both throughputs plus scaling efficiency
+(= (thr_hi / thr_lo) / (cpus_hi / cpus_lo)).
+
+``--crawl-only --cpus N``: child mode used by --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+# headline crawl corpus (deterministic; cached across runs & processes)
+CORPUS_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "400"))
+CORPUS_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
+CORPUS_SEED = 42
+
+# queries benchmarked over $GRAFT_SF_DIR (one per operator family)
+BENCH_QUERIES = [
+    "q_pricing_summary",   # wide groupby-aggregate (lineitem 600k @ sf0.1)
+    "q_fetch_join",        # hash-partitioned shuffle join
+    "q_robots_join",       # broadcast join
+    "q_anti_join_seen",    # broadcast anti-join (seen-set pattern)
+    "q_link_extract",      # regex link extraction + canonicalize
+    "q_canonicalize",      # URL canonicalizer
+    "q_frontier_order",    # global sort + limit
+    "q_dedup_first",       # groupby.map_groups dedup
+    "q_token_count",       # text token counting
+    "q_exact_dedup",       # hash dedup over documents
+    "q_minhash_dedup",     # MinHash-LSH near-dup
+    "q_ann_cosine",        # brute-force cosine top-k
+    "q_topk_hosts",        # groupby-count + topk
+]
+
+
+def init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def corpus_dir() -> Path:
+    return Path(os.environ.get(
+        "GRAFT_BENCH_CORPUS",
+        f"/tmp/cocrawler_bench_corpus_{CORPUS_HOSTS}x{CORPUS_PAGES}_s{CORPUS_SEED}"))
+
+
+def ensure_corpus() -> Path:
+    """Generate (once) and return the cached synthetic web corpus dir."""
+    d = corpus_dir()
+    done = d / "DONE"
+    if done.exists():
+        return d
+    from cocrawler_ray import synth
+
+    synth.write_web_dataset(str(d), CORPUS_HOSTS, CORPUS_PAGES, seed=CORPUS_SEED)
+    done.write_text("ok")
+    return d
+
+
+def load_corpus(d: Path):
+    import pyarrow.parquet as pq
+
+    web = pq.read_table(d / "web")
+    html = pq.read_table(d / "web_html")
+    return web, html
+
+
+def run_crawl(num_cpus: int, out_dir: str) -> dict:
+    """The headline pipeline: full generation loop over the cached corpus.
+
+    Throughput-mode politeness (large per-host budget) so wall time measures
+    pipeline throughput, not synthetic crawl-delay waiting; num_parts sized
+    to CPU count so drain blocks give full task parallelism.
+    """
+    from cocrawler_ray import synth
+    from cocrawler_ray.config import CrawlConfig
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+
+    d = ensure_corpus()
+    web, html = load_corpus(d)
+    robots_t = synth.gen_robots_table(CORPUS_HOSTS)
+    robots_bodies = dict(zip(robots_t.column("host").to_pylist(),
+                             robots_t.column("body").to_pylist()))
+    seeds = synth.gen_seed_lines(CORPUS_HOSTS, CORPUS_PAGES, num_seeds=200,
+                                 seed=CORPUS_SEED)
+    cfg = CrawlConfig(
+        out_dir=out_dir,
+        num_parts=32,   # SAME partitioning at every CPU level (scaling runs
+                        # must compare identical jobs; K=32 ≈ cluster width)
+        budget_per_host=1_000_000,   # throughput mode: no politeness waiting
+        max_depth=30,
+        max_gens=40,
+        seed=CORPUS_SEED,
+        fetch_batch_size=512,
+        exact_seen=True,
+    )
+    job = CrawlJob(cfg, web, html, robots_bodies)
+    t0 = time.perf_counter()
+    res = job.run(seeds)
+    wall = time.perf_counter() - t0
+    return {
+        "pages": res["fetched"],
+        "appends": res["appended"],
+        "gens": res["gens"],
+        "wall_s": round(wall, 3),
+        "pages_per_sec": round(res["fetched"] / wall, 1),
+        "appends_per_sec": round(res["appended"] / wall, 1),
+    }
+
+
+def consume(result) -> int:
+    """Force full execution of a query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return result.materialize().count()  # ray.data.Dataset
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from cocrawler_ray.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        consume(fn(sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    if args.scaling:
+        run_scaling(num_cpus, sf_dir, sf)
+        return
+
+    import ray
+
+    init_ray(num_cpus)
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="cocrawler_bench_")
+    crawl = run_crawl(num_cpus, out_dir)
+    queries = {} if args.crawl_only else run_queries(sf_dir)
+    total = crawl["wall_s"] + sum(queries.values())
+    print(json.dumps({
+        "metric": "crawl pages/s + frontier appends/s + operator suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "crawl": crawl,
+    }))
+    ray.shutdown()
+
+
+def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
+    """North-rule scaling evidence: same crawl, fresh sessions, 8 vs 32 CPUs."""
+    lo, hi = 8, num_cpus_hi
+    # pre-generate the corpus so neither child pays generation cost
+    init_ray(hi)
+    ensure_corpus()
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for cpus in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--crawl-only",
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, check=True, cwd=str(REPO))
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    thr_lo = results[lo]["crawl"]["pages_per_sec"]
+    thr_hi = results[hi]["crawl"]["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": f"crawl scaling efficiency {lo}->{hi} cpus (fresh sessions, same input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf,
+        "num_cpus": hi,
+        "runs": {str(c): results[c]["crawl"] for c in (lo, hi)},
+        "pages_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+    }))
+
+
+if __name__ == "__main__":
+    main()

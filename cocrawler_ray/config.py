@@ -13,9 +13,14 @@ import dataclasses
 @dataclasses.dataclass
 class CrawlConfig:
     out_dir: str = "/tmp/cocrawler_ray_out"
-    # partitioning (SURVEY §4.2): K actor shards for frontier/robots (hash(host))
-    # and seen (hash(surt)); size ~2x nodes in production, small here.
+    # partitioning (SURVEY §4.2): K LOGICAL shards for frontier/robots
+    # (hash(host)) and seen (hash(surt)) — fixed per job; determines every
+    # shuffle key and all determinism. Size ~2x max cluster width.
     num_parts: int = 4
+    # physical ShardHost actor count A (logical part p lives on actor p % A).
+    # None = min(num_parts, cluster CPUs). A resource knob only — results
+    # are identical for any A (state/shard.py).
+    num_actors: int | None = None
     # politeness: max URLs per host per generation — the batch-mode image of
     # cocrawler/scheduler.py's per-host crawl-delay burrow (SURVEY §2.9).
     budget_per_host: int = 4

@@ -4,25 +4,36 @@ Reference lifecycle (cocrawler/__init__.py::Crawler.crawl, SURVEY §3.1):
 coroutines pull work from a global priority queue, robots-check, fetch,
 parse, and push extracted links back through canonicalize -> seen-check ->
 add_url. Our engine runs the same dataflow as **generations** (BFS waves;
-SURVEY §3.4): each generation is one lazy Ray Data pipeline streamed
-end-to-end:
+SURVEY §3.4): each generation is ONE lazy Ray Data pipeline streamed
+end-to-end, with a single fused map stage per drained block:
 
-    frontier.drain(gen)                       (politeness-gated, per-host budget)
-      -> robots gate        map_batches task  (routes to per-partition RobotsPartition actors)
-      -> fetch              map_batches task  (routes to persistent FetcherPartition actors)
-      -> persist fetched    write parquet     (Lance-shaped cells, per gen)
-      -> extract links      map_batches task  (regex parse + canonicalize + score)
-      -> in-gen dedup       groupby(dst_surt) (keep best (priority, src, kind))
-      -> seen check         map_batches task  (hash(surt)%K SeenPartition actors)
-      -> frontier append    map_batches task  (hash(host)%K shuffle)
+    shard[a].drain_all(gen)         A object refs (politeness-gated)
+      -> rd.from_arrow_refs         no driver materialization
+      -> map_batches(process):      fused stage, per batch:
+           fetch_gated              ONE RPC: robots gate + fetch on the
+                                    co-partitioned ShardHost actor
+           persist fetched cell     idempotent (content-keyed file name)
+           extract+canonicalize+score   vectorized, in-task
+           in-batch dedup (combiner)
+           route candidates         hash(dst_surt)%K -> seen buffers
+      -> tiny per-batch count rows  (the only thing that reaches the driver)
+    shard[a].finalize_gen()         per seen-partition: winner-per-surt
+                                    dedup (co-located by the hash route — NO
+                                    sort shuffle), seen gate, actor-to-actor
+                                    push of survivors to hash(host)%K
+                                    frontier partitions
 
-All per-batch stage fns are stateless Ray tasks; ALL state lives in the
-three persistent actor pools (frontier/seen/robots, hash-partitioned) plus
-the K fetcher actors — created once per job, never per generation.
+Physical layout: K = cfg.num_parts *logical* partitions (fixed; determines
+every shuffle key and all determinism) hosted on A = cfg.num_actors
+ShardHost actor processes (``part % A`` — a resource knob, ≈ CPUs locally,
+≈ node slots on a cluster). See state/shard.py.
 
-Determinism: ordering conformance is defined as sort(priority, rand, surt)
-within a generation (rand = seeded splitmix64 of surt), so the parallel
-execution order never leaks into results (SURVEY §2.6 O2, §2.9).
+Determinism: ordering conformance is defined as sort(gen, priority, rand,
+surt) (rand = seeded splitmix64 of surt), and the in-gen dedup winner is
+min (priority, src_surt, kind) per dst_surt — so neither the parallel
+execution order nor A leaks into results (SURVEY §2.6 O2, §2.9). Candidate
+delivery is idempotent under task replay (duplicates collapse at finalize;
+fetched cells overwrite by deterministic name).
 
 Checkpoint/resume: every `checkpoint_every` generations each frontier and
 seen partition snapshots to a Parquet cell + a lineage/manifest row; resume
@@ -36,119 +47,21 @@ import datetime as _dt
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 from cocrawler_ray import parse, schemas, seeds as seeds_mod, urls
 from cocrawler_ray.config import CrawlConfig
-from cocrawler_ray.hashing import hash64, host_partition, rand_for_surt, surt_partition
-from cocrawler_ray.stages.fetch import FetcherPartition
-from cocrawler_ray.state.frontier import FrontierPartition
-from cocrawler_ray.state.robots_actor import RobotsPartition
-from cocrawler_ray.state.seen import SeenPartition
+from cocrawler_ray.hashing import hash64, host_partition, surt_partition
+from cocrawler_ray.state.shard import ShardHost
 from cocrawler_ray.storage import Storage
 
 
-# ---------------------------------------------------------------------------
-# stateless stage fns (plain map_batches tasks; actors reached by routing)
-# ---------------------------------------------------------------------------
-
-def _route(batch: pa.Table, parts: np.ndarray, call) -> dict[int, tuple[np.ndarray, object]]:
-    """Split batch rows by partition id; fire one actor call per partition.
-    Returns {part: (row_idx, future)} — caller ray.gets and reassembles."""
-    out = {}
-    for p in np.unique(parts):
-        idx = np.flatnonzero(parts == p)
-        out[int(p)] = (idx, call(int(p), idx))
-    return out
-
-
-def url_paths(us: list[str]) -> np.ndarray:
-    return np.array(["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/" for u in us],
-                    dtype=object)
-
-
-def make_robots_gate(robots_actors, num_parts: int, gen: int):
-    """Per-partition robots decision (partition-aligned actor calls)."""
-    def gate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
-        paths = url_paths(batch.column("url").to_pylist())
-        parts = host_partition(hosts, num_parts)
-        allow = np.zeros(len(hosts), dtype=bool)
-        futs = _route(batch, parts,
-                      lambda p, idx: robots_actors[p].check_batch.remote(hosts[idx], paths[idx], gen))
-        for p, (idx, fut) in futs.items():
-            allow[idx] = ray.get(fut)
-        return batch.filter(pa.array(allow))
-    return gate
-
-
-def make_fetch(fetch_actors, num_parts: int):
-    """Route rows to the persistent fetcher for their host partition."""
-    def fetch(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        hosts = batch.column("host").to_pylist()
-        parts = host_partition(hosts, num_parts)
-        futs = _route(batch, parts,
-                      lambda p, idx: fetch_actors[p].fetch.remote(batch.take(pa.array(idx, pa.int64()))))
-        pieces = [ray.get(fut) for _, fut in futs.values()]
-        return pa.concat_tables(pieces)
-    return fetch
-
-
-def make_seen_gate(seen_actors, num_parts: int, surt_col: str):
-    """J1 anti-join, streaming form: hash(surt)%K check_and_add; keeps only
-    never-seen rows (at-most-once enqueue)."""
-    def gate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        surts = batch.column(surt_col).to_pylist()
-        keys = hash64(surts)
-        parts = surt_partition(surts, num_parts)
-        new = np.zeros(len(surts), dtype=bool)
-        futs = _route(batch, parts,
-                      lambda p, idx: seen_actors[p].check_and_add.remote(keys[idx]))
-        for p, (idx, fut) in futs.items():
-            new[idx] = ray.get(fut)
-        return batch.filter(pa.array(new))
-    return gate
-
-
-def make_frontier_append(frontier_actors, num_parts: int, seed: int):
-    """Terminal stage: shuffle rows to hash(host)%K frontier actors; emits
-    per-batch append counts (consumed by a driver-side sum)."""
-    def append(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"appended": pa.array([0], pa.int64())})
-        hosts = np.asarray(batch.column("dst_host").to_pylist(), dtype=object)
-        surts = batch.column("dst_surt").to_pylist()
-        rows = {
-            "surt": np.asarray(surts, dtype=object),
-            "url": np.asarray(batch.column("dst_url").to_pylist(), dtype=object),
-            "host": hosts,
-            "priority": batch.column("priority").to_numpy(),
-            "rand": rand_for_surt(surts, seed=seed),
-            "depth": batch.column("depth").to_numpy(),
-            "retries": np.zeros(batch.num_rows, dtype=np.int32),
-            "seed_id": np.full(batch.num_rows, -1, dtype=np.int64),
-        }
-        parts = host_partition(hosts, num_parts)
-        futs = _route(batch, parts,
-                      lambda p, idx: frontier_actors[p].append.remote({k: v[idx] for k, v in rows.items()}))
-        total = sum(ray.get(fut) for _, fut in futs.values())
-        return pa.table({"appended": pa.array([total], pa.int64())})
-    return append
-
-
-def extract_and_score(batch: pa.Table, seed: int, max_depth: int) -> pa.Table:
-    """fetched(+html) batch -> links rows: extract, canonicalize, validity-
-    filter, priority-score (child = parent priority + 1, drop depth>max).
-    Reference: parse.py + urls.py + Crawler.add_url (M4, M1, M8)."""
+def extract_and_score(batch: pa.Table, max_depth: int) -> pa.Table:
+    """fetched(+html) batch -> candidate link rows: extract, canonicalize,
+    validity-filter, priority-score (child = parent priority + 1, drop
+    depth>max). Reference: parse.py + urls.py + Crawler.add_url (M4,M1,M8)."""
     htmls = batch.column("html").to_pylist()
     page_urls = batch.column("url").to_pylist()
     src_surts = batch.column("surt").to_pylist()
@@ -162,7 +75,6 @@ def extract_and_score(batch: pa.Table, seed: int, max_depth: int) -> pa.Table:
     child_depth = depth[si] + 1
     keep2 = child_depth <= max_depth
     si = si[keep2]
-    n = len(si)
     return pa.table({
         "src_surt": pa.array([src_surts[i] for i in si], pa.string()),
         "dst_url": pa.array(res["url"][keep][keep2], pa.string()),
@@ -175,47 +87,103 @@ def extract_and_score(batch: pa.Table, seed: int, max_depth: int) -> pa.Table:
 
 
 def dedup_links_batch(batch: pa.Table) -> pa.Table:
-    """Partial in-batch dedup (combiner) before the groupby shuffle: keeps
-    the best (priority, src_surt, kind) row per dst_surt within the batch."""
+    """Partial in-batch dedup (combiner) before routing to the seen
+    partitions: keeps the best (priority, src_surt, kind) row per dst_surt
+    within the batch. The per-partition finalize applies the same rule
+    globally."""
     df = batch.to_pandas()
     df = df.sort_values(["dst_surt", "priority", "src_surt", "kind"], kind="stable")
     df = df.drop_duplicates("dst_surt", keep="first")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def dedup_links_group(df):
-    """D1 exact dedup winner per dst_surt: deterministic min
-    (priority, src_surt, kind) — 'first add_url wins' under generation order."""
-    df = df.sort_values(["priority", "src_surt", "kind"], kind="stable")
-    return df.head(1)
+def make_process(shards, num_parts: int, num_actors: int,
+                 gen: int, max_depth: int, out_dir: str):
+    """The fused per-batch stage (see module docstring). Returns one count
+    row per batch — payloads are persisted / routed inside the task, so the
+    driver only ever sees counters."""
+    storage = Storage(out_dir)
 
+    def process(batch: pa.Table) -> pa.Table:
+        def counts(n_in=0, n_allowed=0, n_fetched=0, n_cand=0):
+            return pa.table({"n_in": pa.array([n_in], pa.int64()),
+                             "n_allowed": pa.array([n_allowed], pa.int64()),
+                             "n_fetched": pa.array([n_fetched], pa.int64()),
+                             "n_cand": pa.array([n_cand], pa.int64())})
 
-# ---------------------------------------------------------------------------
-# the job
-# ---------------------------------------------------------------------------
+        n_in = batch.num_rows
+        if n_in == 0:
+            return counts()
+
+        # robots gate + fetch: ONE RPC per target actor (rows from a drain
+        # block all belong to one actor's host-partitions, but group
+        # defensively in case of block coalescing)
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        actor_of = host_partition(hosts, num_parts) % num_actors
+        futs = []
+        for a in np.unique(actor_of):
+            idx = np.flatnonzero(actor_of == a)
+            sub = batch if len(idx) == n_in else batch.take(pa.array(idx, pa.int64()))
+            futs.append(shards[int(a)].fetch_gated.remote(sub, gen))
+        parts_out = ray.get(futs)
+        n_allowed = sum(n for _, n in parts_out)
+        fetched = pa.concat_tables([t for t, n in parts_out if n])
+        n_fetched = fetched.num_rows
+        if n_fetched == 0:
+            return counts(n_in, n_allowed)
+
+        # persist the fetched cell (Lance-shaped Parquet). File name is
+        # content-keyed (first surt is unique per batch within a gen) so a
+        # task replay overwrites rather than duplicates.
+        cell = schemas.validate(fetched.drop_columns(["html"]), "fetched")
+        first_surt = fetched.column("surt")[0].as_py()
+        suffix = f"{int(hash64([first_surt])[0]) & 0xFFFFFFFF:08x}"
+        part0 = int(fetched.column("part")[0].as_py())
+        storage.write_cell_named(cell, "fetched", gen, f"part={part0:05d}-{suffix}")
+
+        # extract + canonicalize + score on 200s, in-batch combiner dedup
+        ok = pa.compute.equal(fetched.column("status"), 200)
+        links = extract_and_score(fetched.filter(ok), max_depth)
+        links = dedup_links_batch(links)
+        n_cand = links.num_rows
+        if n_cand:
+            # route candidates to their seen partitions' hosting actors;
+            # ray.get acks so delivery completes before the pipeline does
+            surts = links.column("dst_surt").to_pylist()
+            actor_of = surt_partition(surts, num_parts) % num_actors
+            cols = {c: links.column(c).to_numpy(zero_copy_only=False)
+                    for c in links.column_names}
+            futs = []
+            for a in np.unique(actor_of):
+                idx = np.flatnonzero(actor_of == a)
+                futs.append(shards[int(a)].accept_candidates.remote(
+                    {k: v[idx] for k, v in cols.items()}))
+            ray.get(futs)
+        return counts(n_in, n_allowed, n_fetched, n_cand)
+
+    return process
+
 
 class CrawlJob:
-    """Owns the actor pools + storage; runs generations until the frontier
-    drains or budgets hit. Does NOT call ray.init (driver owns the session).
-    """
+    """Owns the ShardHost actor pool + storage; runs generations until the
+    frontier drains or budgets hit. Does NOT call ray.init (driver owns the
+    session)."""
 
     def __init__(self, cfg: CrawlConfig, web: pa.Table, web_html: pa.Table,
                  robots_bodies: dict[str, str]):
         self.cfg = cfg
         self.storage = Storage(cfg.out_dir)
         K = cfg.num_parts
-        Frontier = ray.remote(FrontierPartition)
-        Seen = ray.remote(SeenPartition)
-        Robots = ray.remote(RobotsPartition)
-        Fetch = ray.remote(FetcherPartition)
+        A = cfg.num_actors or max(1, min(K, int(ray.cluster_resources().get("CPU", 8))))
+        self.num_actors = A
         spill = str(self.storage.root / "frontier_spill")
-        self.frontier = [Frontier.remote(p, cfg.spill_threshold, spill) for p in range(K)]
-        self.seen = [Seen.remote(p, cfg.seen_capacity, cfg.exact_seen) for p in range(K)]
-        # each robots partition only ever queries its own hosts; handing every
-        # partition the full (small) body dict is the broadcast pattern
-        self.robots = [Robots.remote(p, robots_bodies, 10, cfg.user_agent) for p in range(K)]
         web_ref, html_ref = ray.put(web), ray.put(web_html)  # ship tables once
-        self.fetchers = [Fetch.remote(p, web_ref, html_ref) for p in range(K)]
+        Shard = ray.remote(ShardHost)
+        self.shards = [Shard.remote(a, A, K, robots_bodies, cfg.user_agent,
+                                    web_ref, html_ref, cfg.seen_capacity,
+                                    cfg.exact_seen, cfg.spill_threshold, spill)
+                       for a in range(A)]
+        ray.get([s.set_peers.remote(self.shards) for s in self.shards])
         self.fetched_total = 0
         self.appended_total = 0
         self.gen = 0
@@ -224,20 +192,37 @@ class CrawlJob:
     # -- seeding (seeds.py::expand_seeds -> add_url flow) --------------------
 
     def add_seeds(self, seed_lines: list[str]) -> int:
-        t = seeds_mod.expand_seeds_batch(pa.table({"text": seed_lines}), seed=self.cfg.seed)
-        t = make_seen_gate(self.seen, self.cfg.num_parts, "surt")(t)
+        cfg = self.cfg
+        t = seeds_mod.expand_seeds_batch(pa.table({"text": seed_lines}), seed=cfg.seed)
+        if t.num_rows == 0:
+            return 0
+        # seen-gate the seeds (at-most-once enqueue), routed to seen shards
+        surts = t.column("surt").to_pylist()
+        keys = hash64(surts)
+        sparts = surt_partition(surts, cfg.num_parts)
+        actor_of = sparts % self.num_actors
+        new = np.zeros(len(surts), dtype=bool)
+        futs = [(np.flatnonzero(actor_of == a),
+                 self.shards[int(a)].check_and_add.remote(
+                     sparts[actor_of == a], keys[actor_of == a]))
+                for a in np.unique(actor_of)]
+        for idx, fut in futs:
+            new[idx] = ray.get(fut)
+        t = t.filter(pa.array(new))
         if t.num_rows == 0:
             return 0
         hosts = np.asarray(t.column("host").to_pylist(), dtype=object)
-        parts = host_partition(hosts, self.cfg.num_parts)
+        parts = host_partition(hosts, cfg.num_parts)
         rows = {c: (np.asarray(t.column(c).to_pylist(), dtype=object)
                     if t.schema.field(c).type == pa.string()
                     else t.column(c).to_numpy())
                 for c in ("surt", "url", "host", "priority", "rand", "depth", "retries", "seed_id")}
-        futs = []
+        by_actor: dict[int, dict[int, dict]] = {}
         for p in np.unique(parts):
             idx = np.flatnonzero(parts == p)
-            futs.append(self.frontier[p].append.remote({k: v[idx] for k, v in rows.items()}))
+            by_actor.setdefault(int(p) % self.num_actors, {})[int(p)] = \
+                {k: v[idx] for k, v in rows.items()}
+        futs = [self.shards[a].append_rows.remote(bp) for a, bp in by_actor.items()]
         return sum(ray.get(futs))
 
     # -- one generation -----------------------------------------------------
@@ -247,67 +232,41 @@ class CrawlJob:
         remaining = None if cfg.max_urls is None else max(0, cfg.max_urls - self.fetched_total)
         if remaining == 0:
             return {"drained": 0, "fetched": 0, "appended": 0}
+        if sum(ray.get([s.ready_count.remote() for s in self.shards])) == 0:
+            return {"drained": 0, "fetched": 0, "appended": 0}
         per_part_cap = cfg.max_rows_per_part_gen
         if remaining is not None:
             cap = (remaining + cfg.num_parts - 1) // cfg.num_parts
             per_part_cap = min(per_part_cap, cap) if per_part_cap else cap
-        drains = ray.get([f.drain.remote(g, cfg.budget_per_host, per_part_cap)
-                          for f in self.frontier])
-        drains = [d for d in drains if d.num_rows]
-        drained = sum(d.num_rows for d in drains)
-        if drained == 0:
-            return {"drained": 0, "fetched": 0, "appended": 0}
 
-        bs = cfg.fetch_batch_size
-        fetched = (rd.from_arrow(drains)
-                   .map_batches(make_robots_gate(self.robots, cfg.num_parts, g),
-                                batch_format="pyarrow", batch_size=bs)
-                   .map_batches(make_fetch(self.fetchers, cfg.num_parts),
-                                batch_format="pyarrow", batch_size=bs)
-                   # one generation is a bounded working set: materialize once,
-                   # then (a) persist payloads, (b) run the link pipeline,
-                   # without re-running the fetch.
-                   .materialize())
-        n_fetched = fetched.count()
+        # drained blocks stay in the object store (refs, no driver pull)
+        drains = [s.drain_all.remote(g, cfg.budget_per_host, per_part_cap)
+                  for s in self.shards]
+        process = make_process(self.shards, cfg.num_parts, self.num_actors,
+                               g, cfg.max_depth, cfg.out_dir)
+        counts = (rd.from_arrow_refs(drains)
+                  .map_batches(process, batch_format="pyarrow",
+                               batch_size=cfg.fetch_batch_size)
+                  .to_pandas())
+        drained = int(counts["n_in"].sum()) if len(counts) else 0
+        n_fetched = int(counts["n_fetched"].sum()) if len(counts) else 0
         self.fetched_total += n_fetched
-        self._write_fetched(fetched, g)
+        self.storage.append_manifest({"kind": "fetched", "gen": g})
 
-        deduped = (fetched
-                   .select_columns(["surt", "url", "priority", "depth", "html", "status"])
-                   .map_batches(lambda b: b.filter(pc.equal(b["status"], 200)),
-                                batch_format="pyarrow")
-                   .map_batches(extract_and_score,
-                                fn_kwargs=dict(seed=cfg.seed, max_depth=cfg.max_depth),
-                                batch_format="pyarrow")
-                   .map_batches(dedup_links_batch, batch_format="pyarrow")
-                   .groupby("dst_surt")
-                   .map_groups(dedup_links_group, batch_format="pandas")
-                   # deduped feeds two consumers (hot-host counts + the
-                   # stateful seen/append path) — materialize so the side-
-                   # effecting stages execute exactly once.
-                   .materialize())
-
-        n_appended = 0
-        n_deduped = deduped.count()
-        if n_deduped > 0:
-            # hot-host detection (explicit skew handling, north_rule):
-            # per-gen groupby(host).count(); hosts over threshold recorded.
-            # Only worth a pass when the generation could contain a hot host.
-            if n_deduped > cfg.hot_host_threshold:
-                host_counts = deduped.groupby("dst_host").count().to_pandas()
-                cnt_col = [c for c in host_counts.columns if c != "dst_host"][0]
-                hot = host_counts[host_counts[cnt_col] > cfg.hot_host_threshold]
-                for h, c in zip(hot["dst_host"], hot[cnt_col]):
-                    self._metric(g, f"hot_host.{h}", float(c))
-
-            appended = (deduped
-                        .map_batches(make_seen_gate(self.seen, cfg.num_parts, "dst_surt"),
-                                     batch_format="pyarrow", batch_size=bs)
-                        .map_batches(make_frontier_append(self.frontier, cfg.num_parts, cfg.seed),
-                                     batch_format="pyarrow", batch_size=bs))
-            pdf = appended.to_pandas()
-            n_appended = int(pdf["appended"].sum()) if "appended" in pdf.columns else 0
+        # per-partition finalize: dedup winners -> seen gate -> frontier push
+        # (shards fire cross-actor appends and hand us the futures — they
+        # must not block on each other)
+        rets = ray.get([s.finalize_gen.remote(cfg.seed) for s in self.shards])
+        n_appended = sum(r["appended"] for r in rets)
+        n_appended += sum(ray.get([f for r in rets for f in r["append_futs"]]))
         self.appended_total += n_appended
+
+        # hot-host skew detection: incremental per-partition counts (the
+        # batch image of per-gen groupby(host).count() — north_rule)
+        for hh in ray.get([s.hot_hosts.remote(cfg.hot_host_threshold)
+                           for s in self.shards]):
+            for h, c in hh.items():
+                self._metric(g, f"hot_host.{h}", float(c))
 
         self._metric(g, "fetched", float(n_fetched))
         self._metric(g, "drained", float(drained))
@@ -328,15 +287,7 @@ class CrawlJob:
         return {"gens": self.gen, "fetched": self.fetched_total,
                 "appended": self.appended_total}
 
-    # -- persistence --------------------------------------------------------
-
-    def _write_fetched(self, fetched_ds, gen: int) -> None:
-        # one cell per (gen, block) — resumable layout; html column dropped
-        for i, ref in enumerate(fetched_ds.drop_columns(["html"]).to_arrow_refs()):
-            t = ray.get(ref)
-            if t.num_rows:
-                self.storage.write_cell(schemas.validate(t, "fetched"), "fetched", gen, i)
-        self.storage.append_manifest({"kind": "fetched", "gen": gen})
+    # -- metrics ------------------------------------------------------------
 
     def _metric(self, gen: int, name: str, value: float) -> None:
         self.metrics_rows.append(
@@ -360,16 +311,17 @@ class CrawlJob:
 
     def checkpoint(self) -> None:
         g = self.gen
-        f_snaps = ray.get([f.snapshot.remote() for f in self.frontier])
-        s_snaps = ray.get([s.snapshot.remote() for s in self.seen])
+        f_snaps = ray.get([s.snapshot_frontier.remote() for s in self.shards])
+        s_snaps = ray.get([s.snapshot_seen.remote() for s in self.shards])
         for table, snaps in (("frontier_ckpt", f_snaps), ("seen_ckpt", s_snaps)):
-            for p, t in enumerate(snaps):
-                uri = self.storage.write_cell(t, table, g, p, validate=False)
-                self.storage.append_manifest({
-                    "kind": "checkpoint", "table": table, "gen": g, "part": p,
-                    "rows": t.num_rows, "uri": uri,
-                    "fetched_total": self.fetched_total,
-                    "appended_total": self.appended_total})
+            for by_part in snaps:
+                for p, t in by_part.items():
+                    uri = self.storage.write_cell(t, table, g, p, validate=False)
+                    self.storage.append_manifest({
+                        "kind": "checkpoint", "table": table, "gen": g, "part": p,
+                        "rows": t.num_rows, "uri": uri,
+                        "fetched_total": self.fetched_total,
+                        "appended_total": self.appended_total})
 
     def restore_latest(self) -> int | None:
         """Restore actors from the newest complete checkpoint; returns the
@@ -380,10 +332,11 @@ class CrawlJob:
         g = done[-1]
         futs = []
         for p in range(self.cfg.num_parts):
-            futs.append(self.frontier[p].restore.remote(
-                self.storage.read_cell("frontier_ckpt", g, p)))
-            futs.append(self.seen[p].restore.remote(
-                self.storage.read_cell("seen_ckpt", g, p)))
+            a = p % self.num_actors
+            futs.append(self.shards[a].restore_frontier.remote(
+                p, self.storage.read_cell("frontier_ckpt", g, p)))
+            futs.append(self.shards[a].restore_seen.remote(
+                p, self.storage.read_cell("seen_ckpt", g, p)))
         ray.get(futs)
         recs = [r for r in self.storage.read_manifest()
                 if r.get("kind") == "checkpoint" and r["gen"] == g]
@@ -396,8 +349,8 @@ class CrawlJob:
     # -- conformance views --------------------------------------------------
 
     def final_seen_surt_hashes(self) -> np.ndarray:
-        snaps = ray.get([s.snapshot.remote() for s in self.seen])
-        t = pa.concat_tables(snaps)
+        snaps = ray.get([s.snapshot_seen.remote() for s in self.shards])
+        t = pa.concat_tables([t for by_part in snaps for t in by_part.values()])
         arr = t.column("surt_hash").to_numpy(zero_copy_only=False)
         arr.sort()
         return arr

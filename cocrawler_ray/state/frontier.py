@@ -126,6 +126,12 @@ class FrontierPartition:
     def host_counts(self) -> dict[str, int]:
         return {h: len(q) for h, q in self.hosts.items()}
 
+    def hot_hosts(self, threshold: int) -> dict[str, int]:
+        """Hosts whose pending queue exceeds `threshold` (skew detection;
+        north_rule 'hot-host splitting via groupby-count + repartition' —
+        counts maintained incrementally here instead of a per-gen shuffle)."""
+        return {h: len(q) for h, q in self.hosts.items() if len(q) > threshold}
+
     def is_empty(self) -> bool:
         return self.total == 0 and not self.spilled_files
 

@@ -97,7 +97,19 @@ class CuckooFilter:
 
 
 class SeenPartition:
-    """One hash(surt)%K shard of the URL-seen set."""
+    """One hash(surt)%K shard of the URL-seen set.
+
+    Besides the plain ``check_and_add`` batch API, the partition acts as the
+    in-generation dedup point (SURVEY §2.7 D1): because candidate links are
+    hash(dst_surt)-routed here, ALL duplicates of a surt land in the same
+    partition — so the winner-per-surt groupby needs no Ray Data sort
+    shuffle. Stages buffer candidates via ``accept_candidates`` (idempotent
+    under task replay: duplicates collapse at finalize); the driver calls
+    ``finalize_gen`` once per generation, which picks the deterministic
+    winner per surt (min (priority, src_surt, kind) — 'first add_url wins'
+    under generation order), seen-gates the winners, and pushes survivors
+    straight to the hash(host)-sharded frontier actors.
+    """
 
     def __init__(self, part: int, capacity: int = 1 << 16, exact: bool = True):
         self.part = part
@@ -105,6 +117,50 @@ class SeenPartition:
         self.exact = exact
         self.shadow: set[int] = set()
         self.cuckoo = CuckooFilter(capacity)
+        self._cand: list[dict[str, np.ndarray]] = []
+
+    # -- in-generation candidate flow (dedup + seen gate) --------------------
+
+    def accept_candidates(self, cols: dict[str, np.ndarray]) -> int:
+        """Buffer candidate link rows (dst_surt, dst_url, dst_host, priority,
+        depth, src_surt, kind) for the current generation."""
+        self._cand.append(cols)
+        return len(cols["dst_surt"])
+
+    def finalize_local(self, seed: int) -> dict:
+        """Dedup buffered candidates (winner = min (priority, src_surt, kind)
+        per dst_surt), seen-gate the winners, return survivor frontier rows
+        for the host-partition shuffle (done by the hosting ShardHost)."""
+        import pandas as pd
+
+        from cocrawler_ray.hashing import hash64, rand_for_surt
+
+        if not self._cand:
+            return {"candidates": 0, "new": 0, "rows": None}
+        df = pd.DataFrame({k: np.concatenate([c[k] for c in self._cand])
+                           for k in self._cand[0]})
+        self._cand.clear()
+        n_cand = len(df)
+        df = (df.sort_values(["dst_surt", "priority", "src_surt", "kind"], kind="stable")
+                .drop_duplicates("dst_surt", keep="first"))
+        surts = df["dst_surt"].tolist()
+        new = self.check_and_add(hash64(surts))
+        df = df[new]
+        surts = df["dst_surt"].tolist()
+        n_new = len(df)
+        if n_new == 0:
+            return {"candidates": n_cand, "new": 0, "rows": None}
+        rows = {
+            "surt": np.asarray(surts, dtype=object),
+            "url": df["dst_url"].to_numpy(dtype=object),
+            "host": df["dst_host"].to_numpy(dtype=object),
+            "priority": df["priority"].to_numpy().astype(np.int32),
+            "rand": rand_for_surt(surts, seed=seed),
+            "depth": df["depth"].to_numpy().astype(np.int32),
+            "retries": np.zeros(n_new, dtype=np.int32),
+            "seed_id": np.full(n_new, -1, dtype=np.int64),
+        }
+        return {"candidates": n_cand, "new": n_new, "rows": rows}
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
         """uint64 surt-hashes -> bool mask of NEW keys (first occurrence wins,

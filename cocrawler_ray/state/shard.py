@@ -1,0 +1,164 @@
+"""ShardHost — the actor process hosting a slice of every partitioned store.
+
+Scale design (SURVEY §4.2/§4.3): the engine's *logical* partitioning is
+fixed at K = ``num_parts`` (frontier/robots by hash(host)%K, seen by
+hash(surt)%K) so results are identical on any hardware; the *physical*
+actor count A is a resource knob (≈ one per CPU locally, ≈ per-node slots
+on a cluster). Actor ``a`` hosts every logical partition with
+``part % A == a``:
+
+- ``FrontierPartition`` per owned host-partition (per-host politeness heaps)
+- ``SeenPartition``     per owned surt-partition (cuckoo + exact shadow)
+- one ``RobotsPartition``  (per-host TTL rule cache — host-keyed, any row
+  this actor is routed can be answered locally)
+- one ``FetcherPartition`` (web-table index / HTTP pool; zero-copy Arrow
+  read of the ray.put broadcast tables)
+
+This replaces four K-wide actor pools (4K processes) with A processes —
+actor-process startup was the dominant cost of small jobs, and on a real
+cluster A maps 1:1 to scheduling slots while K stays the stable shuffle
+key-space. Peers are wired via ``set_peers`` so the seen-side finalize can
+push frontier appends actor-to-actor without driver involvement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cocrawler_ray.hashing import hash64, host_partition, surt_partition
+from cocrawler_ray.stages.fetch import FetcherPartition
+from cocrawler_ray.state.frontier import FrontierPartition
+from cocrawler_ray.state.robots_actor import RobotsPartition
+from cocrawler_ray.state.seen import SeenPartition
+
+
+def url_paths(us: list[str]) -> np.ndarray:
+    return np.array(["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/" for u in us],
+                    dtype=object)
+
+
+class ShardHost:
+    def __init__(self, actor_id: int, num_actors: int, num_parts: int,
+                 robots_bodies: dict[str, str], user_agent: str,
+                 web: pa.Table, web_html: pa.Table,
+                 seen_capacity: int, exact_seen: bool,
+                 spill_threshold: int, spill_dir: str):
+        self.actor_id = actor_id
+        self.num_actors = num_actors
+        self.num_parts = num_parts
+        my_parts = [p for p in range(num_parts) if p % num_actors == actor_id]
+        self.frontier = {p: FrontierPartition(p, spill_threshold, spill_dir)
+                         for p in my_parts}
+        self.seen = {p: SeenPartition(p, seen_capacity, exact_seen)
+                     for p in my_parts}
+        self.robots = RobotsPartition(actor_id, robots_bodies, 10, user_agent)
+        self.fetcher = FetcherPartition(actor_id, web, web_html)
+        self.peers: list | None = None
+
+    def set_peers(self, handles: list) -> None:
+        self.peers = handles
+
+    # -- frontier ------------------------------------------------------------
+
+    def ready_count(self) -> int:
+        return sum(f.ready_count() for f in self.frontier.values())
+
+    def drain_all(self, gen: int, budget_per_host: int,
+                  max_rows_per_part: int | None = None) -> pa.Table:
+        tabs = [self.frontier[p].drain(gen, budget_per_host, max_rows_per_part)
+                for p in sorted(self.frontier)]
+        return pa.concat_tables(tabs)
+
+    def append_rows(self, by_part: dict[int, dict[str, np.ndarray]]) -> int:
+        return sum(self.frontier[p].append(rows) for p, rows in by_part.items())
+
+    def hot_hosts(self, threshold: int) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for f in self.frontier.values():
+            out.update(f.hot_hosts(threshold))
+        return out
+
+    # -- robots + fetch (fused: one RPC per batch per actor) -----------------
+
+    def fetch_gated(self, batch: pa.Table, gen: int) -> tuple[pa.Table, int]:
+        """Robots-gate then fetch a batch of frontier rows; returns
+        (fetched_table, n_allowed)."""
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        paths = url_paths(batch.column("url").to_pylist())
+        allow = self.robots.check_batch(hosts, paths, gen)
+        batch = batch.filter(pa.array(allow))
+        if batch.num_rows == 0:
+            return batch, 0
+        return self.fetcher.fetch(batch), batch.num_rows
+
+    # -- seen ----------------------------------------------------------------
+
+    def check_and_add(self, parts: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Vector API over this actor's seen partitions: rows pre-routed here
+        (part % A == actor_id); split by exact partition internally."""
+        new = np.zeros(len(keys), dtype=bool)
+        for p in np.unique(parts):
+            idx = np.flatnonzero(parts == p)
+            new[idx] = self.seen[int(p)].check_and_add(keys[idx])
+        return new
+
+    def accept_candidates(self, cols: dict[str, np.ndarray]) -> int:
+        """Buffer candidate links for this actor's surt partitions."""
+        sparts = surt_partition(cols["dst_surt"], self.num_parts)
+        n = 0
+        for p in np.unique(sparts):
+            idx = np.flatnonzero(sparts == p)
+            n += self.seen[int(p)].accept_candidates(
+                {k: v[idx] for k, v in cols.items()})
+        return n
+
+    def finalize_gen(self, seed: int) -> dict:
+        """Per owned seen-partition: winner dedup + seen gate; then push
+        survivors to peer actors grouped by hash(host)%K partition.
+
+        MUST NOT block on peers (every shard finalizes concurrently and
+        peer appends are circular — blocking here deadlocks the pool), so
+        remote appends are fired and their ObjectRefs returned for the
+        driver to collect."""
+        totals = {"candidates": 0, "new": 0, "appended": 0, "append_futs": []}
+        rows_list = []
+        for p in sorted(self.seen):
+            res = self.seen[p].finalize_local(seed)
+            totals["candidates"] += res["candidates"]
+            totals["new"] += res["new"]
+            if res["rows"] is not None:
+                rows_list.append(res["rows"])
+        if not rows_list:
+            return totals
+        rows = {k: np.concatenate([r[k] for r in rows_list])
+                for k in rows_list[0]}
+        parts = host_partition(rows["host"], self.num_parts)
+        by_actor: dict[int, dict[int, dict[str, np.ndarray]]] = {}
+        for p in np.unique(parts):
+            idx = np.flatnonzero(parts == p)
+            a = int(p) % self.num_actors
+            by_actor.setdefault(a, {})[int(p)] = {k: v[idx] for k, v in rows.items()}
+        for a, by_part in by_actor.items():
+            if a == self.actor_id:
+                totals["appended"] += self.append_rows(by_part)
+            else:
+                totals["append_futs"].append(self.peers[a].append_rows.remote(by_part))
+        return totals
+
+    # -- checkpoint / conformance -------------------------------------------
+
+    def snapshot_frontier(self) -> dict[int, pa.Table]:
+        return {p: f.snapshot() for p, f in self.frontier.items()}
+
+    def snapshot_seen(self) -> dict[int, pa.Table]:
+        return {p: s.snapshot() for p, s in self.seen.items()}
+
+    def restore_frontier(self, part: int, table: pa.Table) -> None:
+        self.frontier[part].restore(table)
+
+    def restore_seen(self, part: int, table: pa.Table) -> None:
+        self.seen[part].restore(table)
+
+    def fetch_stats(self) -> dict:
+        return self.fetcher.stats()

@@ -43,6 +43,16 @@ class Storage:
         os.replace(tmp, path)
         return str(path)
 
+    def write_cell_named(self, t: pa.Table, table: str, gen: int, name: str) -> str:
+        """Write a cell with a caller-chosen (content-keyed) file name —
+        used by parallel stage tasks so replays overwrite idempotently."""
+        path = self.root / table / f"gen={gen:05d}" / f"{name}.parquet"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".{os.getpid()}.tmp")
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return str(path)
+
     def read_cell(self, table: str, gen: int, part: int) -> pa.Table:
         return pq.read_table(self.cell_path(table, gen, part))
 
