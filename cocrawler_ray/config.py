@@ -47,6 +47,11 @@ class CrawlConfig:
     hot_host_threshold: int = 10_000
     # frontier cold-tail spill threshold (rows per partition)
     spill_threshold: int = 2_000_000
+    # execution-path switch (pipelines/crawl.py): generations whose ready
+    # frontier is at most this many rows run the fused per-actor path (one
+    # RPC per actor); larger waves run the Ray Data streaming pipeline
+    # (fine-grained load balancing + backpressure).
+    actor_path_max_rows: int = 500_000
 
     @classmethod
     def from_overrides(cls, *overrides: str, **kwargs) -> "CrawlConfig":

@@ -51,57 +51,31 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from cocrawler_ray import parse, schemas, seeds as seeds_mod, urls
+from cocrawler_ray import seeds as seeds_mod
 from cocrawler_ray.config import CrawlConfig
 from cocrawler_ray.hashing import hash64, host_partition, surt_partition
 from cocrawler_ray.state.shard import ShardHost
 from cocrawler_ray.storage import Storage
 
 
-def extract_and_score(batch: pa.Table, max_depth: int) -> pa.Table:
-    """fetched(+html) batch -> candidate link rows: extract, canonicalize,
-    validity-filter, priority-score (child = parent priority + 1, drop
-    depth>max). Reference: parse.py + urls.py + Crawler.add_url (M4,M1,M8)."""
-    htmls = batch.column("html").to_pylist()
-    page_urls = batch.column("url").to_pylist()
-    src_surts = batch.column("surt").to_pylist()
-    prio = batch.column("priority").to_numpy()
-    depth = batch.column("depth").to_numpy()
-
-    ex = parse.extract_links_batch(htmls, page_urls)
-    res = urls.canonicalize_batch(ex["raw"], ex["base"])
-    keep = res["valid"]
-    si = ex["src_idx"][keep]
-    child_depth = depth[si] + 1
-    keep2 = child_depth <= max_depth
-    si = si[keep2]
-    return pa.table({
-        "src_surt": pa.array([src_surts[i] for i in si], pa.string()),
-        "dst_url": pa.array(res["url"][keep][keep2], pa.string()),
-        "dst_surt": pa.array(res["surt"][keep][keep2], pa.string()),
-        "dst_host": pa.array(res["host"][keep][keep2], pa.string()),
-        "kind": pa.array(ex["kind"][keep][keep2], pa.string()),
-        "priority": pa.array((prio[si] + 1).astype(np.int32)),
-        "depth": pa.array((depth[si] + 1).astype(np.int32)),
-    })
-
-
-def dedup_links_batch(batch: pa.Table) -> pa.Table:
-    """Partial in-batch dedup (combiner) before routing to the seen
-    partitions: keeps the best (priority, src_surt, kind) row per dst_surt
-    within the batch. The per-partition finalize applies the same rule
-    globally."""
-    df = batch.to_pandas()
-    df = df.sort_values(["dst_surt", "priority", "src_surt", "kind"], kind="stable")
-    df = df.drop_duplicates("dst_surt", keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False)
+# shared per-batch kernels live in stages/process.py (both execution paths)
+from cocrawler_ray.stages.process import (  # noqa: E402  (re-export for tests)
+    dedup_links_batch, extract_and_score, links_to_candidates,
+    persist_fetched_cell)
 
 
 def make_process(shards, num_parts: int, num_actors: int,
-                 gen: int, max_depth: int, out_dir: str):
+                 gen: int, max_depth: int, out_dir: str,
+                 acks_out: list | None = None):
     """The fused per-batch stage (see module docstring). Returns one count
     row per batch — payloads are persisted / routed inside the task, so the
-    driver only ever sees counters."""
+    driver only ever sees counters.
+
+    When ``acks_out`` is given, candidate-delivery RPCs are NOT awaited in
+    the task; their ObjectRefs are appended to ``acks_out`` for the caller
+    to barrier on before finalize. Synchronous acks convoy through the
+    single-threaded shard actors (every task waits on every actor's queue);
+    deferring them lets actor inboxes drain while other chunks process."""
     storage = Storage(out_dir)
 
     def process(batch: pa.Table) -> pa.Table:
@@ -127,28 +101,23 @@ def make_process(shards, num_parts: int, num_actors: int,
             futs.append(shards[int(a)].fetch_gated.remote(sub, gen))
         parts_out = ray.get(futs)
         n_allowed = sum(n for _, n in parts_out)
-        fetched = pa.concat_tables([t for t, n in parts_out if n])
+        tabs = [t for t, n in parts_out if n]
+        if not tabs:  # whole batch robots-denied
+            return counts(n_in, n_allowed)
+        fetched = pa.concat_tables(tabs)
         n_fetched = fetched.num_rows
         if n_fetched == 0:
             return counts(n_in, n_allowed)
 
-        # persist the fetched cell (Lance-shaped Parquet). File name is
-        # content-keyed (first surt is unique per batch within a gen) so a
-        # task replay overwrites rather than duplicates.
-        cell = schemas.validate(fetched.drop_columns(["html"]), "fetched")
-        first_surt = fetched.column("surt")[0].as_py()
-        suffix = f"{int(hash64([first_surt])[0]) & 0xFFFFFFFF:08x}"
-        part0 = int(fetched.column("part")[0].as_py())
-        storage.write_cell_named(cell, "fetched", gen, f"part={part0:05d}-{suffix}")
+        persist_fetched_cell(storage, fetched, gen)
 
         # extract + canonicalize + score on 200s, in-batch combiner dedup
-        ok = pa.compute.equal(fetched.column("status"), 200)
-        links = extract_and_score(fetched.filter(ok), max_depth)
-        links = dedup_links_batch(links)
+        links = links_to_candidates(fetched, max_depth)
         n_cand = links.num_rows
         if n_cand:
             # route candidates to their seen partitions' hosting actors;
-            # ray.get acks so delivery completes before the pipeline does
+            # delivery must complete before finalize — either awaited here
+            # (Dataset path) or barriered by the caller (acks_out path)
             surts = links.column("dst_surt").to_pylist()
             actor_of = surt_partition(surts, num_parts) % num_actors
             cols = {c: links.column(c).to_numpy(zero_copy_only=False)
@@ -158,7 +127,10 @@ def make_process(shards, num_parts: int, num_actors: int,
                 idx = np.flatnonzero(actor_of == a)
                 futs.append(shards[int(a)].accept_candidates.remote(
                     {k: v[idx] for k, v in cols.items()}))
-            ray.get(futs)
+            if acks_out is None:
+                ray.get(futs)
+            else:
+                acks_out.extend(futs)
         return counts(n_in, n_allowed, n_fetched, n_cand)
 
     return process
@@ -232,34 +204,67 @@ class CrawlJob:
         remaining = None if cfg.max_urls is None else max(0, cfg.max_urls - self.fetched_total)
         if remaining == 0:
             return {"drained": 0, "fetched": 0, "appended": 0}
-        if sum(ray.get([s.ready_count.remote() for s in self.shards])) == 0:
+        ready = sum(ray.get([s.ready_count.remote() for s in self.shards]))
+        if ready == 0:
             return {"drained": 0, "fetched": 0, "appended": 0}
         per_part_cap = cfg.max_rows_per_part_gen
         if remaining is not None:
             cap = (remaining + cfg.num_parts - 1) // cfg.num_parts
             per_part_cap = min(per_part_cap, cap) if per_part_cap else cap
 
-        # drained blocks stay in the object store (refs, no driver pull)
-        drains = [s.drain_all.remote(g, cfg.budget_per_host, per_part_cap)
-                  for s in self.shards]
-        process = make_process(self.shards, cfg.num_parts, self.num_actors,
-                               g, cfg.max_depth, cfg.out_dir)
-        counts = (rd.from_arrow_refs(drains)
-                  .map_batches(process, batch_format="pyarrow",
-                               batch_size=cfg.fetch_batch_size)
-                  .to_pandas())
-        drained = int(counts["n_in"].sum()) if len(counts) else 0
-        n_fetched = int(counts["n_fetched"].sum()) if len(counts) else 0
+        import time as _time
+        t0 = _time.perf_counter()
+        if ready <= cfg.actor_path_max_rows:
+            # modest wave: fused per-actor path — each shard drains and
+            # processes its own rows in place (robots/fetch state is
+            # co-partitioned there), ONE RPC per actor per generation.
+            outs = ray.get([s.run_gen_local.remote(
+                g, cfg.budget_per_host, per_part_cap, cfg.max_depth,
+                cfg.out_dir, cfg.fetch_batch_size) for s in self.shards])
+            drained = sum(c["n_in"] for c, _ in outs)
+            n_fetched = sum(c["n_fetched"] for c, _ in outs)
+            acks = [f for _, fs in outs for f in fs]
+            if acks:  # candidate delivery barrier before finalize
+                ray.get(acks)
+        else:
+            # huge wave: Ray Data streaming pipeline — drained blocks stay
+            # in the object store (refs, no driver pull); dynamic returns
+            # chunk each actor's drain into ≤batch_size blocks so task
+            # parallelism tracks batch count (fine-grained load balancing
+            # across the cluster) and the streaming executor applies
+            # backpressure to in-flight fetch batches.
+            drain_gens = [s.drain_chunks.options(num_returns="dynamic").remote(
+                              g, cfg.budget_per_host, per_part_cap,
+                              cfg.fetch_batch_size)
+                          for s in self.shards]
+            drains = [ref for dg in ray.get(drain_gens) for ref in dg]
+            if not drains:
+                drained = n_fetched = 0
+            else:
+                process = make_process(self.shards, cfg.num_parts,
+                                       self.num_actors, g, cfg.max_depth,
+                                       cfg.out_dir)
+                counts = (rd.from_arrow_refs(drains)
+                          .map_batches(process, batch_format="pyarrow",
+                                       batch_size=cfg.fetch_batch_size)
+                          .to_pandas())
+                drained = int(counts["n_in"].sum()) if len(counts) else 0
+                n_fetched = int(counts["n_fetched"].sum()) if len(counts) else 0
+        t_pipeline = _time.perf_counter() - t0
         self.fetched_total += n_fetched
         self.storage.append_manifest({"kind": "fetched", "gen": g})
 
         # per-partition finalize: dedup winners -> seen gate -> frontier push
         # (shards fire cross-actor appends and hand us the futures — they
         # must not block on each other)
+        t0 = _time.perf_counter()
         rets = ray.get([s.finalize_gen.remote(cfg.seed) for s in self.shards])
         n_appended = sum(r["appended"] for r in rets)
         n_appended += sum(ray.get([f for r in rets for f in r["append_futs"]]))
+        t_finalize = _time.perf_counter() - t0
         self.appended_total += n_appended
+        self._metric(g, "wall.pipeline_s", t_pipeline)
+        self._metric(g, "wall.finalize_s", t_finalize)
 
         # hot-host skew detection: incremental per-partition counts (the
         # batch image of per-gen groupby(host).count() — north_rule)

@@ -680,6 +680,67 @@ def q_ann_lsh(sf_dir: str):
     return similarity.lsh_topk(ds, qv, k=10, n_bits=6)
 
 
+@_q("q_ngram_jaccard", """
+WITH pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         regexp_split_to_array(trim(a.text), '\\s+') AS ta,
+         regexp_split_to_array(trim(b.text), '\\s+') AS tb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 20 = 0 AND trim(a.text) <> '' AND trim(b.text) <> ''
+),
+sh AS (SELECT doc_a, doc_b,
+         list_distinct([array_to_string(list_slice(ta, i, least(i + 2, len(ta))), ' ')
+                        for i in generate_series(1, greatest(len(ta) - 2, 1))]) AS sha,
+         list_distinct([array_to_string(list_slice(tb, i, least(i + 2, len(tb))), ' ')
+                        for i in generate_series(1, greatest(len(tb) - 2, 1))]) AS shb
+       FROM pairs)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sha, shb)) * 1.0 /
+             len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
+FROM sh
+""")
+def q_ngram_jaccard(sf_dir: str):
+    """Word-3-gram Jaccard similarity of adjacent doc pairs — the exact
+    verify kernel behind MinHash-LSH near-dedup, distributed as a
+    groupby(pair).map_groups with no driver-side loop."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        is_a = d % 20 == 0
+        is_b = d % 20 == 1
+        keep = is_a | is_b
+        pair = np.where(is_a[keep], d[keep], d[keep] - 1).astype(np.int64)
+        return pa.table({"pair_id": pa.array(pair),
+                         "doc_id": pa.array(d[keep]),
+                         "text": t.column("text").filter(pa.array(keep))})
+
+    def jac(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+        if len(g) != 2:
+            return empty
+        g = g.sort_values("doc_id")
+        ta, tb = g["text"].iloc[0], g["text"].iloc[1]
+        if not ta.strip() or not tb.strip():
+            return empty
+        return pd.DataFrame({"doc_a": [g["doc_id"].iloc[0]],
+                             "doc_b": [g["doc_id"].iloc[1]],
+                             "jaccard": [round(dedup.ngram_jaccard(ta, tb, k=3), 6)]})
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .groupby("pair_id").map_groups(jac, batch_format="pandas"))
+
+
+@_q("q_ann_ivf")  # IVF coarse-quantizer ANN — rows-only
+def q_ann_ivf(sf_dir: str):
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = [r for r in ds.take(5) if r["vec_id"] == 0]
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    return similarity.ivf_topk(ds, qv, k=10, nlist=8, nprobe=3)
+
+
 @_q("q_embed_neardup", """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -30,6 +30,11 @@ import pyarrow as pa
 class FetcherPartition:
     def __init__(self, part: int, web: pa.Table, html: pa.Table):
         self.part = part
+        # combine_chunks once: pa.Table.take on a multi-chunk binary column
+        # is ~200x slower than on contiguous buffers (per-chunk gather);
+        # one-time copy in __init__ buys every fetch a zero-copy take.
+        web = web.combine_chunks()
+        html = html.combine_chunks()
         self.web = web
         # url key = http://h{host}.test/p{page} derives from image_id "hHHHH/pPPPPPP"
         ids = web.column("image_id").to_pylist()

@@ -1,0 +1,80 @@
+"""Fused post-drain processing shared by both crawl execution paths.
+
+One generation's per-batch work is: robots-gate -> fetch -> persist fetched
+cell -> extract links -> canonicalize -> priority-score -> in-batch dedup
+(combiner) -> route candidates to seen partitions. The same functions here
+back BOTH physical forms:
+
+- the Ray Data ``map_batches(process)`` pipeline (pipelines/crawl.py) used
+  for huge waves, where streaming execution + backpressure matter, and
+- the fused per-actor path (``ShardHost.run_gen_local``) used for modest
+  waves, where one RPC per actor per generation beats task scheduling.
+
+Reference semantics: cocrawler/parse.py (link extraction),
+cocrawler/urls.py (canonicalize), Crawler.add_url (priority + MaxDepth).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cocrawler_ray import parse, schemas, urls
+from cocrawler_ray.hashing import hash64
+
+
+def extract_and_score(batch: pa.Table, max_depth: int) -> pa.Table:
+    """fetched(+html) batch -> candidate link rows: extract, canonicalize,
+    validity-filter, priority-score (child = parent priority + 1, drop
+    depth>max). Reference: parse.py + urls.py + Crawler.add_url (M4,M1,M8)."""
+    htmls = batch.column("html").to_pylist()
+    page_urls = batch.column("url").to_pylist()
+    src_surts = batch.column("surt").to_pylist()
+    prio = batch.column("priority").to_numpy()
+    depth = batch.column("depth").to_numpy()
+
+    ex = parse.extract_links_batch(htmls, page_urls)
+    res = urls.canonicalize_batch(ex["raw"], ex["base"])
+    keep = res["valid"]
+    si = ex["src_idx"][keep]
+    child_depth = depth[si] + 1
+    keep2 = child_depth <= max_depth
+    si = si[keep2]
+    return pa.table({
+        "src_surt": pa.array([src_surts[i] for i in si], pa.string()),
+        "dst_url": pa.array(res["url"][keep][keep2], pa.string()),
+        "dst_surt": pa.array(res["surt"][keep][keep2], pa.string()),
+        "dst_host": pa.array(res["host"][keep][keep2], pa.string()),
+        "kind": pa.array(ex["kind"][keep][keep2], pa.string()),
+        "priority": pa.array((prio[si] + 1).astype(np.int32)),
+        "depth": pa.array((depth[si] + 1).astype(np.int32)),
+    })
+
+
+def dedup_links_batch(batch: pa.Table) -> pa.Table:
+    """Partial in-batch dedup (combiner) before routing to the seen
+    partitions: keeps the best (priority, src_surt, kind) row per dst_surt
+    within the batch. The per-partition finalize applies the same rule
+    globally."""
+    df = batch.to_pandas()
+    df = df.sort_values(["dst_surt", "priority", "src_surt", "kind"], kind="stable")
+    df = df.drop_duplicates("dst_surt", keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def persist_fetched_cell(storage, fetched: pa.Table, gen: int) -> None:
+    """Write one fetched cell (Lance-shaped Parquet). File name is
+    content-keyed (first surt is unique per batch within a gen) so a task
+    replay overwrites rather than duplicates — idempotent under retries."""
+    cell = schemas.validate(fetched.drop_columns(["html"]), "fetched")
+    first_surt = fetched.column("surt")[0].as_py()
+    suffix = f"{int(hash64([first_surt])[0]) & 0xFFFFFFFF:08x}"
+    part0 = int(fetched.column("part")[0].as_py())
+    storage.write_cell_named(cell, "fetched", gen, f"part={part0:05d}-{suffix}")
+
+
+def links_to_candidates(fetched: pa.Table, max_depth: int) -> pa.Table:
+    """200-rows -> deduped candidate link rows (the combiner output)."""
+    ok = pa.compute.equal(fetched.column("status"), 200)
+    links = extract_and_score(fetched.filter(ok), max_depth)
+    return dedup_links_batch(links)

@@ -5,6 +5,12 @@
 - ``lsh_topk``: the scale path — random-hyperplane LSH bucket keys computed
   per batch; only buckets matching the query's key are scored. Recall<1 by
   design; bucket bits trade recall for compute.
+- ``ivf_topk``: IVF coarse quantizer — k-means centroids trained on a small
+  driver-side sample (one pass, numpy), broadcast via ray.put; per batch,
+  rows are assigned to their nearest centroid and only rows in the query's
+  ``nprobe`` nearest cells are scored. At 100 TB this is the standard
+  scale path: the train sample stays tiny and the scan prunes to
+  nprobe/nlist of the data with zero shuffle.
 """
 
 from __future__ import annotations
@@ -77,4 +83,43 @@ def lsh_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10, n_bits: int = 8
     cand = keyed.map_batches(
         lambda t: t.filter(pa.array(np.isin(t.column("lsh_key").to_numpy(), list(ok_keys)))),
         batch_format="pyarrow")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def train_centroids(sample: np.ndarray, nlist: int, iters: int = 10,
+                    seed: int = 17) -> np.ndarray:
+    """Plain k-means on a normalized sample (cosine == dot after norm)."""
+    X = _norm_rows(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = _norm_rows(C)
+    return C
+
+
+def ivf_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+             nlist: int = 16, nprobe: int = 4, train_rows: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 17) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (see module doc)."""
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in ds.limit(train_rows).take(train_rows)])
+    C = train_centroids(sample, nlist, seed=seed)
+    q = _norm_rows(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+    probe = set(np.argsort(C @ q)[::-1][:nprobe].tolist())
+    cref = ray.put(C)
+
+    def prune(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in t.column(vec_col).to_pylist()]))
+        assign = np.argmax(M @ cents.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, list(probe))))
+
+    cand = ds.map_batches(prune, batch_format="pyarrow")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -70,6 +70,17 @@ class ShardHost:
                 for p in sorted(self.frontier)]
         return pa.concat_tables(tabs)
 
+    def drain_chunks(self, gen: int, budget_per_host: int,
+                     max_rows_per_part: int | None = None,
+                     chunk_rows: int = 512):
+        """Generator form of drain_all for ``num_returns="dynamic"``: yields
+        ≤chunk_rows slices so every fetch batch becomes its own Ray Data
+        block — parallelism tracks batch count, not actor count, and a
+        hot-partition drain can't produce one giant straggler block."""
+        t = self.drain_all(gen, budget_per_host, max_rows_per_part)
+        for off in range(0, t.num_rows, chunk_rows):
+            yield t.slice(off, chunk_rows).combine_chunks()
+
     def append_rows(self, by_part: dict[int, dict[str, np.ndarray]]) -> int:
         return sum(self.frontier[p].append(rows) for p, rows in by_part.items())
 
@@ -78,6 +89,68 @@ class ShardHost:
         for f in self.frontier.values():
             out.update(f.hot_hosts(threshold))
         return out
+
+    # -- fused local generation (one RPC per actor per gen) ------------------
+
+    def run_gen_local(self, gen: int, budget_per_host: int,
+                      max_rows_per_part: int | None, max_depth: int,
+                      out_dir: str, chunk_rows: int) -> tuple[dict, list]:
+        """Process this actor's whole drain locally: robots-gate + fetch
+        (both co-partitioned state held HERE — zero object transfer), persist
+        fetched cells, extract/canonicalize/score, combiner-dedup, route
+        candidates (own partitions direct, peers via fire-and-forget RPC).
+
+        Returns (counts, ack ObjectRefs). The driver barriers on the acks
+        before finalize; peer inboxes drain while other actors still run.
+        Used for modest waves where one RPC per actor beats per-chunk task
+        scheduling; huge waves go through the Ray Data pipeline instead
+        (pipelines/crawl.py module docstring)."""
+        from cocrawler_ray.stages.process import (
+            links_to_candidates, persist_fetched_cell)
+        from cocrawler_ray.storage import Storage
+
+        import time as _time
+
+        storage = Storage(out_dir)
+        t0 = _time.perf_counter()
+        t = self.drain_all(gen, budget_per_host, max_rows_per_part)
+        counts = {"n_in": t.num_rows, "n_allowed": 0, "n_fetched": 0, "n_cand": 0,
+                  "t_drain": _time.perf_counter() - t0, "t_fetch": 0.0,
+                  "t_persist": 0.0, "t_extract": 0.0, "t_route": 0.0}
+        acks: list = []
+        for off in range(0, t.num_rows, chunk_rows):
+            batch = t.slice(off, chunk_rows).combine_chunks()
+            t0 = _time.perf_counter()
+            fetched, n_allowed = self.fetch_gated(batch, gen)
+            counts["t_fetch"] += _time.perf_counter() - t0
+            counts["n_allowed"] += n_allowed
+            if n_allowed == 0 or fetched.num_rows == 0:
+                continue
+            counts["n_fetched"] += fetched.num_rows
+            t0 = _time.perf_counter()
+            persist_fetched_cell(storage, fetched, gen)
+            counts["t_persist"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            links = links_to_candidates(fetched, max_depth)
+            counts["t_extract"] += _time.perf_counter() - t0
+            counts["n_cand"] += links.num_rows
+            if links.num_rows == 0:
+                continue
+            t0 = _time.perf_counter()
+            sparts = surt_partition(links.column("dst_surt").to_pylist(),
+                                    self.num_parts)
+            actor_of = sparts % self.num_actors
+            cols = {c: links.column(c).to_numpy(zero_copy_only=False)
+                    for c in links.column_names}
+            for a in np.unique(actor_of):
+                idx = np.flatnonzero(actor_of == a)
+                sub = {k: v[idx] for k, v in cols.items()}
+                if int(a) == self.actor_id:
+                    self.accept_candidates(sub)
+                else:
+                    acks.append(self.peers[int(a)].accept_candidates.remote(sub))
+            counts["t_route"] += _time.perf_counter() - t0
+        return counts, acks
 
     # -- robots + fetch (fused: one RPC per batch per actor) -----------------
 

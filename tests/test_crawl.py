@@ -107,6 +107,31 @@ def test_url_budget(ray_session, corpus, tmp_path):
     assert 0 < fetched.num_rows <= 17 + 3 * 3
 
 
+def test_crawl_conformance_ray_data_path(ray_session, corpus, tmp_path):
+    """The huge-wave Ray Data pipeline path must produce byte-identical
+    results to the fused per-actor path (they share the same kernels but
+    different physical execution)."""
+    oc = run_oracle(corpus)
+    job = run_engine(corpus, tmp_path, actor_path_max_rows=0)  # force Dataset path
+    fetched = job.fetched_table()
+    assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
+    assert engine_ordering(fetched) == oc.ordering()
+
+
+def test_all_denied_batch(ray_session, corpus, tmp_path):
+    """Regression: a drain block whose rows are ALL robots-denied must not
+    crash the fused process stage (pa.concat_tables([]) guard)."""
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+    web, html, _, seeds, _, _ = corpus
+    deny_all = {synth.host_name(h): "User-agent: *\nDisallow: /\n"
+                for h in range(NUM_HOSTS)}
+    cfg = CrawlConfig(out_dir=str(tmp_path), num_parts=3, budget_per_host=3,
+                      max_depth=4, max_gens=5, seed=SEED, fetch_concurrency=2)
+    job = CrawlJob(cfg, web, html, deny_all)
+    res = job.run(seeds)
+    assert res["fetched"] == 0
+
+
 def test_resume_matches_uninterrupted(ray_session, corpus, tmp_path):
     from cocrawler_ray.pipelines.crawl import CrawlJob
     web, html, robots_bodies, seeds, _, _ = corpus
