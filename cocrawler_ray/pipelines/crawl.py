@@ -120,13 +120,11 @@ def make_process(shards, num_parts: int, num_actors: int,
             # (Dataset path) or barriered by the caller (acks_out path)
             surts = links.column("dst_surt").to_pylist()
             actor_of = surt_partition(surts, num_parts) % num_actors
-            cols = {c: links.column(c).to_numpy(zero_copy_only=False)
-                    for c in links.column_names}
             futs = []
             for a in np.unique(actor_of):
                 idx = np.flatnonzero(actor_of == a)
                 futs.append(shards[int(a)].accept_candidates.remote(
-                    {k: v[idx] for k, v in cols.items()}))
+                    links.take(pa.array(idx, pa.int64()))))
             if acks_out is None:
                 ray.get(futs)
             else:
@@ -149,7 +147,11 @@ class CrawlJob:
         A = cfg.num_actors or max(1, min(K, int(ray.cluster_resources().get("CPU", 8))))
         self.num_actors = A
         spill = str(self.storage.root / "frontier_spill")
-        web_ref, html_ref = ray.put(web), ray.put(web_html)  # ship tables once
+        # ship tables once, as SINGLE-chunk tables: every actor's fetcher
+        # then reads the same plasma buffers zero-copy (multi-chunk tables
+        # would force a per-actor combine_chunks heap copy — A x table size)
+        web_ref = ray.put(web.combine_chunks())
+        html_ref = ray.put(web_html.combine_chunks())
         Shard = ray.remote(ShardHost)
         self.shards = [Shard.remote(a, A, K, robots_bodies, cfg.user_agent,
                                     web_ref, html_ref, cfg.seen_capacity,
@@ -159,6 +161,7 @@ class CrawlJob:
         self.fetched_total = 0
         self.appended_total = 0
         self.gen = 0
+        self._pending_est = 0  # frontier-size estimate (path choice only)
         self.metrics_rows: list[tuple] = []
 
     # -- seeding (seeds.py::expand_seeds -> add_url flow) --------------------
@@ -195,7 +198,9 @@ class CrawlJob:
             by_actor.setdefault(int(p) % self.num_actors, {})[int(p)] = \
                 {k: v[idx] for k, v in rows.items()}
         futs = [self.shards[a].append_rows.remote(bp) for a, bp in by_actor.items()]
-        return sum(ray.get(futs))
+        n = sum(ray.get(futs))
+        self._pending_est += n
+        return n
 
     # -- one generation -----------------------------------------------------
 
@@ -204,9 +209,11 @@ class CrawlJob:
         remaining = None if cfg.max_urls is None else max(0, cfg.max_urls - self.fetched_total)
         if remaining == 0:
             return {"drained": 0, "fetched": 0, "appended": 0}
-        ready = sum(ray.get([s.ready_count.remote() for s in self.shards]))
-        if ready == 0:
-            return {"drained": 0, "fetched": 0, "appended": 0}
+        # pending estimate for execution-path choice (exact emptiness comes
+        # free from the drain itself: zero chunks -> zero drained -> stop).
+        # Row conservation: pending' = pending - drained + appended; both
+        # paths are correct, so a skewed estimate only shifts the switch.
+        ready = self._pending_est
         per_part_cap = cfg.max_rows_per_part_gen
         if remaining is not None:
             cap = (remaining + cfg.num_parts - 1) // cfg.num_parts
@@ -215,16 +222,26 @@ class CrawlJob:
         import time as _time
         t0 = _time.perf_counter()
         if ready <= cfg.actor_path_max_rows:
-            # modest wave: fused per-actor path — each shard drains and
-            # processes its own rows in place (robots/fetch state is
-            # co-partitioned there), ONE RPC per actor per generation.
-            outs = ray.get([s.run_gen_local.remote(
-                g, cfg.budget_per_host, per_part_cap, cfg.max_depth,
-                cfg.out_dir, cfg.fetch_batch_size) for s in self.shards])
-            drained = sum(c["n_in"] for c, _ in outs)
-            n_fetched = sum(c["n_fetched"] for c, _ in outs)
-            acks = [f for _, fs in outs for f in fs]
-            if acks:  # candidate delivery barrier before finalize
+            # modest wave: fused actor path — drain chunks (politeness
+            # applied inside the owning partition), then round-robin them
+            # across ALL warm actors; fetch/robots state is host-agnostic
+            # so a hot partition's chunks spread over the whole pool.
+            drain_gens = [s.drain_chunks.options(num_returns="dynamic").remote(
+                              g, cfg.budget_per_host, per_part_cap,
+                              cfg.fetch_batch_size)
+                          for s in self.shards]
+            chunk_refs = [ref for dg in ray.get(drain_gens) for ref in dg]
+            outs = ray.get([
+                self.shards[i % self.num_actors].process_chunk.remote(
+                    ref, g, cfg.max_depth, cfg.out_dir)
+                for i, ref in enumerate(chunk_refs)])
+            drained = sum(c["n_in"] for c in outs)
+            n_fetched = sum(c["n_fetched"] for c in outs)
+            # candidate exchange: one A x A flush round, then the delivery
+            # barrier before finalize
+            acks = [f for fs in ray.get([s.flush_outbox.remote()
+                                         for s in self.shards]) for f in fs]
+            if acks:
                 ray.get(acks)
         else:
             # huge wave: Ray Data streaming pipeline — drained blocks stay
@@ -258,19 +275,21 @@ class CrawlJob:
         # (shards fire cross-actor appends and hand us the futures — they
         # must not block on each other)
         t0 = _time.perf_counter()
-        rets = ray.get([s.finalize_gen.remote(cfg.seed) for s in self.shards])
+        rets = ray.get([s.finalize_gen.remote(cfg.seed, cfg.hot_host_threshold)
+                        for s in self.shards])
         n_appended = sum(r["appended"] for r in rets)
         n_appended += sum(ray.get([f for r in rets for f in r["append_futs"]]))
         t_finalize = _time.perf_counter() - t0
         self.appended_total += n_appended
+        self._pending_est = max(0, self._pending_est - drained) + n_appended
         self._metric(g, "wall.pipeline_s", t_pipeline)
         self._metric(g, "wall.finalize_s", t_finalize)
 
         # hot-host skew detection: incremental per-partition counts (the
-        # batch image of per-gen groupby(host).count() — north_rule)
-        for hh in ray.get([s.hot_hosts.remote(cfg.hot_host_threshold)
-                           for s in self.shards]):
-            for h, c in hh.items():
+        # batch image of per-gen groupby(host).count() — north_rule),
+        # piggybacked on the finalize round (no extra barrier)
+        for r in rets:
+            for h, c in r["hot_hosts"].items():
                 self._metric(g, f"hot_host.{h}", float(c))
 
         self._metric(g, "fetched", float(n_fetched))
@@ -349,6 +368,8 @@ class CrawlJob:
             self.fetched_total = int(recs[-1].get("fetched_total", 0))
             self.appended_total = int(recs[-1].get("appended_total", 0))
         self.gen = g + 1
+        self._pending_est = sum(
+            ray.get([s.ready_count.remote() for s in self.shards]))
         return self.gen
 
     # -- conformance views --------------------------------------------------

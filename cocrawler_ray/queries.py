@@ -31,6 +31,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from cocrawler_ray import facet, parse, seeds, urls
 from cocrawler_ray.stages import dedup, joins, similarity, text as textops
+from cocrawler_ray.stages.agg import partial_groupby_agg
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -307,11 +308,9 @@ def q_fetch_stats(sf_dir: str):
                            for e in et], dtype=np.int32)
         return pa.table({"status": pa.array(status), "value": batch.column("value")})
 
-    out = (ds.map_batches(f, batch_format="pyarrow")
-           .groupby("status")
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-           .to_pandas())
-    out["n"] = out["n"].astype(np.int64)
+    out = partial_groupby_agg(
+        ds.map_batches(f, batch_format="pyarrow"), ["status"],
+        {"n": (None, "count"), "sum_value": ("value", "sum")})
     out["sum_value"] = out["sum_value"].round(2)
     return out
 
@@ -326,12 +325,10 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM events GROUP BY event_type
 """)
 def q_global_counters(sf_dir: str):
-    out = (read(sf_dir, "events", ["event_type", "value"])
-           .groupby("event_type")
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"),
-                      Max("value", alias_name="max_value"))
-           .to_pandas())
-    out["n"] = out["n"].astype(np.int64)
+    out = partial_groupby_agg(
+        read(sf_dir, "events", ["event_type", "value"]), ["event_type"],
+        {"n": (None, "count"), "sum_value": ("value", "sum"),
+         "max_value": ("value", "max")})
     out["sum_value"] = out["sum_value"].round(2)
     out["max_value"] = out["max_value"].round(2)
     return out
@@ -340,10 +337,8 @@ def q_global_counters(sf_dir: str):
 @_q("q_host_counts",
     "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id")
 def q_host_counts(sf_dir: str):
-    out = (read(sf_dir, "events", ["user_id"])
-           .groupby("user_id").aggregate(Count(alias_name="n")).to_pandas())
-    out["n"] = out["n"].astype(np.int64)
-    return out
+    return partial_groupby_agg(read(sf_dir, "events", ["user_id"]),
+                               ["user_id"], {"n": (None, "count")})
 
 
 @_q("q_latency_summary", """
@@ -352,12 +347,10 @@ SELECT event_type, ROUND(avg(value), 6) AS avg_value,
 FROM events GROUP BY event_type
 """)
 def q_latency_summary(sf_dir: str):
-    out = (read(sf_dir, "events", ["event_type", "value"])
-           .groupby("event_type")
-           .aggregate(Mean("value", alias_name="avg_value"),
-                      Min("value", alias_name="min_value"),
-                      Max("value", alias_name="max_value"))
-           .to_pandas())
+    out = partial_groupby_agg(
+        read(sf_dir, "events", ["event_type", "value"]), ["event_type"],
+        {"avg_value": ("value", "mean"), "min_value": ("value", "min"),
+         "max_value": ("value", "max")})
     out["avg_value"] = out["avg_value"].round(6)
     out["min_value"] = out["min_value"].round(2)
     out["max_value"] = out["max_value"].round(2)
@@ -397,10 +390,8 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
 GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
 """)
 def q_topk_hosts(sf_dir: str):
-    out = (read(sf_dir, "events", ["user_id"])
-           .groupby("user_id").aggregate(Count(alias_name="n"))
-           .to_pandas())
-    out["n"] = out["n"].astype(np.int64)
+    out = partial_groupby_agg(read(sf_dir, "events", ["user_id"]),
+                              ["user_id"], {"n": (None, "count")})
     return (out.sort_values(["n", "user_id"], ascending=[False, True])
             .head(10).reset_index(drop=True))
 
@@ -514,12 +505,17 @@ SELECT user_id, event_type, event_id, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
 """)
 def q_dedup_first(sf_dir: str):
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("event_id", kind="stable").head(1)
+    # first-by-id per group is associative -> combiner: each block keeps its
+    # local winner, the final combine runs over ~groups x blocks rows only
+    # (never shuffles the full table). D1's batch form at scale.
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values("event_id", kind="stable")
+                  .drop_duplicates(["user_id", "event_type"], keep="first"))
 
-    return (read(sf_dir, "events", ["user_id", "event_type", "event_id", "value"])
-            .groupby(["user_id", "event_type"])
-            .map_groups(first, batch_format="pandas"))
+    parts = (read(sf_dir, "events", ["user_id", "event_type", "event_id", "value"])
+             .map_batches(local_first, batch_format="pandas")
+             .to_pandas())
+    return local_first(parts).reset_index(drop=True)
 
 
 @_q("q_union_links", """
@@ -553,17 +549,16 @@ def q_pricing_summary(sf_dir: str):
         disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         return batch.append_column("disc_price", disc)
 
-    out = (ds.map_batches(add_disc, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Mean("l_quantity", alias_name="avg_qty"),
-                      Count(alias_name="n"))
-           .to_pandas())
+    out = partial_groupby_agg(
+        ds.map_batches(add_disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_base_price": ("l_extendedprice", "sum"),
+         "sum_disc_price": ("disc_price", "sum"),
+         "avg_qty": ("l_quantity", "mean"),
+         "n": (None, "count")})
     for c, r in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 6)]:
         out[c] = out[c].round(r)
-    out["n"] = out["n"].astype(np.int64)
     return out
 
 
@@ -626,9 +621,8 @@ def q_fingerprint(sf_dir: str):
 @_q("q_minhash_dedup")  # MinHash-LSH candidates + Jaccard verify — rows-only
 def q_minhash_dedup(sf_dir: str):
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    texts = dict(zip(*[ds.to_pandas()[c] for c in ("doc_id", "text")]))
     return dedup.minhash_lsh_pairs(ds, "doc_id", "text", num_perm=64, bands=16,
-                                   verify_threshold=0.5, texts_for_verify=texts)
+                                   verify_threshold=0.5)
 
 
 @_q("q_simhash")  # rows-only

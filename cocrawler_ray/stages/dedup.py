@@ -34,12 +34,24 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str = "text") -> rd.Dataset:
-    """Keep the min-id row per identical content (first-wins under id order)."""
+    """Keep the min-id row per identical content (first-wins under id order).
+
+    Combiner shape: min-by-id is associative, so each block drops its local
+    duplicates first and only the survivors shuffle — the digest groupby
+    then touches |distinct| rows, not |corpus| rows. At 100 TB the hash +
+    local dedup pass streams; only (digest, winner-row) survivors hit the
+    exchange. Same first-wins rule as the crawl loop's link dedup
+    (stages/process.py::dedup_links_batch)."""
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(id_col, kind="stable")
+                  .drop_duplicates("digest", keep="first"))
+
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col, kind="stable").head(1)
 
     return (ds.map_batches(content_hash_batch, fn_kwargs=dict(text_col=text_col),
                            batch_format="pyarrow")
+              .map_batches(local_first, batch_format="pandas")
               .groupby("digest")
               .map_groups(first, batch_format="pandas"))
 
@@ -95,10 +107,15 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
-                      verify_threshold: float | None = None,
-                      texts_for_verify: dict | None = None) -> pd.DataFrame:
+                      verify_threshold: float | None = None) -> pd.DataFrame:
     """Candidate near-dup pairs via MinHash banding; optional exact-Jaccard
-    verification against provided texts (small result sets only)."""
+    verification.
+
+    Scale shape: the banding pass streams (map_batches), the bucket groupby
+    shuffles only (id, band) rows — never text — and the verify step pulls
+    text ONLY for candidate-pair ids (a second pruned streaming pass over
+    ``ds``), so nothing materializes the corpus on the driver. Candidate
+    count is assumed << corpus size (that's what LSH banding is for)."""
     band_rows = ds.map_batches(
         minhash_bands_batch,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, num_perm=num_perm,
@@ -109,8 +126,17 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
                          batch_format="pandas")
              .to_pandas())
     pairs = pairs.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    if verify_threshold is not None and texts_for_verify is not None and len(pairs):
-        jac = np.array([ngram_jaccard(texts_for_verify[a], texts_for_verify[b], k)
+    if verify_threshold is not None and len(pairs):
+        cand_ids = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
+                                             pairs["doc_b"].to_numpy()]))
+        id_set = set(cand_ids.tolist())
+        texts_tab = (ds.map_batches(
+            lambda t: t.filter(pa.array(np.isin(t.column(id_col).to_numpy(),
+                                                cand_ids))),
+            batch_format="pyarrow").to_pandas())
+        texts = dict(zip(texts_tab[id_col], texts_tab[text_col]))
+        assert id_set <= set(texts), "candidate ids missing from corpus"
+        jac = np.array([ngram_jaccard(texts[a], texts[b], k)
                         for a, b in zip(pairs["doc_a"], pairs["doc_b"])])
         pairs = pairs.assign(jaccard=np.round(jac, 6))
         pairs = pairs[pairs["jaccard"] >= verify_threshold].reset_index(drop=True)

@@ -30,11 +30,15 @@ import pyarrow as pa
 class FetcherPartition:
     def __init__(self, part: int, web: pa.Table, html: pa.Table):
         self.part = part
-        # combine_chunks once: pa.Table.take on a multi-chunk binary column
-        # is ~200x slower than on contiguous buffers (per-chunk gather);
-        # one-time copy in __init__ buys every fetch a zero-copy take.
-        web = web.combine_chunks()
-        html = html.combine_chunks()
+        # contiguous tables: pa.Table.take on a multi-chunk binary column is
+        # ~200x slower than on contiguous buffers (per-chunk gather). The
+        # driver broadcasts single-chunk tables (CrawlJob combines before
+        # ray.put), making this a zero-copy view of the shared plasma
+        # buffers; the combine here is a safety net for other callers.
+        if any(web.column(c).num_chunks > 1 for c in web.column_names):
+            web = web.combine_chunks()
+        if any(html.column(c).num_chunks > 1 for c in html.column_names):
+            html = html.combine_chunks()
         self.web = web
         # url key = http://h{host}.test/p{page} derives from image_id "hHHHH/pPPPPPP"
         ids = web.column("image_id").to_pylist()

@@ -117,15 +117,15 @@ class SeenPartition:
         self.exact = exact
         self.shadow: set[int] = set()
         self.cuckoo = CuckooFilter(capacity)
-        self._cand: list[dict[str, np.ndarray]] = []
+        self._cand: list[pa.Table] = []
 
     # -- in-generation candidate flow (dedup + seen gate) --------------------
 
-    def accept_candidates(self, cols: dict[str, np.ndarray]) -> int:
+    def accept_candidates(self, links: pa.Table) -> int:
         """Buffer candidate link rows (dst_surt, dst_url, dst_host, priority,
         depth, src_surt, kind) for the current generation."""
-        self._cand.append(cols)
-        return len(cols["dst_surt"])
+        self._cand.append(links)
+        return links.num_rows
 
     def finalize_local(self, seed: int) -> dict:
         """Dedup buffered candidates (winner = min (priority, src_surt, kind)
@@ -137,8 +137,7 @@ class SeenPartition:
 
         if not self._cand:
             return {"candidates": 0, "new": 0, "rows": None}
-        df = pd.DataFrame({k: np.concatenate([c[k] for c in self._cand])
-                           for k in self._cand[0]})
+        df = pa.concat_tables(self._cand).to_pandas()
         self._cand.clear()
         n_cand = len(df)
         df = (df.sort_values(["dst_surt", "priority", "src_surt", "kind"], kind="stable")

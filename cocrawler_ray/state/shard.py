@@ -55,6 +55,7 @@ class ShardHost:
         self.robots = RobotsPartition(actor_id, robots_bodies, 10, user_agent)
         self.fetcher = FetcherPartition(actor_id, web, web_html)
         self.peers: list | None = None
+        self._outbox: dict[int, list] = {}  # target actor -> candidate bufs
 
     def set_peers(self, handles: list) -> None:
         self.peers = handles
@@ -90,67 +91,65 @@ class ShardHost:
             out.update(f.hot_hosts(threshold))
         return out
 
-    # -- fused local generation (one RPC per actor per gen) ------------------
+    # -- fused chunk processing (load-balanced across ALL actors) ------------
 
-    def run_gen_local(self, gen: int, budget_per_host: int,
-                      max_rows_per_part: int | None, max_depth: int,
-                      out_dir: str, chunk_rows: int) -> tuple[dict, list]:
-        """Process this actor's whole drain locally: robots-gate + fetch
-        (both co-partitioned state held HERE — zero object transfer), persist
-        fetched cells, extract/canonicalize/score, combiner-dedup, route
-        candidates (own partitions direct, peers via fire-and-forget RPC).
+    def process_chunk(self, chunk: pa.Table, gen: int, max_depth: int,
+                      out_dir: str) -> dict:
+        """Process one politeness-gated drain chunk end-to-end on THIS
+        actor: robots-gate + fetch + persist + extract/canonicalize/score +
+        combiner-dedup; candidates are BUFFERED in a per-target outbox
+        (no RPC here — ``flush_outbox`` exchanges them once per generation).
 
-        Returns (counts, ack ObjectRefs). The driver barriers on the acks
-        before finalize; peer inboxes drain while other actors still run.
-        Used for modest waves where one RPC per actor beats per-chunk task
-        scheduling; huge waves go through the Ray Data pipeline instead
-        (pipelines/crawl.py module docstring)."""
+        Any actor can process any chunk: robots rules and the fetch backend
+        are host-agnostic replicas (a real crawler's fetchers can hit any
+        URL); only frontier/seen state is partition-affine, and candidates
+        are routed there by hash. The driver round-robins chunks across the
+        pool, so a hot partition's drain spreads over every actor instead
+        of serializing on its owner (north_rule hot-host skew handling,
+        fused-path form)."""
         from cocrawler_ray.stages.process import (
             links_to_candidates, persist_fetched_cell)
         from cocrawler_ray.storage import Storage
 
-        import time as _time
-
         storage = Storage(out_dir)
-        t0 = _time.perf_counter()
-        t = self.drain_all(gen, budget_per_host, max_rows_per_part)
-        counts = {"n_in": t.num_rows, "n_allowed": 0, "n_fetched": 0, "n_cand": 0,
-                  "t_drain": _time.perf_counter() - t0, "t_fetch": 0.0,
-                  "t_persist": 0.0, "t_extract": 0.0, "t_route": 0.0}
+        counts = {"n_in": chunk.num_rows, "n_allowed": 0, "n_fetched": 0,
+                  "n_cand": 0}
+        fetched, n_allowed = self.fetch_gated(chunk, gen)
+        counts["n_allowed"] = n_allowed
+        if n_allowed == 0 or fetched.num_rows == 0:
+            return counts
+        counts["n_fetched"] = fetched.num_rows
+        persist_fetched_cell(storage, fetched, gen)
+        links = links_to_candidates(fetched, max_depth)
+        counts["n_cand"] = links.num_rows
+        if links.num_rows == 0:
+            return counts
+        sparts = surt_partition(links.column("dst_surt").to_pylist(),
+                                self.num_parts)
+        actor_of = sparts % self.num_actors
+        for a in np.unique(actor_of):
+            idx = np.flatnonzero(actor_of == a)
+            self._outbox.setdefault(int(a), []).append(
+                links.take(pa.array(idx, pa.int64())))
+        return counts
+
+    def flush_outbox(self) -> list:
+        """One exchange round per generation: concatenate this actor's
+        buffered candidates per target and send ONE accept_candidates RPC
+        to each peer (own-target delivered locally). Message count per gen
+        is thus A x A regardless of chunk count — per-chunk routing sent
+        ~chunks x A tiny messages whose fixed handling cost serialized the
+        single-threaded actors and inverted scaling. Returns ack ObjectRefs
+        for the driver to barrier on before finalize."""
         acks: list = []
-        for off in range(0, t.num_rows, chunk_rows):
-            batch = t.slice(off, chunk_rows).combine_chunks()
-            t0 = _time.perf_counter()
-            fetched, n_allowed = self.fetch_gated(batch, gen)
-            counts["t_fetch"] += _time.perf_counter() - t0
-            counts["n_allowed"] += n_allowed
-            if n_allowed == 0 or fetched.num_rows == 0:
-                continue
-            counts["n_fetched"] += fetched.num_rows
-            t0 = _time.perf_counter()
-            persist_fetched_cell(storage, fetched, gen)
-            counts["t_persist"] += _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-            links = links_to_candidates(fetched, max_depth)
-            counts["t_extract"] += _time.perf_counter() - t0
-            counts["n_cand"] += links.num_rows
-            if links.num_rows == 0:
-                continue
-            t0 = _time.perf_counter()
-            sparts = surt_partition(links.column("dst_surt").to_pylist(),
-                                    self.num_parts)
-            actor_of = sparts % self.num_actors
-            cols = {c: links.column(c).to_numpy(zero_copy_only=False)
-                    for c in links.column_names}
-            for a in np.unique(actor_of):
-                idx = np.flatnonzero(actor_of == a)
-                sub = {k: v[idx] for k, v in cols.items()}
-                if int(a) == self.actor_id:
-                    self.accept_candidates(sub)
-                else:
-                    acks.append(self.peers[int(a)].accept_candidates.remote(sub))
-            counts["t_route"] += _time.perf_counter() - t0
-        return counts, acks
+        for a, bufs in self._outbox.items():
+            merged = pa.concat_tables(bufs) if len(bufs) > 1 else bufs[0]
+            if a == self.actor_id:
+                self.accept_candidates(merged)
+            else:
+                acks.append(self.peers[a].accept_candidates.remote(merged))
+        self._outbox = {}
+        return acks
 
     # -- robots + fetch (fused: one RPC per batch per actor) -----------------
 
@@ -176,25 +175,33 @@ class ShardHost:
             new[idx] = self.seen[int(p)].check_and_add(keys[idx])
         return new
 
-    def accept_candidates(self, cols: dict[str, np.ndarray]) -> int:
-        """Buffer candidate links for this actor's surt partitions."""
-        sparts = surt_partition(cols["dst_surt"], self.num_parts)
+    def accept_candidates(self, links: pa.Table) -> int:
+        """Buffer candidate links for this actor's surt partitions. Arrow
+        tables end-to-end: string columns cross the wire as contiguous
+        buffers — a dict of object-dtype numpy arrays pickled every Python
+        string individually, which dominated exchange CPU at high A."""
+        sparts = surt_partition(links.column("dst_surt").to_pylist(),
+                                self.num_parts)
         n = 0
         for p in np.unique(sparts):
             idx = np.flatnonzero(sparts == p)
             n += self.seen[int(p)].accept_candidates(
-                {k: v[idx] for k, v in cols.items()})
+                links.take(pa.array(idx, pa.int64())))
         return n
 
-    def finalize_gen(self, seed: int) -> dict:
+    def finalize_gen(self, seed: int, hot_host_threshold: int | None = None) -> dict:
         """Per owned seen-partition: winner dedup + seen gate; then push
         survivors to peer actors grouped by hash(host)%K partition.
 
         MUST NOT block on peers (every shard finalizes concurrently and
         peer appends are circular — blocking here deadlocks the pool), so
         remote appends are fired and their ObjectRefs returned for the
-        driver to collect."""
-        totals = {"candidates": 0, "new": 0, "appended": 0, "append_futs": []}
+        driver to collect. Piggybacks the per-gen hot-host counts (skew
+        metric) so the driver needs no extra barrier round; cross-actor
+        appends still in flight may be slightly undercounted — advisory."""
+        totals = {"candidates": 0, "new": 0, "appended": 0, "append_futs": [],
+                  "hot_hosts": (self.hot_hosts(hot_host_threshold)
+                                if hot_host_threshold is not None else {})}
         rows_list = []
         for p in sorted(self.seen):
             res = self.seen[p].finalize_local(seed)

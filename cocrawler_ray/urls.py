@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import html
 import re
+from functools import lru_cache
 from urllib.parse import urljoin, urlsplit
 
 import numpy as np
@@ -64,7 +65,8 @@ def clean_link_text(raw: str) -> str:
     if "&" in s:
         s = html.unescape(s)
     # embedded newlines/tabs inside URLs are dropped, runs of spaces removed
-    s = _CTRL.sub(lambda m: "", s)
+    if _CTRL.search(s):
+        s = _CTRL.sub("", s)
     return s
 
 
@@ -129,8 +131,13 @@ def canonicalize(raw: str, base: str | None = None) -> Canonical | None:
     s = clean_link_text(raw)
     if not s:
         return None
-    if base and "://" not in s.split("?", 1)[0].split("#", 1)[0][:16]:
-        # relative (or scheme-relative //host/...) — resolve against base
+    if base is not None and s.startswith("/") and not s.startswith("//"):
+        # root-relative — the dominant link shape; skip the urllib urljoin
+        # stack (urlparse+urlunsplit ≈ 40% of canonicalize time)
+        prefix = _base_origin(base)
+        s = prefix + s if prefix else urljoin(base, s)
+    elif base and "://" not in s.split("?", 1)[0].split("#", 1)[0][:16]:
+        # other relative (or scheme-relative //host/...) — full resolve
         s = urljoin(base, s)
     if len(s) > MAX_URL_LEN:
         return None
@@ -163,7 +170,10 @@ def canonicalize(raw: str, base: str | None = None) -> Canonical | None:
 
     if port == "" or port == DEFAULT_PORTS.get(scheme):
         port = None
-    path = _pct_norm(remove_dot_segments(path))
+    if "/." in path:  # "." / ".." segments only — skip the split/join else
+        path = remove_dot_segments(path)
+    if "%" in path:
+        path = _pct_norm(path)
     query = _pct_norm(query) if query else None
 
     netloc = host if port is None else f"{host}:{port}"
@@ -181,20 +191,38 @@ def canonicalize(raw: str, base: str | None = None) -> Canonical | None:
     )
 
 
-def make_surt(host: str, port: str | None, path: str, query: str | None) -> str:
-    """SURT key: com,example)/path?query — scheme-free, www-stripped."""
+@lru_cache(maxsize=1 << 16)
+def _base_origin(base: str) -> str | None:
+    """scheme://host[:port] prefix of a simple base URL (None = not simple)."""
+    m = _FAST.match(base)
+    if m is None:
+        return None
+    port = m.group("port")
+    origin = m.group("scheme") + "://" + m.group("host")
+    return origin + ":" + port if port else origin
+
+
+@lru_cache(maxsize=1 << 16)
+def _surt_prefix(host: str, port: str | None) -> str:
+    """Reversed-label host part of the SURT key (hosts repeat heavily)."""
     labels = host.split(".")
     if labels and labels[0] == "www":
         labels = labels[1:] or labels
     rev = ",".join(reversed(labels))
     if port is not None:
         rev += ":" + port
-    s = rev + ")" + path
+    return rev
+
+
+def make_surt(host: str, port: str | None, path: str, query: str | None) -> str:
+    """SURT key: com,example)/path?query — scheme-free, www-stripped."""
+    s = _surt_prefix(host, port) + ")" + path
     if query:
         s += "?" + query
     return s
 
 
+@lru_cache(maxsize=1 << 16)
 def registered_domain(host: str) -> str:
     """Two-label heuristic with common-2LD list (tldextract stand-in)."""
     labels = host.split(".")
