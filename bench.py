@@ -40,14 +40,20 @@ REPO = Path(__file__).resolve().parent
 CORPUS_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "400"))
 CORPUS_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
 CORPUS_SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200"))
+CORPUS_OUTDEG = int(os.environ.get("GRAFT_BENCH_OUTDEG", "8"))
+CORPUS_FILLER = int(os.environ.get("GRAFT_BENCH_FILLER", "0"))
 CORPUS_SEED = 42
 
-# --scaling corpus: 10x the default so per-generation work dominates the
-# fixed barrier/scheduling cost — at 40k pages a 32-CPU run is overhead-
-# bound and scaling looks flat no matter how parallel the engine is.
+# --scaling corpus: 10x the pages AND realistic per-page weight (out-degree
+# 24, ~32 KB of prose around the anchors). The default 2 KB/4-link pages
+# finish so fast that per-generation fixed costs dominate any CPU count and
+# scaling looks flat; real crawl pages are tens of KB with dozens of links,
+# which is also what makes the workload compute-dominated.
 SCALE_HOSTS = int(os.environ.get("GRAFT_SCALE_HOSTS", "2000"))
 SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", "400000"))
 SCALE_SEEDS = int(os.environ.get("GRAFT_SCALE_SEEDS", "2000"))
+SCALE_OUTDEG = int(os.environ.get("GRAFT_SCALE_OUTDEG", "24"))
+SCALE_FILLER = int(os.environ.get("GRAFT_SCALE_FILLER", "32768"))
 
 # queries benchmarked over $GRAFT_SF_DIR (one per operator family)
 BENCH_QUERIES = [
@@ -82,9 +88,9 @@ def init_ray(num_cpus: int) -> None:
 
 
 def corpus_dir() -> Path:
-    return Path(os.environ.get(
-        "GRAFT_BENCH_CORPUS",
-        f"/tmp/cocrawler_bench_corpus_{CORPUS_HOSTS}x{CORPUS_PAGES}_s{CORPUS_SEED}"))
+    tag = f"{CORPUS_HOSTS}x{CORPUS_PAGES}_s{CORPUS_SEED}_d{CORPUS_OUTDEG}_f{CORPUS_FILLER}"
+    return Path(os.environ.get("GRAFT_BENCH_CORPUS",
+                               f"/tmp/cocrawler_bench_corpus_{tag}"))
 
 
 def ensure_corpus() -> Path:
@@ -95,7 +101,8 @@ def ensure_corpus() -> Path:
         return d
     from cocrawler_ray import synth
 
-    synth.write_web_dataset(str(d), CORPUS_HOSTS, CORPUS_PAGES, seed=CORPUS_SEED)
+    synth.write_web_dataset(str(d), CORPUS_HOSTS, CORPUS_PAGES, seed=CORPUS_SEED,
+                            out_deg_max=CORPUS_OUTDEG, filler=CORPUS_FILLER)
     done.write_text("ok")
     return d
 
@@ -141,6 +148,8 @@ def run_crawl(num_cpus: int, out_dir: str) -> dict:
     t0 = time.perf_counter()
     res = job.run(seeds)
     wall = time.perf_counter() - t0
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)  # ~1.5 GB of fetched cells per run
     return {
         "pages": res["fetched"],
         "appends": res["appended"],
@@ -221,7 +230,9 @@ def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
     env = dict(os.environ,
                GRAFT_BENCH_HOSTS=str(SCALE_HOSTS),
                GRAFT_BENCH_PAGES=str(SCALE_PAGES),
-               GRAFT_BENCH_SEEDS=str(SCALE_SEEDS))
+               GRAFT_BENCH_SEEDS=str(SCALE_SEEDS),
+               GRAFT_BENCH_OUTDEG=str(SCALE_OUTDEG),
+               GRAFT_BENCH_FILLER=str(SCALE_FILLER))
     env.pop("GRAFT_BENCH_CORPUS", None)
     # pre-generate the corpus so neither child pays generation cost
     gen = subprocess.run(

@@ -134,6 +134,21 @@ def make_process(shards, num_parts: int, num_actors: int,
     return process
 
 
+def _contiguous(t: pa.Table) -> pa.Table:
+    """One chunk per column, with 64-bit offsets for var-length columns so
+    arbitrarily large tables CAN be single-chunk (int32 offsets cap a
+    string/binary chunk at 2 GiB)."""
+    fields = []
+    for f in t.schema:
+        if pa.types.is_string(f.type):
+            fields.append(pa.field(f.name, pa.large_string()))
+        elif pa.types.is_binary(f.type):
+            fields.append(pa.field(f.name, pa.large_binary()))
+        else:
+            fields.append(f)
+    return t.cast(pa.schema(fields)).combine_chunks()
+
+
 class CrawlJob:
     """Owns the ShardHost actor pool + storage; runs generations until the
     frontier drains or budgets hit. Does NOT call ray.init (driver owns the
@@ -149,9 +164,12 @@ class CrawlJob:
         spill = str(self.storage.root / "frontier_spill")
         # ship tables once, as SINGLE-chunk tables: every actor's fetcher
         # then reads the same plasma buffers zero-copy (multi-chunk tables
-        # would force a per-actor combine_chunks heap copy — A x table size)
-        web_ref = ray.put(web.combine_chunks())
-        html_ref = ray.put(web_html.combine_chunks())
+        # would force a per-actor combine_chunks heap copy — A x table size).
+        # 32-bit offset columns are upgraded to large_* first: a >2 GiB
+        # string/binary column cannot combine into one chunk otherwise, and
+        # the per-actor fallback copy would OOM the pool.
+        web_ref = ray.put(_contiguous(web))
+        html_ref = ray.put(_contiguous(web_html))
         Shard = ray.remote(ShardHost)
         self.shards = [Shard.remote(a, A, K, robots_bodies, cfg.user_agent,
                                     web_ref, html_ref, cfg.seen_capacity,
@@ -371,6 +389,32 @@ class CrawlJob:
         self._pending_est = sum(
             ray.get([s.ready_count.remote() for s in self.shards]))
         return self.gen
+
+    # -- log sinks (SURVEY §2.1 S4/S5: crawllog / robots-log JSON lines) ----
+
+    def write_logs(self) -> dict[str, str]:
+        """Export the side-channel logs the reference writes per fetch:
+        crawllog (url, status, timings, sizes — Crawler.fetch_and_process
+        jsonl) and robotslog (per-host decision counts). Batch image: a
+        streaming projection of the fetched table written as JSON — no
+        driver materialization."""
+        out = {}
+        files = self.storage.table_files("fetched")
+        if files:
+            crawllog_dir = str(self.storage.root / "crawllog")
+            (rd.read_parquet(files,
+                             columns=["url", "host", "status", "gen",
+                                      "fetch_ms", "digest"])
+               .write_json(crawllog_dir))
+            out["crawllog"] = crawllog_dir
+        robots_counts = ray.get([s.robots_stats.remote() for s in self.shards])
+        robotslog = self.storage.root / "robotslog.jsonl"
+        import json as _json
+        with open(robotslog, "w") as fh:
+            for rec in robots_counts:
+                fh.write(_json.dumps(rec) + "\n")
+        out["robotslog"] = str(robotslog)
+        return out
 
     # -- conformance views --------------------------------------------------
 

@@ -674,6 +674,55 @@ def q_ann_lsh(sf_dir: str):
     return similarity.lsh_topk(ds, qv, k=10, n_bits=6)
 
 
+@_q("q_content_gate", """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS m,
+         CASE doc_id % 4 WHEN 0 THEN '<meta charset="iso-8859-1">' || text
+                         ELSE text END AS body
+  FROM documents WHERE doc_id % 4 <> 2)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+       substring(body, 1, 300) AS text,
+       length(body) > 300 AS truncated
+FROM d
+""")
+def q_content_gate(sf_dir: str):
+    """M6 content gate: text/html filter + header/meta charset resolution +
+    MaxPageSize truncation, run by the REAL operator over bodies constructed
+    from the documents table (oracle states the expectation analytically)."""
+    from cocrawler_ray.stages.content import content_gate_batch
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        cts, bodies = [], []
+        for d, t in zip(ids, texts):
+            m = d % 4
+            if m == 0:
+                cts.append("text/html")  # charset via meta sniff
+                bodies.append(('<meta charset="iso-8859-1">' + t).encode("utf-8"))
+            elif m == 1:
+                cts.append("text/html; charset=utf-8")
+                bodies.append(t.encode("utf-8"))
+            elif m == 2:
+                cts.append("application/pdf")  # gated out
+                bodies.append(t.encode("utf-8"))
+            else:
+                cts.append("text/html")  # default charset
+                bodies.append(t.encode("utf-8"))
+        res = content_gate_batch(cts, bodies, max_size=300)
+        k = res["keep"]
+        return pa.table({
+            "doc_id": pa.array(ids[k]),
+            "charset": pa.array(res["charset"][k], pa.string()),
+            "text": pa.array(res["text"][k], pa.string()),
+            "truncated": pa.array(res["truncated"][k]),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 @_q("q_ngram_jaccard", """
 WITH pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -756,4 +805,34 @@ def q_image_decode_stats(sf_dir: str):
     web, _ = synth.gen_web_tables(num_hosts=4, num_pages=64, seed=42)
     return (rd.from_arrow(web)
             .map_batches(ImageDecodeStats, batch_format="pyarrow", batch_size=16,
+                         concurrency=2))
+
+
+@_q("q_image_resize")  # actor-pool resize stage — rows-only
+def q_image_resize(sf_dir: str):
+    from cocrawler_ray import synth
+    from cocrawler_ray.stages.multimodal import ImageResize
+    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=64, seed=42)
+    return (rd.from_arrow(web)
+            .map_batches(ImageResize, batch_format="pyarrow", batch_size=16,
+                         concurrency=2))
+
+
+@_q("q_frame_sample")  # video frame-sampling plumbing (stub decoder) — rows-only
+def q_frame_sample(sf_dir: str):
+    from cocrawler_ray import synth
+    from cocrawler_ray.stages.multimodal import FrameSample
+    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=32, seed=42)
+    return (rd.from_arrow(web)
+            .map_batches(FrameSample, batch_format="pyarrow", batch_size=8,
+                         concurrency=2))
+
+
+@_q("q_audio_features")  # audio feature plumbing (stub DSP) — rows-only
+def q_audio_features(sf_dir: str):
+    from cocrawler_ray import synth
+    from cocrawler_ray.stages.multimodal import AudioFeatures
+    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=32, seed=42)
+    return (rd.from_arrow(web)
+            .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
                          concurrency=2))

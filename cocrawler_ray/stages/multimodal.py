@@ -98,6 +98,34 @@ class ImageResize:
         })
 
 
+class AudioFeatures:
+    """Audio feature-extraction stub: real Ray plumbing, fake DSP.
+
+    Emits fixed-size 'spectral' features as deterministic windowed byte
+    statistics — replace ``_features`` with librosa/torchaudio outside the
+    sandbox. State (window plan) built once per actor."""
+
+    def __init__(self, n_windows: int = 8):
+        self.n_windows = n_windows
+
+    def _features(self, data: bytes) -> np.ndarray:
+        if not data:
+            return np.zeros(self.n_windows, dtype=np.float32)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        pads = (-len(arr)) % self.n_windows
+        if pads:
+            arr = np.concatenate([arr, np.zeros(pads, dtype=np.uint8)])
+        return arr.reshape(self.n_windows, -1).mean(axis=1).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(d) for d in batch.column("bytes").to_pylist()]
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32())),
+        })
+
+
 class FrameSample:
     """Video frame-sampling stub: real Ray plumbing, fake decoder.
 

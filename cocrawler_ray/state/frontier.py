@@ -9,37 +9,58 @@ host per generation**, so a hot host's surplus stays burrowed to the next
 generation — the batch-mode image of the reference's wall-clock ratelimit
 (the mapping is documented here as required by SURVEY §7 hard part (c)).
 
-Each FrontierPartition owns the hosts with ``hash(host) % K == part`` and
-keeps one heap per host ordered by the deterministic total order
-``(priority, rand, surt)`` (rand = seeded splitmix64 of surt, replacing the
-reference's random.uniform tiebreak — SURVEY §2.6 O2).
+Each FrontierPartition owns the hosts with ``hash(host) % K == part``.
+Storage is **columnar**: pending rows live in Arrow tables (appends are
+O(1) buffer collects), and a drain concatenates + sorts ONCE with
+``pyarrow.compute.sort_indices`` on ``(host, priority, rand, surt)`` —
+C++ string sort — then takes each host's best ``budget`` rows with
+vectorized range arithmetic. The previous per-row Python ``heapq`` push/
+pop was the engine's largest remaining row-at-a-time hot loop (~µs × every
+frontier row × twice). ``rand`` is the seeded splitmix64 of the surt,
+replacing the reference's random.uniform tiebreak (SURVEY §2.6 O2), so the
+drain order is the deterministic total order (priority, rand, surt) per
+host regardless of append order.
 
 Scale path (10^10 feasibility, SURVEY §4.3): when a partition exceeds
-``spill_threshold`` rows, the worst (highest-priority-value) tail of each
-big host queue is spilled to a Parquet band on disk and reloaded lazily
-when the in-memory queue drains. Heads stay in RAM, tails on disk.
+``spill_threshold`` rows, the worst half of each big host group is spilled
+to a Parquet band on disk and reloaded lazily when the in-memory set
+drains. Heads stay in RAM, tails on disk.
 """
 
 from __future__ import annotations
 
-import heapq
 from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from cocrawler_ray import schemas
 
-# heap entry: (priority, rand, surt, url, depth, retries, seed_id)
-Entry = tuple[int, int, str, str, int, int, int]
+_COLS = ("surt", "url", "host", "priority", "rand", "depth", "retries", "seed_id")
+_SORT_KEYS = [("host", "ascending"), ("priority", "ascending"),
+              ("rand", "ascending"), ("surt", "ascending")]
+_TYPES = {
+    "surt": pa.string(), "url": pa.string(), "host": pa.string(),
+    "priority": pa.int32(), "rand": pa.uint64(), "depth": pa.int32(),
+    "retries": pa.int32(), "seed_id": pa.int64(),
+}
+
+
+def _as_table(rows: dict[str, np.ndarray] | pa.Table) -> pa.Table:
+    if isinstance(rows, pa.Table):
+        return rows.select(list(_COLS)).cast(
+            pa.schema([pa.field(c, _TYPES[c]) for c in _COLS]))
+    return pa.table({c: pa.array(np.asarray(rows[c]), _TYPES[c]) for c in _COLS})
 
 
 class FrontierPartition:
     def __init__(self, part: int, spill_threshold: int = 2_000_000,
                  spill_dir: str | None = None):
         self.part = part
-        self.hosts: dict[str, list[Entry]] = {}
+        self._chunks: list[pa.Table] = []   # unsorted pending appends
+        self._sorted: pa.Table | None = None  # leftover from last drain (sorted)
         self.total = 0
         self.spill_threshold = spill_threshold
         self.spill_dir = Path(spill_dir) if spill_dir else None
@@ -51,72 +72,85 @@ class FrontierPartition:
 
     def append(self, rows: dict[str, np.ndarray] | pa.Table) -> int:
         """Add frontier rows (already deduped by the seen filter)."""
-        if isinstance(rows, pa.Table):
-            rows = {c: rows.column(c).to_numpy(zero_copy_only=False) for c in rows.column_names}
-        n = len(rows["surt"])
-        hosts = self.hosts
-        for i in range(n):
-            e = (int(rows["priority"][i]), int(rows["rand"][i]), str(rows["surt"][i]),
-                 str(rows["url"][i]), int(rows["depth"][i]), int(rows["retries"][i]),
-                 int(rows["seed_id"][i]))
-            heapq.heappush(hosts.setdefault(str(rows["host"][i]), []), e)
-        self.total += n
-        self.appended += n
+        t = _as_table(rows)
+        if t.num_rows == 0:
+            return 0
+        self._chunks.append(t)
+        self.total += t.num_rows
+        self.appended += t.num_rows
         if self.spill_dir and self.total > self.spill_threshold:
             self._spill()
-        return n
+        return t.num_rows
 
     def requeue(self, rows: pa.Table, priority_penalty: int = 1) -> int:
         """Retry path (scheduler.py::requeue_work): bump retries, demote."""
-        cols = {c: rows.column(c).to_numpy(zero_copy_only=False) for c in rows.column_names}
-        cols["retries"] = cols["retries"] + 1
-        cols["priority"] = cols["priority"] + priority_penalty
-        return self.append(cols)
+        t = rows.select(list(_COLS))
+        t = t.set_column(t.schema.get_field_index("retries"), "retries",
+                         pc.add(t.column("retries"), 1))
+        t = t.set_column(t.schema.get_field_index("priority"), "priority",
+                         pc.cast(pc.add(t.column("priority"), priority_penalty),
+                                 pa.int32()))
+        return self.append(t)
+
+    def _pending_sorted(self) -> pa.Table:
+        """All pending rows, sorted by (host, priority, rand, surt)."""
+        tabs = ([self._sorted] if self._sorted is not None else []) + self._chunks
+        if not tabs:
+            return _as_table({c: np.array([], dtype=object) if _TYPES[c] == pa.string()
+                              else np.array([], dtype=np.int64) for c in _COLS})
+        t = pa.concat_tables(tabs).combine_chunks() if len(tabs) > 1 else tabs[0]
+        if len(tabs) > 1 or self._sorted is None:
+            t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+        self._chunks = []
+        self._sorted = t
+        return t
 
     # -- get_work (generation drain, politeness-gated) ----------------------
 
     def drain(self, gen: int, budget_per_host: int, max_rows: int | None = None
               ) -> pa.Table:
-        """Pop up to `budget_per_host` best entries per host (deterministic
-        (priority, rand, surt) order); remainder stays burrowed."""
-        out: list[tuple] = []
-        for host in sorted(self.hosts):
-            heap = self.hosts[host]
-            take = min(budget_per_host, len(heap))
-            for _ in range(take):
-                p, r, surt, url, depth, retries, seed_id = heapq.heappop(heap)
-                out.append((surt, url, host, p, r, depth, retries, seed_id))
-            if not heap:
-                del self.hosts[host]
-        popped = len(out)
-        if max_rows is not None and len(out) > max_rows:
-            # global cap: keep best by (priority, rand, surt); rest re-queued
-            out.sort(key=lambda t: (t[3], t[4], t[0]))
-            for surt, url, host, p, r, depth, retries, seed_id in out[max_rows:]:
-                heapq.heappush(self.hosts.setdefault(host, []),
-                               (p, r, surt, url, depth, retries, seed_id))
-            popped = max_rows  # the re-queued tail never left the partition
-            out = out[:max_rows]
-        self.total -= popped
-        self.drained += len(out)
+        """Take up to `budget_per_host` best rows per host (deterministic
+        (priority, rand, surt) order within each host); remainder stays
+        burrowed. Output rows are host-grouped (hosts ascending)."""
+        t = self._pending_sorted()
+        n = t.num_rows
+        if n == 0:
+            return self._finish([], gen)
+        hosts = t.column("host")
+        # per-host group boundaries on the sorted table (vectorized)
+        starts = np.flatnonzero(np.concatenate((
+            [True], np.asarray(pc.not_equal(hosts.slice(1), hosts.slice(0, n - 1))))))
+        ends = np.concatenate((starts[1:], [n]))
+        take_counts = np.minimum(ends - starts, budget_per_host)
+        idx = _ranges(starts, take_counts)
+        out = t.take(pa.array(idx, pa.int64()))
+        if max_rows is not None and out.num_rows > max_rows:
+            # global cap: keep best by (priority, rand, surt); rest stays
+            best = pc.sort_indices(out, sort_keys=_SORT_KEYS[1:])
+            keep = best.slice(0, max_rows)
+            rest_idx = np.asarray(best.slice(max_rows))
+            idx_np = np.asarray(idx)
+            leftover_mask = np.ones(n, dtype=bool)
+            leftover_mask[idx_np] = False
+            leftover_mask[idx_np[rest_idx]] = True
+            out = out.take(keep)
+            self._sorted = t.filter(pa.array(leftover_mask))
+        else:
+            mask = np.ones(n, dtype=bool)
+            mask[np.asarray(idx)] = False
+            self._sorted = t.filter(pa.array(mask))
+        self.total = self._sorted.num_rows
+        self.drained += out.num_rows
         self._maybe_unspill()
-        return self._to_table(out, gen)
+        return self._finish(out, gen)
 
-    def _to_table(self, rows: list[tuple], gen: int) -> pa.Table:
-        n = len(rows)
-        cols = list(zip(*rows)) if rows else [[]] * 8
-        return pa.table({
-            "surt": pa.array(cols[0], pa.string()),
-            "url": pa.array(cols[1], pa.string()),
-            "host": pa.array(cols[2], pa.string()),
-            "priority": pa.array(np.array(cols[3], dtype=np.int32)),
-            "rand": pa.array(np.array(cols[4], dtype=np.uint64)),
-            "depth": pa.array(np.array(cols[5], dtype=np.int32)),
-            "retries": pa.array(np.array(cols[6], dtype=np.int32)),
-            "seed_id": pa.array(np.array(cols[7], dtype=np.int64)),
-            "gen": pa.array(np.full(n, gen, dtype=np.int32)),
-            "part": pa.array(np.full(n, self.part, dtype=np.int32)),
-        })
+    def _finish(self, out, gen: int) -> pa.Table:
+        if not isinstance(out, pa.Table):
+            out = _as_table({c: np.array([], dtype=object) for c in _COLS})
+        n = out.num_rows
+        return (out
+                .append_column("gen", pa.array(np.full(n, gen, dtype=np.int32)))
+                .append_column("part", pa.array(np.full(n, self.part, dtype=np.int32))))
 
     # -- introspection ------------------------------------------------------
 
@@ -124,13 +158,15 @@ class FrontierPartition:
         return self.total
 
     def host_counts(self) -> dict[str, int]:
-        return {h: len(q) for h, q in self.hosts.items()}
+        t = self._pending_sorted()
+        vc = pc.value_counts(t.column("host"))
+        return {str(v["values"]): int(v["counts"]) for v in vc.to_pylist()}
 
     def hot_hosts(self, threshold: int) -> dict[str, int]:
         """Hosts whose pending queue exceeds `threshold` (skew detection;
         north_rule 'hot-host splitting via groupby-count + repartition' —
-        counts maintained incrementally here instead of a per-gen shuffle)."""
-        return {h: len(q) for h, q in self.hosts.items() if len(q) > threshold}
+        counts computed columnar instead of a per-gen shuffle)."""
+        return {h: c for h, c in self.host_counts().items() if c > threshold}
 
     def is_empty(self) -> bool:
         return self.total == 0 and not self.spilled_files
@@ -138,23 +174,31 @@ class FrontierPartition:
     # -- cold-tail spill (scale path) ---------------------------------------
 
     def _spill(self) -> None:
-        """Spill the worst half of every oversized host queue to Parquet."""
-        spill_rows: list[tuple] = []
-        for host, heap in self.hosts.items():
-            if len(heap) < 64:
-                continue
-            heap.sort()  # heap list -> fully sorted ascending (still a valid heap)
-            keep = len(heap) // 2
-            for p, r, surt, url, depth, retries, seed_id in heap[keep:]:
-                spill_rows.append((surt, url, host, p, r, depth, retries, seed_id))
-            del heap[keep:]
-        if not spill_rows:
+        """Spill the worst half of every oversized host group to Parquet."""
+        t = self._pending_sorted()
+        n = t.num_rows
+        if n == 0:
             return
-        self.total -= len(spill_rows)
-        t = self._to_table(spill_rows, gen=-1)
+        hosts = t.column("host")
+        starts = np.flatnonzero(np.concatenate((
+            [True], np.asarray(pc.not_equal(hosts.slice(1), hosts.slice(0, n - 1))))))
+        ends = np.concatenate((starts[1:], [n]))
+        counts = ends - starts
+        big = counts >= 64
+        if not big.any():
+            return
+        keep_counts = np.where(big, counts // 2, counts)
+        keep_idx = _ranges(starts, keep_counts)
+        mask = np.zeros(n, dtype=bool)
+        mask[np.asarray(keep_idx)] = True
+        spill_t = t.filter(pa.array(~mask))
+        if spill_t.num_rows == 0:
+            return
+        self._sorted = t.filter(pa.array(mask))
+        self.total = self._sorted.num_rows
         self.spill_dir.mkdir(parents=True, exist_ok=True)
         path = self.spill_dir / f"band-{self.part:04d}-{len(self.spilled_files):05d}.parquet"
-        pq.write_table(t, path, compression="zstd")
+        pq.write_table(self._finish(spill_t, gen=-1), path, compression="zstd")
         self.spilled_files.append(str(path))
 
     def _maybe_unspill(self) -> None:
@@ -162,23 +206,35 @@ class FrontierPartition:
             path = self.spilled_files.pop()
             t = pq.read_table(path)
             Path(path).unlink()
-            self.total -= 0
             self.append(t)
 
     # -- checkpoint (replaces whole-state pickle of Crawler.save/load) ------
 
     def snapshot(self) -> pa.Table:
-        rows: list[tuple] = []
-        for host in sorted(self.hosts):
-            for p, r, surt, url, depth, retries, seed_id in sorted(self.hosts[host]):
-                rows.append((surt, url, host, p, r, depth, retries, seed_id))
-        # spilled bands are already durable; snapshot carries their paths via
-        # lineage rows written by the pipeline
-        t = self._to_table(rows, gen=-1)
+        t = self._finish(self._pending_sorted(), gen=-1)
+        if self.spilled_files:
+            # spilled cold-tail bands are part of the partition's state —
+            # fold them into the snapshot so restore() is self-contained
+            t = pa.concat_tables(
+                [t] + [pq.read_table(p) for p in self.spilled_files])
         return schemas.validate(t, "frontier")
 
     def restore(self, table: pa.Table, spilled_files: list[str] | None = None) -> None:
-        self.hosts.clear()
+        self._chunks = []
+        self._sorted = None
         self.total = 0
         self.append(table)
         self.spilled_files = list(spilled_files or [])
+
+
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [start, start+count) ranges — vectorized (no per-range
+    Python loop)."""
+    cts = counts.astype(np.int64)
+    total = int(cts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.repeat(np.cumsum(cts) - cts, cts)  # exclusive prefix, exploded
+    within = np.arange(total, dtype=np.int64) - offs
+    return np.repeat(starts.astype(np.int64), cts) + within
+

@@ -240,5 +240,8 @@ class ShardHost:
     def restore_seen(self, part: int, table: pa.Table) -> None:
         self.seen[part].restore(table)
 
+    def robots_stats(self) -> dict:
+        return {"actor": self.actor_id, **self.robots.stats()}
+
     def fetch_stats(self) -> dict:
         return self.fetcher.stats()

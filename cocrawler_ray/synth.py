@@ -45,11 +45,12 @@ def assign_hosts(num_pages: int, num_hosts: int, seed: int = 42) -> np.ndarray:
     return rng.choice(num_hosts, size=num_pages, p=probs)
 
 
-def link_targets(num_pages: int, seed: int = 42) -> list[np.ndarray]:
-    """Per-page out-link target page ids, k in [0,8], preferential attachment
-    (targets biased toward low page ids), no self-links."""
+def link_targets(num_pages: int, seed: int = 42, out_deg_max: int = 8
+                 ) -> list[np.ndarray]:
+    """Per-page out-link target page ids, k in [0,out_deg_max], preferential
+    attachment (targets biased toward low page ids), no self-links."""
     rng = np.random.default_rng(seed + 1)
-    ks = rng.integers(0, 9, size=num_pages)
+    ks = rng.integers(0, out_deg_max + 1, size=num_pages)
     out = []
     for p in range(num_pages):
         k = int(ks[p])
@@ -63,14 +64,23 @@ def link_targets(num_pages: int, seed: int = 42) -> list[np.ndarray]:
     return out
 
 
-def page_html(p: int, hosts: np.ndarray, targets: np.ndarray, caption: str) -> str:
+def page_html(p: int, hosts: np.ndarray, targets: np.ndarray, caption: str,
+              filler: int = 0) -> str:
     """Synthetic HTML for page p: title + links (same-host relative, cross-host
-    absolute) + every third target as an <img src> embed."""
+    absolute) + every third target as an <img src> embed. ``filler`` adds
+    that many bytes of text between links so parse cost resembles real pages
+    (real HTML is tens of KB of prose around the anchors)."""
     parts = [f"<html><head><title>{caption}</title>"
              '<meta name="generator" content="synthweb/1.0"></head><body>']
     me = hosts[p]
+    pad = ""
+    if filler:
+        per = max(32, filler // max(1, len(targets)))
+        pad = "<p>" + (caption + " ") * (per // (len(caption) + 1) + 1) + "</p>"
     for j, t in enumerate(targets):
         href = f"/p{t:06d}" if hosts[t] == me else page_url(int(hosts[t]), int(t))
+        if pad:
+            parts.append(pad)
         if j % 3 == 2:
             parts.append(f'<img src="{href}">')
         else:
@@ -80,7 +90,7 @@ def page_html(p: int, hosts: np.ndarray, targets: np.ndarray, caption: str) -> s
 
 
 def _page_rows(page_ids: np.ndarray, hosts: np.ndarray, all_targets: list[np.ndarray],
-               seed: int) -> dict[str, list]:
+               seed: int, filler: int = 0) -> dict[str, list]:
     rng = np.random.default_rng(seed + 2)
     cols: dict[str, list] = {k: [] for k in
                              ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "html", "url")}
@@ -101,18 +111,20 @@ def _page_rows(page_ids: np.ndarray, hosts: np.ndarray, all_targets: list[np.nda
         cols["fmt"].append(fmt)
         cols["caption"].append(caption)
         cols["phash"].append(codecs.average_phash(img))
-        cols["html"].append(page_html(int(p), hosts, all_targets[p], caption))
+        cols["html"].append(page_html(int(p), hosts, all_targets[p], caption,
+                                      filler=filler))
         cols["url"].append(page_url(hid, int(p)))
     _ = rng
     return cols
 
 
-def gen_web_tables(num_hosts: int = 20, num_pages: int = 500, seed: int = 42
+def gen_web_tables(num_hosts: int = 20, num_pages: int = 500, seed: int = 42,
+                   out_deg_max: int = 8, filler: int = 0
                    ) -> tuple[pa.Table, pa.Table]:
     """(web, web_html) Arrow tables — single-process path for tests."""
     hosts = assign_hosts(num_pages, num_hosts, seed)
-    targets = link_targets(num_pages, seed)
-    cols = _page_rows(np.arange(num_pages), hosts, targets, seed)
+    targets = link_targets(num_pages, seed, out_deg_max=out_deg_max)
+    cols = _page_rows(np.arange(num_pages), hosts, targets, seed, filler=filler)
     web = pa.table(
         {
             "image_id": pa.array(cols["image_id"], pa.string()),
@@ -176,7 +188,8 @@ def gen_seed_lines(num_hosts: int, num_pages: int, num_seeds: int = 20, seed: in
 
 
 def write_web_dataset(out_dir: str, num_hosts: int, num_pages: int, seed: int = 42,
-                      pages_per_block: int = 2000) -> None:
+                      pages_per_block: int = 2000, out_deg_max: int = 8,
+                      filler: int = 0) -> None:
     """Ray-parallel generator for bench scale: shards page ranges across
     map_batches tasks, writes web/ and web_html/ parquet under out_dir.
     Output is identical to gen_web_tables for the same parameters."""
@@ -184,7 +197,7 @@ def write_web_dataset(out_dir: str, num_hosts: int, num_pages: int, seed: int = 
     import ray.data as rd
 
     hosts = assign_hosts(num_pages, num_hosts, seed)
-    targets = link_targets(num_pages, seed)
+    targets = link_targets(num_pages, seed, out_deg_max=out_deg_max)
     import ray
 
     hosts_ref = ray.put(hosts)
@@ -198,7 +211,7 @@ def write_web_dataset(out_dir: str, num_hosts: int, num_pages: int, seed: int = 
         for b in batch["block"]:
             b = int(b)
             lo, hi = b * pages_per_block, min((b + 1) * pages_per_block, num_pages)
-            cols = _page_rows(np.arange(lo, hi), h, tg, seed)
+            cols = _page_rows(np.arange(lo, hi), h, tg, seed, filler=filler)
             web = pa.table({
                 "image_id": pa.array(cols["image_id"], pa.string()),
                 "bytes": pa.array(cols["bytes"], pa.binary()),

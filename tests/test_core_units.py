@@ -211,3 +211,28 @@ def test_synth_zipf_skew():
     hosts = synth.assign_hosts(5000, 20, seed=42)
     counts = np.bincount(hosts, minlength=20)
     assert counts.max() > 3 * np.median(counts[counts > 0])
+
+
+# -- content gate (M6) --------------------------------------------------------
+
+def test_content_gate_charsets_and_truncation():
+    from cocrawler_ray.stages.content import content_gate_batch
+    cts = ["text/html; charset=latin-1",          # header charset wins
+           "text/html",                           # meta sniff
+           "text/html",                           # default fallback
+           "application/pdf",                     # gated out
+           "text/html; charset=bogus-enc"]        # unknown -> default
+    bodies = [b"caf\xe9 body",
+              b'<head><meta charset="ISO-8859-1"></head>caf\xe9',
+              b"plain ascii",
+              b"%PDF-1.4",
+              b"x" * 10]
+    res = content_gate_batch(cts, bodies, max_size=8)
+    assert list(res["keep"]) == [True, True, True, False, True]
+    assert res["charset"][0] == "latin-1"
+    assert res["charset"][1] == "iso-8859-1"
+    assert res["charset"][2] == "utf-8"
+    assert res["charset"][4] == "utf-8"
+    assert res["text"][0] == "caf\xe9 bod"         # latin-1 decode + 8-byte cap
+    assert bool(res["truncated"][0]) and bool(res["truncated"][4])
+    assert not res["truncated"][3]

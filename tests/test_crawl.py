@@ -132,6 +132,22 @@ def test_all_denied_batch(ray_session, corpus, tmp_path):
     assert res["fetched"] == 0
 
 
+def test_log_sinks(ray_session, corpus, tmp_path):
+    """S4/S5: crawllog JSON export covers every fetched row; robotslog has
+    one record per shard actor."""
+    import json, pathlib
+    job = run_engine(corpus, tmp_path, budget=3, max_depth=3)
+    out = job.write_logs()
+    lines = []
+    for f in pathlib.Path(out["crawllog"]).iterdir():
+        lines += [json.loads(l) for l in f.read_text().splitlines() if l.strip()]
+    assert len(lines) == job.fetched_table().num_rows
+    assert {"url", "status", "digest"} <= set(lines[0])
+    robots = [json.loads(l) for l in
+              pathlib.Path(out["robotslog"]).read_text().splitlines()]
+    assert len(robots) == job.num_actors
+
+
 def test_resume_matches_uninterrupted(ray_session, corpus, tmp_path):
     from cocrawler_ray.pipelines.crawl import CrawlJob
     web, html, robots_bodies, seeds, _, _ = corpus

@@ -146,6 +146,24 @@ def test_frontier_spill_roundtrip(tmp_path):
     assert f.is_empty()
 
 
+def test_frontier_snapshot_includes_spilled(tmp_path):
+    """A checkpoint taken after a cold-tail spill must carry the spilled
+    rows — restore into a fresh partition must see all of them."""
+    f = FrontierPartition(part=0, spill_threshold=100, spill_dir=str(tmp_path))
+    f.append(_mk_rows([f"s{i:04d}" for i in range(300)], ["h.test"] * 300, [1] * 300))
+    assert f.spilled_files
+    snap = f.snapshot()
+    assert snap.num_rows == 300
+    g = FrontierPartition(part=0)
+    g.restore(snap)
+    seen = []
+    for gen in range(40):
+        seen += g.drain(gen, budget_per_host=50).column("surt").to_pylist()
+        if g.is_empty():
+            break
+    assert sorted(seen) == [f"s{i:04d}" for i in range(300)]
+
+
 # -- robots -----------------------------------------------------------------
 
 def test_robots_partition_cache_and_decisions():
