@@ -808,6 +808,14 @@ def q_image_decode_stats(sf_dir: str):
                          concurrency=2))
 
 
+def _digest_binary(t: pa.Table, col: str) -> pa.Table:
+    """Replace a binary column with its sha256 hex (comparison-friendly)."""
+    import hashlib
+    dig = [hashlib.sha256(b).hexdigest() for b in t.column(col).to_pylist()]
+    return t.drop_columns([col]).append_column(col + "_sha256",
+                                               pa.array(dig, pa.string()))
+
+
 @_q("q_image_resize")  # actor-pool resize stage — rows-only
 def q_image_resize(sf_dir: str):
     from cocrawler_ray import synth
@@ -815,7 +823,9 @@ def q_image_resize(sf_dir: str):
     web, _ = synth.gen_web_tables(num_hosts=4, num_pages=64, seed=42)
     return (rd.from_arrow(web)
             .map_batches(ImageResize, batch_format="pyarrow", batch_size=16,
-                         concurrency=2))
+                         concurrency=2)
+            .map_batches(lambda t: _digest_binary(t, "bytes"),
+                         batch_format="pyarrow"))
 
 
 @_q("q_frame_sample")  # video frame-sampling plumbing (stub decoder) — rows-only
@@ -825,7 +835,9 @@ def q_frame_sample(sf_dir: str):
     web, _ = synth.gen_web_tables(num_hosts=4, num_pages=32, seed=42)
     return (rd.from_arrow(web)
             .map_batches(FrameSample, batch_format="pyarrow", batch_size=8,
-                         concurrency=2))
+                         concurrency=2)
+            .map_batches(lambda t: _digest_binary(t, "frame_bytes"),
+                         batch_format="pyarrow"))
 
 
 @_q("q_audio_features")  # audio feature plumbing (stub DSP) — rows-only

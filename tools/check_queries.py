@@ -36,7 +36,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                              else str(v))
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
