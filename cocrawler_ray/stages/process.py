@@ -51,15 +51,48 @@ def extract_and_score(batch: pa.Table, max_depth: int) -> pa.Table:
     })
 
 
+def winner_indices(batch: pa.Table, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized in-batch dedup: given candidate rows and their
+    ``hash64(dst_surt)`` keys, return ``(uniq_h, winner_row_idx)`` where
+    ``winner_row_idx[i]`` is the row winning group ``uniq_h[i]`` under the
+    engine's canonical rule min ``(priority, src_surt, kind)`` per dst.
+
+    Grouping is by the 64-bit surt hash — exactly the identity the seen
+    filter itself uses — so most groups are singletons and only the small
+    duplicate subset pays the string sort (the previous pandas
+    sort_values over every row was the finalize hot spot)."""
+    uniq_h, first_idx, inv, counts = np.unique(
+        h, return_index=True, return_inverse=True, return_counts=True)
+    winner = first_idx
+    if counts.size and counts.max() > 1:
+        winner = first_idx.copy()
+        sub = np.flatnonzero(counts[inv] > 1)
+        take = pa.array(sub, pa.int64())
+        pri = batch.column("priority").to_numpy()[sub]
+        src = np.asarray(batch.column("src_surt").take(take).to_pylist(),
+                         dtype=object)
+        kind = np.asarray(batch.column("kind").take(take).to_pylist(),
+                          dtype=object)
+        hs = h[sub]
+        order = np.lexsort((kind, src, pri, hs))
+        sh = hs[order]
+        firsts = np.concatenate(([True], sh[1:] != sh[:-1]))
+        # sh's distinct values ascend, matching uniq_h[counts>1] ascending
+        winner[np.flatnonzero(counts > 1)] = sub[order[firsts]]
+    return uniq_h, winner
+
+
 def dedup_links_batch(batch: pa.Table) -> pa.Table:
     """Partial in-batch dedup (combiner) before routing to the seen
     partitions: keeps the best (priority, src_surt, kind) row per dst_surt
     within the batch. The per-partition finalize applies the same rule
-    globally."""
-    df = batch.to_pandas()
-    df = df.sort_values(["dst_surt", "priority", "src_surt", "kind"], kind="stable")
-    df = df.drop_duplicates("dst_surt", keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    globally (via the same winner_indices helper)."""
+    if batch.num_rows == 0:
+        return batch
+    batch = batch.combine_chunks()
+    h = hash64(batch.column("dst_surt").to_pylist())
+    _, winner = winner_indices(batch, h)
+    return batch.take(pa.array(np.sort(winner), pa.int64()))
 
 
 def persist_fetched_cell(storage, fetched: pa.Table, gen: int) -> None:

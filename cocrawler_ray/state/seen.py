@@ -56,10 +56,33 @@ class CuckooFilter:
         return in1 | in2
 
     def insert_batch(self, keys: np.ndarray) -> None:
+        """Vectorized bulk insert: try every key's primary bucket in one
+        scatter round, failures try the partner bucket, the (rare at <95%
+        load) remainder falls back to the scalar eviction loop. Within a
+        round, same-bucket keys get distinct slots via rank-within-bucket,
+        so the scatter writes never collide."""
+        if len(keys) == 0:
+            return
         fp, i1, i2 = self._fp_and_buckets(keys)
-        rng = np.random.default_rng(int(self.seed & _U64(0xFFFF)))
-        for k in range(len(keys)):
-            self._insert_one(int(fp[k]), int(i1[k]), int(i2[k]), rng)
+        pend = np.arange(len(keys))
+        for buckets in (i1, i2):
+            if pend.size == 0:
+                break
+            b = buckets[pend]
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            fill = (self.table[bs] != 0).sum(axis=1)
+            firsts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+            group_of = np.repeat(firsts, np.diff(np.append(firsts, len(bs))))
+            slot = fill + (np.arange(len(bs)) - group_of)
+            ok = slot < 4
+            self.table[bs[ok], slot[ok]] = fp[pend][order][ok]
+            self.count += int(ok.sum())
+            pend = pend[order][~ok]
+        if pend.size:
+            rng = np.random.default_rng(int(self.seed & _U64(0xFFFF)))
+            for k in pend:
+                self._insert_one(int(fp[k]), int(i1[k]), int(i2[k]), rng)
 
     def _insert_one(self, fp: int, i1: int, i2: int, rng) -> None:
         for i in (i1, i2):
@@ -96,6 +119,53 @@ class CuckooFilter:
         return cf
 
 
+class _ExactSet:
+    """Exact uint64 key set as sorted-base array + small pending chunks —
+    membership and insert are fully vectorized (searchsorted + np.isin);
+    the previous Python ``set`` cost a per-key interpreter loop."""
+
+    __slots__ = ("base", "pending", "pending_n")
+    _MERGE_AT = 1 << 16
+
+    def __init__(self, keys: np.ndarray | None = None):
+        self.base = (np.sort(np.asarray(keys, dtype=_U64))
+                     if keys is not None and len(keys)
+                     else np.empty(0, dtype=_U64))
+        self.pending: list[np.ndarray] = []
+        self.pending_n = 0
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        if self.base.size:
+            idx = np.searchsorted(self.base, keys)
+            valid = idx < self.base.size
+            out[valid] = self.base[idx[valid]] == keys[valid]
+        if self.pending_n:
+            pend = (self.pending[0] if len(self.pending) == 1
+                    else np.concatenate(self.pending))
+            out |= np.isin(keys, pend)
+        return out
+
+    def add_new(self, keys: np.ndarray) -> None:
+        """Add keys the caller knows are unique and not yet present."""
+        if len(keys) == 0:
+            return
+        self.pending.append(np.asarray(keys, dtype=_U64))
+        self.pending_n += len(keys)
+        if self.pending_n >= self._MERGE_AT:
+            self.base = np.sort(np.concatenate([self.base, *self.pending]))
+            self.pending = []
+            self.pending_n = 0
+
+    def __len__(self) -> int:
+        return int(self.base.size) + self.pending_n
+
+    def to_sorted(self) -> np.ndarray:
+        if not self.pending:
+            return self.base
+        return np.sort(np.concatenate([self.base, *self.pending]))
+
+
 class SeenPartition:
     """One hash(surt)%K shard of the URL-seen set.
 
@@ -115,7 +185,7 @@ class SeenPartition:
         self.part = part
         self.capacity = capacity
         self.exact = exact
-        self.shadow: set[int] = set()
+        self.shadow = _ExactSet()
         self.cuckoo = CuckooFilter(capacity)
         self._cand: list[pa.Table] = []
 
@@ -129,64 +199,74 @@ class SeenPartition:
 
     def finalize_local(self, seed: int) -> dict:
         """Dedup buffered candidates (winner = min (priority, src_surt, kind)
-        per dst_surt), seen-gate the winners, return survivor frontier rows
-        for the host-partition shuffle (done by the hosting ShardHost)."""
-        import pandas as pd
+        per dst_surt — vectorized via ``winner_indices``), seen-gate the
+        winners, return survivor frontier rows as an Arrow table for the
+        host-partition shuffle (done by the hosting ShardHost). The surt
+        hash is computed ONCE and reused for grouping, the seen gate and the
+        rand tiebreak (rand_for_surt == splitmix64(hash64(surt) ^
+        splitmix64(seed)))."""
+        import pyarrow.compute as pc
 
-        from cocrawler_ray.hashing import hash64, rand_for_surt
+        from cocrawler_ray.hashing import hash64, splitmix64
+        from cocrawler_ray.stages.process import winner_indices
 
         if not self._cand:
             return {"candidates": 0, "new": 0, "rows": None}
-        df = pa.concat_tables(self._cand).to_pandas()
+        t = (pa.concat_tables(self._cand).combine_chunks()
+             if len(self._cand) > 1 else self._cand[0].combine_chunks())
         self._cand.clear()
-        n_cand = len(df)
-        df = (df.sort_values(["dst_surt", "priority", "src_surt", "kind"], kind="stable")
-                .drop_duplicates("dst_surt", keep="first"))
-        surts = df["dst_surt"].tolist()
-        new = self.check_and_add(hash64(surts))
-        df = df[new]
-        surts = df["dst_surt"].tolist()
-        n_new = len(df)
+        n_cand = t.num_rows
+        h = hash64(t.column("dst_surt").to_pylist())
+        uniq_h, winner = winner_indices(t, h)
+        fresh = self._check_and_add_unique(uniq_h)
+        sel = winner[fresh]
+        n_new = int(sel.size)
         if n_new == 0:
             return {"candidates": n_cand, "new": 0, "rows": None}
-        rows = {
-            "surt": np.asarray(surts, dtype=object),
-            "url": df["dst_url"].to_numpy(dtype=object),
-            "host": df["dst_host"].to_numpy(dtype=object),
-            "priority": df["priority"].to_numpy().astype(np.int32),
-            "rand": rand_for_surt(surts, seed=seed),
-            "depth": df["depth"].to_numpy().astype(np.int32),
-            "retries": np.zeros(n_new, dtype=np.int32),
-            "seed_id": np.full(n_new, -1, dtype=np.int64),
-        }
+        w = t.take(pa.array(sel, pa.int64()))
+        s = splitmix64(np.array([seed], dtype=_U64))[0]
+        rand = splitmix64(uniq_h[fresh] ^ s)
+        rows = pa.table({
+            "surt": w.column("dst_surt"),
+            "url": w.column("dst_url"),
+            "host": w.column("dst_host"),
+            "priority": pc.cast(w.column("priority"), pa.int32()),
+            "rand": pa.array(rand, pa.uint64()),
+            "depth": pc.cast(w.column("depth"), pa.int32()),
+            "retries": pa.array(np.zeros(n_new, dtype=np.int32)),
+            "seed_id": pa.array(np.full(n_new, -1, dtype=np.int64)),
+        })
         return {"candidates": n_cand, "new": n_new, "rows": rows}
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
         """uint64 surt-hashes -> bool mask of NEW keys (first occurrence wins,
-        in array order). Adds all new keys."""
+        in array order). Adds all new keys. Fully vectorized: in-batch
+        first-occurrence via np.unique, membership via the sorted-array
+        shadow (exact) or the cuckoo filter (scale path, FPs drop URLs at
+        ~2^-14 rate)."""
         keys = np.asarray(keys, dtype=_U64)
         new = np.zeros(len(keys), dtype=bool)
-        if self.exact:
-            shadow = self.shadow
-            for i, k in enumerate(keys.tolist()):
-                if k not in shadow:
-                    shadow.add(k)
-                    new[i] = True
-        else:
-            # scale path: cuckoo-only decision (FPs drop URLs at ~2^-14 rate)
-            dup_in_batch: set[int] = set()
-            maybe = self.cuckoo.contains_batch(keys)
-            for i, k in enumerate(keys.tolist()):
-                if not maybe[i] and k not in dup_in_batch:
-                    dup_in_batch.add(k)
-                    new[i] = True
-        self.cuckoo.insert_batch(keys[new])
+        if len(keys) == 0:
+            return new
+        uniq, first_idx = np.unique(keys, return_index=True)
+        fresh = self._check_and_add_unique(uniq)
+        new[first_idx[fresh]] = True
         return new
+
+    def _check_and_add_unique(self, keys: np.ndarray) -> np.ndarray:
+        """check_and_add fast path for keys already unique within the batch."""
+        if self.exact:
+            fresh = ~self.shadow.contains(keys)
+            self.shadow.add_new(keys[fresh])
+        else:
+            fresh = ~self.cuckoo.contains_batch(keys)
+        self.cuckoo.insert_batch(keys[fresh])
+        return fresh
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=_U64)
         if self.exact:
-            return np.fromiter((int(k) in self.shadow for k in keys), dtype=bool, count=len(keys))
+            return self.shadow.contains(keys)
         return self.cuckoo.contains_batch(keys)
 
     def size(self) -> int:
@@ -201,8 +281,7 @@ class SeenPartition:
     # -- checkpoint ---------------------------------------------------------
 
     def snapshot(self) -> pa.Table:
-        keys = np.fromiter(self.shadow, dtype=np.uint64, count=len(self.shadow))
-        keys.sort()
+        keys = self.shadow.to_sorted()
         return pa.table({
             "surt_hash": pa.array(keys, pa.uint64()),
             "part": pa.array(np.full(len(keys), self.part, dtype=np.int32)),
@@ -210,6 +289,6 @@ class SeenPartition:
 
     def restore(self, table: pa.Table) -> None:
         keys = table.column("surt_hash").to_numpy(zero_copy_only=False).astype(_U64)
-        self.shadow = set(keys.tolist())
+        self.shadow = _ExactSet(keys)
         self.cuckoo = CuckooFilter(self.capacity)
         self.cuckoo.insert_batch(keys)

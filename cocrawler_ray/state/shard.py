@@ -211,14 +211,17 @@ class ShardHost:
                 rows_list.append(res["rows"])
         if not rows_list:
             return totals
-        rows = {k: np.concatenate([r[k] for r in rows_list])
-                for k in rows_list[0]}
-        parts = host_partition(rows["host"], self.num_parts)
-        by_actor: dict[int, dict[int, dict[str, np.ndarray]]] = {}
+        # Arrow tables end-to-end (same rationale as accept_candidates: the
+        # previous dict-of-object-ndarrays pickled every string individually)
+        rows = (pa.concat_tables(rows_list).combine_chunks()
+                if len(rows_list) > 1 else rows_list[0])
+        parts = host_partition(rows.column("host").to_pylist(), self.num_parts)
+        by_actor: dict[int, dict[int, pa.Table]] = {}
         for p in np.unique(parts):
             idx = np.flatnonzero(parts == p)
             a = int(p) % self.num_actors
-            by_actor.setdefault(a, {})[int(p)] = {k: v[idx] for k, v in rows.items()}
+            by_actor.setdefault(a, {})[int(p)] = rows.take(
+                pa.array(idx, pa.int64()))
         for a, by_part in by_actor.items():
             if a == self.actor_id:
                 totals["appended"] += self.append_rows(by_part)
