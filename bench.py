@@ -172,6 +172,20 @@ def consume(result) -> int:
     return result.materialize().count()  # ray.data.Dataset
 
 
+def warm_workers(num_cpus: int) -> None:
+    """Spin up the Ray Data worker pool (process fork + pandas/pyarrow
+    imports, ~2 s across the pool) BEFORE the timed suite — otherwise
+    whichever query runs first absorbs it and its number is meaningless."""
+    import ray.data as rd
+
+    def _imp(b):
+        import pandas  # noqa: F401  (pulls the heavy imports into the worker)
+        return b
+
+    (rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4)
+       .map_batches(_imp, batch_format="pyarrow").materialize())
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     from cocrawler_ray.queries import QUERIES
 
@@ -209,6 +223,8 @@ def main() -> None:
 
     out_dir = tempfile.mkdtemp(prefix="cocrawler_bench_")
     crawl = run_crawl(num_cpus, out_dir)
+    if not args.crawl_only:
+        warm_workers(num_cpus)
     queries = {} if args.crawl_only else run_queries(sf_dir)
     total = crawl["wall_s"] + sum(queries.values())
     print(json.dumps({

@@ -85,17 +85,10 @@ def minhash_bands_batch(batch: pa.Table, id_col: str, text_col: str = "text",
     return pa.table({
         id_col: pa.array(doc_ids),
         "band_id": pa.array(band_ids),
-        "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+        # int64 view of the uint64 hash: >2^63 values break the pandas
+        # round-trip inside Ray Data's groupby (bit-identical, key-only)
+        "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
     })
-
-
-def candidate_pairs_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """All (a<b) pairs within one (band_id, band_hash) bucket."""
-    ids = np.sort(g[id_col].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -111,20 +104,66 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
     """Candidate near-dup pairs via MinHash banding; optional exact-Jaccard
     verification.
 
-    Scale shape: the banding pass streams (map_batches), the bucket groupby
-    shuffles only (id, band) rows — never text — and the verify step pulls
-    text ONLY for candidate-pair ids (a second pruned streaming pass over
-    ``ds``), so nothing materializes the corpus on the driver. Candidate
-    count is assumed << corpus size (that's what LSH banding is for)."""
+    Scale shape: the banding pass streams (map_batches) into a materialized
+    int-only band table (never text) held in the object store; bucket sizes
+    come from a NATIVE vectorized ``groupby().count()`` — per-bucket
+    ``map_groups`` was one Python/pandas call per bucket, i.e.
+    O(bands x |corpus|) interpreter calls since almost every bucket is a
+    singleton. Multi-member bucket keys (the actual near-dup clusters,
+    << corpus) are broadcast via ``ray.put``; a second filtered pass yields
+    only their member rows, and pair expansion is vectorized. The verify
+    step pulls text ONLY for candidate-pair ids (a pruned streaming pass
+    over ``ds``), so nothing materializes the corpus on the driver."""
+    import ray
+
+    _FNV = np.uint64(0x100000001B3)
+
+    def _bucket_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+        # collisions only over-include rows; exact grouping happens later
+        with np.errstate(over="ignore"):
+            bh = np.ascontiguousarray(band_hash, dtype=np.int64).view(np.uint64)
+            return bh * _FNV + band_id.astype(np.uint64)
+
     band_rows = ds.map_batches(
         minhash_bands_batch,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, num_perm=num_perm,
                        bands=bands, k=k),
-        batch_format="pyarrow")
-    pairs = (band_rows.groupby(["band_id", "band_hash"])
-             .map_groups(lambda g: candidate_pairs_group(g, id_col),
-                         batch_format="pandas")
+        batch_format="pyarrow").materialize()
+    hot = (band_rows.groupby(["band_id", "band_hash"]).count()
+           .map_batches(lambda df: df[df["count()"] >= 2], batch_format="pandas")
+           .to_pandas())
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+    if hot.empty:
+        pairs = empty
+    else:
+        hot_ref = ray.put(np.unique(_bucket_key(
+            hot["band_id"].to_numpy(), hot["band_hash"].to_numpy())))
+
+        def members_only(t: pa.Table) -> pa.Table:
+            keys = _bucket_key(t.column("band_id").to_numpy(),
+                               t.column("band_hash").to_numpy())
+            return t.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
+
+        m = (band_rows.map_batches(members_only, batch_format="pyarrow")
              .to_pandas())
+        bid = m["band_id"].to_numpy()
+        bh = m["band_hash"].to_numpy()
+        ids = m[id_col].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        newg = np.concatenate(([True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])))
+        starts = np.flatnonzero(newg)
+        ends = np.append(starts[1:], len(ids))
+        pa_list, pb_list = [], []
+        for s, e in zip(starts, ends):   # one iteration per near-dup cluster
+            if e - s >= 2:
+                ia, ib = np.triu_indices(e - s, k=1)
+                pa_list.append(ids[s:e][ia])
+                pb_list.append(ids[s:e][ib])
+        pairs = (pd.DataFrame({"doc_a": np.concatenate(pa_list),
+                               "doc_b": np.concatenate(pb_list)})
+                 if pa_list else empty)
     pairs = pairs.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     if verify_threshold is not None and len(pairs):
         cand_ids = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
