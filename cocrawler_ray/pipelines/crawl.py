@@ -64,18 +64,49 @@ from cocrawler_ray.stages.process import (  # noqa: E402  (re-export for tests)
     persist_fetched_cell)
 
 
-def make_process(shards, num_parts: int, num_actors: int,
-                 gen: int, max_depth: int, out_dir: str,
-                 acks_out: list | None = None):
-    """The fused per-batch stage (see module docstring). Returns one count
-    row per batch — payloads are persisted / routed inside the task, so the
-    driver only ever sees counters.
+# Worker-process replica cache for the huge-wave path: Ray Data task-pool
+# workers PERSIST across pipeline executions (unlike actor pools, which are
+# torn down per Dataset), so each worker builds the fetch/robots replica —
+# including the O(corpus) url->row index — once per crawl, not once per
+# generation. Keyed by the broadcast refs; a new crawl's refs evict the old
+# replica.
+_REPLICA_CACHE: dict = {}
 
-    When ``acks_out`` is given, candidate-delivery RPCs are NOT awaited in
-    the task; their ObjectRefs are appended to ``acks_out`` for the caller
-    to barrier on before finalize. Synchronous acks convoy through the
-    single-threaded shard actors (every task waits on every actor's queue);
-    deferring them lets actor inboxes drain while other chunks process."""
+
+def _wave_replicas(web_ref, html_ref, robots_ref, user_agent: str):
+    from cocrawler_ray.stages.fetch import FetcherPartition
+    from cocrawler_ray.state.robots_actor import RobotsPartition
+
+    key = (web_ref.hex(), html_ref.hex(), robots_ref.hex(), user_agent)
+    hit = _REPLICA_CACHE.get(key)
+    if hit is None:
+        # zero-copy plasma reads of the single-chunk broadcast tables
+        web, html, bodies = ray.get(web_ref), ray.get(html_ref), ray.get(robots_ref)
+        hit = (FetcherPartition(-1, web, html),
+               RobotsPartition(-1, bodies, 10, user_agent))
+        _REPLICA_CACHE.clear()
+        _REPLICA_CACHE[key] = hit
+    return hit
+
+
+def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
+                 out_dir: str, web_ref, html_ref, robots_ref,
+                 user_agent: str):
+    """The fused per-batch stage of the huge-wave Ray Data path (see module
+    docstring). SELF-SUFFICIENT: robots gate + fetch run locally against
+    the worker's cached replica (fetch state is host-agnostic; only
+    frontier/seen state is partition-affine), so fetch parallelism tracks
+    the streaming executor's task count — a previous version RPC'd every
+    batch through the A single-threaded ShardHosts, capping the wave's
+    fetch throughput at A regardless of cluster width and paying a plasma
+    round-trip per batch. Only candidate DELIVERY touches the stateful
+    actors; it is awaited in-task so Dataset completion implies every
+    candidate reached its seen partition before finalize.
+
+    Returns one count row per batch — payloads are persisted / routed
+    inside the task, so the driver only ever sees counters."""
+    from cocrawler_ray.state.shard import url_paths
+
     storage = Storage(out_dir)
 
     def process(batch: pa.Table) -> pa.Table:
@@ -88,23 +119,20 @@ def make_process(shards, num_parts: int, num_actors: int,
         n_in = batch.num_rows
         if n_in == 0:
             return counts()
+        gen = int(batch.column("gen")[0].as_py())
+        fetcher, robots = _wave_replicas(web_ref, html_ref, robots_ref,
+                                         user_agent)
 
-        # robots gate + fetch: ONE RPC per target actor (rows from a drain
-        # block all belong to one actor's host-partitions, but group
-        # defensively in case of block coalescing)
+        # robots gate + fetch, locally (replica decisions are deterministic:
+        # static rule bodies, host-agnostic — same gate as ShardHost's)
         hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
-        actor_of = host_partition(hosts, num_parts) % num_actors
-        futs = []
-        for a in np.unique(actor_of):
-            idx = np.flatnonzero(actor_of == a)
-            sub = batch if len(idx) == n_in else batch.take(pa.array(idx, pa.int64()))
-            futs.append(shards[int(a)].fetch_gated.remote(sub, gen))
-        parts_out = ray.get(futs)
-        n_allowed = sum(n for _, n in parts_out)
-        tabs = [t for t, n in parts_out if n]
-        if not tabs:  # whole batch robots-denied
-            return counts(n_in, n_allowed)
-        fetched = pa.concat_tables(tabs)
+        paths = url_paths(batch.column("url").to_pylist())
+        allow = robots.check_batch(hosts, paths, gen)
+        gated = batch.filter(pa.array(allow))
+        n_allowed = gated.num_rows
+        if n_allowed == 0:
+            return counts(n_in, 0)
+        fetched = fetcher.fetch(gated)
         n_fetched = fetched.num_rows
         if n_fetched == 0:
             return counts(n_in, n_allowed)
@@ -115,9 +143,7 @@ def make_process(shards, num_parts: int, num_actors: int,
         links = links_to_candidates(fetched, max_depth)
         n_cand = links.num_rows
         if n_cand:
-            # route candidates to their seen partitions' hosting actors;
-            # delivery must complete before finalize — either awaited here
-            # (Dataset path) or barriered by the caller (acks_out path)
+            # route candidates to their seen partitions' hosting actors
             surts = links.column("dst_surt").to_pylist()
             actor_of = surt_partition(surts, num_parts) % num_actors
             futs = []
@@ -125,10 +151,7 @@ def make_process(shards, num_parts: int, num_actors: int,
                 idx = np.flatnonzero(actor_of == a)
                 futs.append(shards[int(a)].accept_candidates.remote(
                     links.take(pa.array(idx, pa.int64()))))
-            if acks_out is None:
-                ray.get(futs)
-            else:
-                acks_out.extend(futs)
+            ray.get(futs)
         return counts(n_in, n_allowed, n_fetched, n_cand)
 
     return process
@@ -170,6 +193,10 @@ class CrawlJob:
         # the per-actor fallback copy would OOM the pool.
         web_ref = ray.put(_contiguous(web))
         html_ref = ray.put(_contiguous(web_html))
+        # kept for the huge-wave path's worker replicas (fetch/robots state
+        # is broadcast once; task workers read it zero-copy)
+        self.web_ref, self.html_ref = web_ref, html_ref
+        self.robots_ref = ray.put(robots_bodies)
         Shard = ray.remote(ShardHost)
         self.shards = [Shard.remote(a, A, K, robots_bodies, cfg.user_agent,
                                     web_ref, html_ref, cfg.seen_capacity,
@@ -277,8 +304,10 @@ class CrawlJob:
                 drained = n_fetched = 0
             else:
                 process = make_process(self.shards, cfg.num_parts,
-                                       self.num_actors, g, cfg.max_depth,
-                                       cfg.out_dir)
+                                       self.num_actors, cfg.max_depth,
+                                       cfg.out_dir, self.web_ref,
+                                       self.html_ref, self.robots_ref,
+                                       cfg.user_agent)
                 counts = (rd.from_arrow_refs(drains)
                           .map_batches(process, batch_format="pyarrow",
                                        batch_size=cfg.fetch_batch_size)
