@@ -449,11 +449,12 @@ def q_robots_join(sf_dir: str):
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     dim = dim[["n_nationkey", "r_name"]]
     cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    out = (joins.broadcast_join(cust, dim, "c_nationkey", "n_nationkey")
-           .groupby("r_name").aggregate(Count(alias_name="n_customers"))
-           .to_pandas())
-    out["n_customers"] = out["n_customers"].astype(np.int64)
-    return out
+    joined = joins.broadcast_join(cust, dim, "c_nationkey", "n_nationkey")
+    # combiner aggregate: region cardinality is tiny, so only per-block
+    # partials cross the wire (native groupby would shuffle every row)
+    out = partial_groupby_agg(joined, ["r_name"],
+                                  {"n_customers": (None, "count")})
+    return out.sort_values("r_name").reset_index(drop=True)
 
 
 @_q("q_host_window", """
@@ -488,12 +489,13 @@ def q_fetch_join(sf_dir: str):
     cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = joins.hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
                              num_partitions=8)
-    out = (joined.groupby("c_mktsegment")
-           .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
-           .to_pandas())
-    out["n_orders"] = out["n_orders"].astype(np.int64)
+    # combiner aggregate after the shuffle join: segment cardinality is
+    # tiny, so only per-block partials cross the wire
+    out = partial_groupby_agg(joined, ["c_mktsegment"],
+                                  {"n_orders": (None, "count"),
+                                   "revenue": ("o_totalprice", "sum")})
     out["revenue"] = out["revenue"].round(2)
-    return out
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
 # ===========================================================================
