@@ -1,0 +1,253 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+These pin the algebraic contracts the distributed design relies on —
+idempotence of canonicalization, model-equivalence of the seen filter,
+no-false-negatives of the cuckoo filter, the dedup winner rule, and
+frontier politeness/determinism — under randomized inputs, complementing
+the table-driven cases (SURVEY §5: the reference's test strategy is
+case-table-heavy; properties catch the corners tables miss).
+
+Pure-python units: no Ray session needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from cocrawler_ray import urls
+from cocrawler_ray.hashing import hash64, rand_for_surt
+from cocrawler_ray.stages.process import winner_indices
+from cocrawler_ray.state.frontier import FrontierPartition, _ranges
+from cocrawler_ray.state.seen import CuckooFilter, SeenPartition, _ExactSet
+
+# ---------------------------------------------------------------------------
+# URL canonicalizer: idempotence + scheme/host sanity
+# ---------------------------------------------------------------------------
+
+_hosts = st.from_regex(r"[a-z]{1,8}(\.[a-z]{2,6}){1,2}", fullmatch=True)
+_paths = st.lists(
+    st.sampled_from(["a", "b", "seg", ".", "..", "p%20q", "x.y"]),
+    max_size=5).map(lambda segs: "/" + "/".join(segs))
+_urls = st.builds(
+    lambda sch, h, port, path, q, frag: f"{sch}://{h}{port}{path}{q}{frag}",
+    st.sampled_from(["http", "https", "HTTP", "Https"]),
+    _hosts,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _paths,
+    st.sampled_from(["", "?q=1", "?a=b&c=d"]),
+    st.sampled_from(["", "#frag", "#"]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_urls, min_size=1, max_size=20))
+def test_canonicalize_idempotent(raws):
+    res = urls.canonicalize_batch(raws)
+    valid = res["valid"]
+    if not valid.any():
+        return
+    once = [str(u) for u in res["url"][valid]]
+    res2 = urls.canonicalize_batch(once)
+    assert res2["valid"].all(), "canonical output must re-validate"
+    assert list(res2["url"]) == once, "canonicalization must be idempotent"
+    assert list(res2["surt"]) == [str(s) for s in res["surt"][valid]]
+    assert list(res2["host"]) == [str(h) for h in res["host"][valid]]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_urls, min_size=1, max_size=20))
+def test_canonicalize_surt_host_consistent(raws):
+    res = urls.canonicalize_batch(raws)
+    for ok, u, s, h in zip(res["valid"], res["url"], res["surt"], res["host"]):
+        if not ok:
+            continue
+        assert u.startswith(("http://", "https://"))
+        # surt host = reversed, comma-joined, www-stripped host
+        hh = h[4:] if h.startswith("www.") else h
+        surt_host = s.split(")", 1)[0].split(":", 1)[0]
+        assert surt_host == ",".join(reversed(hh.split(".")))
+
+
+# ---------------------------------------------------------------------------
+# Seen filter: model equivalence vs a Python set (exact mode)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 400), min_size=0, max_size=120),
+                min_size=1, max_size=8))
+def test_seen_exact_matches_set_model(batches):
+    sp = SeenPartition(0, capacity=1 << 12, exact=True)
+    model: set[int] = set()
+    for batch in batches:
+        keys = np.array(batch, dtype=np.uint64)
+        got = sp.check_and_add(keys)
+        exp = np.zeros(len(keys), dtype=bool)
+        for i, k in enumerate(batch):
+            if k not in model:
+                model.add(k)
+                exp[i] = True
+        assert (got == exp).all()
+        if len(keys):
+            assert sp.contains(keys).all()
+    assert sp.size() == len(model)
+    # snapshot keys == model keys
+    snap = sp.snapshot().column("surt_hash").to_pylist()
+    assert sorted(snap) == sorted(model)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**63), min_size=1, max_size=300, unique=True))
+def test_exact_set_merge_boundary(keys):
+    """Force pending->base merges with a tiny threshold; membership must be
+    unaffected by internal layout."""
+    class _TinyMerge(_ExactSet):
+        __slots__ = ()
+        _MERGE_AT = 4
+
+    es = _ExactSet()
+    es_small = _TinyMerge()
+    arr = np.array(keys, dtype=np.uint64)
+    for i in range(0, len(arr), 7):
+        chunk = arr[i:i + 7]
+        es.add_new(chunk)
+        es_small.add_new(chunk)
+    probe = np.concatenate([arr, arr + np.uint64(1)])
+    assert (es.contains(probe) == es_small.contains(probe)).all()
+    assert len(es) == len(es_small) == len(arr)
+    assert (es.to_sorted() == es_small.to_sorted()).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=500,
+                unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    cf = CuckooFilter(2048)
+    arr = np.array(keys, dtype=np.uint64)
+    cf.insert_batch(arr)
+    assert cf.contains_batch(arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 300), min_size=1, max_size=80),
+                min_size=1, max_size=6))
+def test_seen_cuckoo_mode_never_readmits(batches):
+    """Cuckoo-only mode may DROP keys (false positives) but must never mark
+    the same key new twice — the at-most-once enqueue invariant."""
+    sp = SeenPartition(0, capacity=1 << 12, exact=False)
+    seen_new: set[int] = set()
+    for batch in batches:
+        keys = np.array(batch, dtype=np.uint64)
+        got = sp.check_and_add(keys)
+        for k, is_new in zip(batch, got):
+            if is_new:
+                assert k not in seen_new
+                seen_new.add(k)
+
+
+# ---------------------------------------------------------------------------
+# Dedup winner rule: vectorized winner_indices == pandas reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 12),          # dst index (forces collisions)
+              st.integers(0, 3),           # priority
+              st.integers(0, 8),           # src index
+              st.sampled_from(["embed", "href"])),
+    min_size=1, max_size=60))
+def test_winner_indices_matches_pandas_rule(rows):
+    t = pa.table({
+        "dst_surt": pa.array([f"com,d{d})/x" for d, _, _, _ in rows]),
+        "priority": pa.array([p for _, p, _, _ in rows], pa.int32()),
+        "src_surt": pa.array([f"com,s{s})/y" for _, _, s, _ in rows]),
+        "kind": pa.array([k for _, _, _, k in rows]),
+    })
+    h = hash64(t.column("dst_surt").to_pylist())
+    uniq_h, winner = winner_indices(t, h)
+    got = (t.take(pa.array(np.sort(winner), pa.int64())).to_pandas()
+           .sort_values("dst_surt").reset_index(drop=True))
+    df = t.to_pandas()
+    exp = (df.sort_values(["dst_surt", "priority", "src_surt", "kind"],
+                          kind="stable")
+             .drop_duplicates("dst_surt", keep="first")
+             .sort_values("dst_surt").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(uniq_h) == df["dst_surt"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# Frontier: politeness budget + determinism under append-order permutation
+# ---------------------------------------------------------------------------
+
+def _frontier_rows(surts, hosts, priorities):
+    n = len(surts)
+    return {
+        "surt": np.array(surts, dtype=object),
+        "url": np.array([f"http://{h}/{s}" for h, s in zip(hosts, surts)],
+                        dtype=object),
+        "host": np.array(hosts, dtype=object),
+        "priority": np.array(priorities, dtype=np.int32),
+        "rand": rand_for_surt(surts, seed=7),
+        "depth": np.zeros(n, dtype=np.int32),
+        "retries": np.zeros(n, dtype=np.int32),
+        "seed_id": np.full(n, -1, dtype=np.int64),
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40),     # page id
+                          st.integers(0, 4),      # host id
+                          st.integers(0, 3)),     # priority
+                min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       st.integers(1, 4),                          # budget per host
+       st.randoms())
+def test_frontier_budget_and_append_order_invariance(items, budget, rnd):
+    surts = [f"test,h{h})/p{p}" for p, h, _ in items]
+    hosts = [f"h{h}.test" for _, h, _ in items]
+    prios = [pr for _, _, pr in items]
+
+    f1 = FrontierPartition(0)
+    f1.append(_frontier_rows(surts, hosts, prios))
+    out1 = f1.drain(0, budget)
+
+    # same rows appended in shuffled order, in two chunks
+    idx = list(range(len(items)))
+    rnd.shuffle(idx)
+    cut = len(idx) // 2
+    f2 = FrontierPartition(0)
+    for part in (idx[:cut], idx[cut:]):
+        if part:
+            f2.append(_frontier_rows([surts[i] for i in part],
+                                     [hosts[i] for i in part],
+                                     [prios[i] for i in part]))
+    out2 = f2.drain(0, budget)
+
+    assert out1.column("surt").to_pylist() == out2.column("surt").to_pylist()
+
+    # politeness: at most `budget` rows per host
+    hc = pd.Series(out1.column("host").to_pylist()).value_counts()
+    assert (hc <= budget).all()
+
+    # drained rows are each host's best by (priority, rand, surt)
+    df = pd.DataFrame({"surt": surts, "host": hosts, "priority": prios,
+                       "rand": rand_for_surt(surts, seed=7)})
+    exp = (df.sort_values(["host", "priority", "rand", "surt"], kind="stable")
+             .groupby("host", sort=True).head(budget))
+    assert sorted(out1.column("surt").to_pylist()) == sorted(exp["surt"])
+
+    # conservation: drained + remaining == appended
+    assert out1.num_rows + f1.ready_count() == len(items)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 6)),
+                min_size=1, max_size=20))
+def test_ranges_matches_naive(pairs):
+    starts = np.array([s for s, _ in pairs], dtype=np.int64)
+    counts = np.array([c for _, c in pairs], dtype=np.int64)
+    got = _ranges(starts, counts)
+    exp = [s + j for s, c in pairs for j in range(c)]
+    assert got.tolist() == exp
