@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from cocrawler_ray.hashing import hash64, minhash_signatures
+from cocrawler_ray.hashing import hash64
 
 
 # -- exact ------------------------------------------------------------------
@@ -58,21 +58,85 @@ def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str = "text") -> rd.Datas
 
 # -- shingles / MinHash LSH -------------------------------------------------
 
+_POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for rolling combine
+
+
+def shingle_hash_batch(texts: list[str], k: int = 3
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated k-gram shingle hashes for a WHOLE batch + per-doc
+    counts (docs in order; empty docs contribute 0 shingles, docs with
+    1..k-1 tokens contribute 1).
+
+    Token hashes come from ONE vectorized hash64 call over the batch's
+    flattened tokens; a shingle hash is the rolling polynomial combination
+    of its k token hashes. The previous form built every shingle STRING and
+    called hash64 per document — per-doc pd.util.hash_array overhead made
+    the banding stage a per-row Python loop (~80 µs/doc)."""
+    tok_lists = [t.split() for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [w for toks in tok_lists for w in toks]
+    th = hash64(flat)
+    doc_offs = np.concatenate(([0], np.cumsum(lens)))
+    counts = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    out_offs = np.cumsum(counts) - counts
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        full = lens >= k   # vectorized main path: all length-k windows
+        if full.any():
+            starts = _concat_ranges(doc_offs[:-1][full], counts[full])
+            pos = _concat_ranges(out_offs[full], counts[full])
+            acc = np.zeros(len(starts), dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _POLY + th[starts + j]
+            out[pos] = acc
+        for d in np.flatnonzero((lens > 0) & ~full):  # rare short docs
+            acc = np.uint64(0)
+            for j in range(doc_offs[d], doc_offs[d + 1]):
+                acc = acc * _POLY + th[j]
+            out[out_offs[d]] = acc
+    return out, counts
+
+
+def _concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [start, start+count) ranges, vectorized."""
+    cts = counts.astype(np.int64)
+    total = int(cts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.repeat(np.cumsum(cts) - cts, cts)
+    within = np.arange(total, dtype=np.int64) - offs
+    return np.repeat(starts.astype(np.int64), cts) + within
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        return hash64([" ".join(toks)]) if toks else np.empty(0, dtype=np.uint64)
-    return np.unique(hash64([" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]))
+    """Distinct shingle hashes of one document (set semantics — the exact
+    Jaccard kernel). Single-doc view of shingle_hash_batch."""
+    sh, _ = shingle_hash_batch([text], k)
+    return np.unique(sh)
 
 
 def minhash_bands_batch(batch: pa.Table, id_col: str, text_col: str = "text",
                         num_perm: int = 64, bands: int = 16, k: int = 3) -> pa.Table:
     """Per-doc minhash -> (doc_id, band_id, band_hash) rows (exploded).
     rows_per_band = num_perm // bands; band_hash = hash of the band slice."""
+    from cocrawler_ray.hashing import _perm_constants
+
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    sh = [shingle_hashes(t, k) for t in texts]
-    sigs = minhash_signatures(sh, num_perm)  # (n, num_perm)
+    # batch shingles + per-permutation min via reduceat over doc segments —
+    # no per-doc Python. (Duplicate shingles don't change a min, so no
+    # per-doc unique is needed for MinHash.)
+    sh_concat, sh_counts = shingle_hash_batch(texts, k)
+    n_docs = len(texts)
+    a, b = _perm_constants(num_perm, seed=7)
+    sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nz = sh_counts > 0
+    if nz.any():
+        seg_offs = (np.cumsum(sh_counts) - sh_counts)[nz]
+        with np.errstate(over="ignore"):
+            for j in range(num_perm):
+                v = a[j] * sh_concat + b[j]
+                sigs[nz, j] = np.minimum.reduceat(v, seg_offs)
     r = num_perm // bands
     n = len(ids)
     band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
