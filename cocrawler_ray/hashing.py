@@ -69,6 +69,60 @@ def surt_partition(surts, num_parts: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Batch shingling (shared by MinHash banding, exact Jaccard, winnowing)
+# ---------------------------------------------------------------------------
+
+_POLY = _U64(0x100000001B3)  # FNV-ish odd multiplier for rolling combine
+
+
+def shingle_hash_batch(texts: list[str], k: int = 3
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated k-gram shingle hashes for a WHOLE batch + per-doc
+    counts (docs in order; empty docs contribute 0 shingles, docs with
+    1..k-1 tokens contribute 1 — the polynomial over all their tokens).
+
+    Token hashes come from ONE vectorized hash64 call over the batch's
+    flattened tokens; a shingle hash is the rolling polynomial combination
+    of its k token hashes. The previous form built every shingle STRING and
+    called hash64 per document — per-doc pd.util.hash_array overhead made
+    the shingling stages per-row Python loops (~80 µs/doc)."""
+    tok_lists = [t.split() for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [w for toks in tok_lists for w in toks]
+    th = hash64(flat)
+    doc_offs = np.concatenate(([0], np.cumsum(lens)))
+    counts = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    out_offs = np.cumsum(counts) - counts
+    out = np.empty(int(counts.sum()), dtype=_U64)
+    with np.errstate(over="ignore"):
+        full = lens >= k   # vectorized main path: all length-k windows
+        if full.any():
+            starts = concat_ranges(doc_offs[:-1][full], counts[full])
+            pos = concat_ranges(out_offs[full], counts[full])
+            acc = np.zeros(len(starts), dtype=_U64)
+            for j in range(k):
+                acc = acc * _POLY + th[starts + j]
+            out[pos] = acc
+        for d in np.flatnonzero((lens > 0) & ~full):  # rare short docs
+            acc = _U64(0)
+            for j in range(doc_offs[d], doc_offs[d + 1]):
+                acc = acc * _POLY + th[j]
+            out[out_offs[d]] = acc
+    return out, counts
+
+
+def concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [start, start+count) ranges, vectorized."""
+    cts = counts.astype(np.int64)
+    total = int(cts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.repeat(np.cumsum(cts) - cts, cts)
+    within = np.arange(total, dtype=np.int64) - offs
+    return np.repeat(starts.astype(np.int64), cts) + within
+
+
+# ---------------------------------------------------------------------------
 # MinHash (for near-dup dedup over text; SURVEY "training-data ops")
 # ---------------------------------------------------------------------------
 

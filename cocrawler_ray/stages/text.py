@@ -11,10 +11,9 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from cocrawler_ray.hashing import hash64, splitmix64
+from cocrawler_ray.hashing import splitmix64
 
 _WS = re.compile(r"\s+")
 
@@ -68,25 +67,48 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 5,
                       window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min-of-window over rolling
-    k-gram token hashes, xor-folded to one uint64 per document.
+    k-gram token hashes, distinct window-mins xor-folded (splitmix64) to
+    one uint64 per document. Docs with <= window shingles fingerprint to
+    their min shingle hash; empty docs to 0.
 
     (Schleimer et al., "Winnowing: Local Algorithms for Document
-    Fingerprinting", SIGMOD 2003 — public algorithm.)"""
+    Fingerprinting", SIGMOD 2003 — public algorithm.)
+
+    Fully batch-vectorized: shingles come from the shared
+    ``shingle_hash_batch`` kernel (one hash call for the whole batch),
+    window minima from one ``sliding_window_view`` pass over the
+    concatenated shingle array with per-doc valid ranges gathered out,
+    and the distinct-xor fold from a (doc, min) lexsort + reduceat. The
+    previous per-doc loop (one pd rolling + one hash64 call per doc,
+    ~550 µs/doc) was the slowest text kernel."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from cocrawler_ray.hashing import concat_ranges, shingle_hash_batch
+
     texts = batch.column(text_col).to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if len(toks) < k:
-            out[i] = hash64([t])[0] if t else np.uint64(0)
-            continue
-        grams = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
-        h = hash64(grams)
-        if len(h) <= window:
-            out[i] = h.min()
-        else:
-            mins = pd.Series(h).rolling(window).min().dropna().to_numpy(dtype=np.uint64)
-            fp = np.uint64(0)
-            for m in np.unique(mins):
-                fp ^= splitmix64(np.array([m], dtype=np.uint64))[0]
-            out[i] = fp
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    sh, counts = shingle_hash_batch(texts, k)
+    offs = np.cumsum(counts) - counts
+    nz = counts > 0
+    if nz.any():
+        # per-doc overall min (reduceat over nonzero docs is contiguous:
+        # zero-count docs contribute no shingles)
+        doc_min = np.zeros(n, dtype=np.uint64)
+        doc_min[nz] = np.minimum.reduceat(sh, offs[nz])
+        small = nz & (counts <= window)
+        out[small] = doc_min[small]
+    big = counts > window
+    if big.any():
+        gmins = sliding_window_view(sh, window).min(axis=1)
+        wcounts = counts[big] - window + 1
+        wmins = gmins[concat_ranges(offs[big], wcounts)]
+        wdoc = np.repeat(np.flatnonzero(big), wcounts)
+        order = np.lexsort((wmins, wdoc))
+        wd, wm = wdoc[order], wmins[order]
+        keep = np.concatenate(([True], (wd[1:] != wd[:-1]) | (wm[1:] != wm[:-1])))
+        wd, wm = wd[keep], wm[keep]
+        doc_starts = np.flatnonzero(
+            np.concatenate(([True], wd[1:] != wd[:-1])))
+        out[wd[doc_starts]] = np.bitwise_xor.reduceat(splitmix64(wm), doc_starts)
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))

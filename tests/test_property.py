@@ -243,6 +243,36 @@ def test_frontier_budget_and_append_order_invariance(items, budget, rnd):
 
 
 @settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "bb", "w1", "tok", "zz9"]),
+                         max_size=40), min_size=1, max_size=12))
+def test_fingerprint_matches_per_doc_reference(token_lists):
+    """Batch-vectorized winnowing fingerprint == the per-doc definition
+    (exact uint64 window minima, distinct-min xor fold)."""
+    from cocrawler_ray.hashing import shingle_hash_batch, splitmix64
+    from cocrawler_ray.stages.text import fingerprint_batch
+
+    texts = [" ".join(toks) for toks in token_lists]
+    k, window = 5, 8
+
+    def ref(text):
+        sh, c = shingle_hash_batch([text], k)
+        if c[0] == 0:
+            return 0
+        if c[0] <= window:
+            return int(sh.min())
+        mins = np.array([sh[j:j + window].min()
+                         for j in range(len(sh) - window + 1)], dtype=np.uint64)
+        fp = np.uint64(0)
+        for m in np.unique(mins):
+            fp ^= splitmix64(np.array([m], dtype=np.uint64))[0]
+        return int(fp)
+
+    got = (fingerprint_batch(pa.table({"text": texts}))
+           .column("fingerprint").to_pylist())
+    assert got == [ref(t) for t in texts]
+
+
+@settings(max_examples=60, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 6)),
                 min_size=1, max_size=20))
 def test_ranges_matches_naive(pairs):
