@@ -199,11 +199,28 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
 # -- SimHash ----------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table, id_col: str, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash per document + 4x16-bit band keys for blocking."""
-    from cocrawler_ray.hashing import simhash64
+    """64-bit SimHash per document + 4x16-bit band keys for blocking.
+
+    Batch-vectorized: ONE hash64 call over the batch's flattened tokens,
+    then 64 per-bit ±1 reduceat sums over doc segments (bounded memory —
+    a (tokens x 64) ±1 matrix would be hundreds of MB per batch). Same
+    definition as hashing.simhash64 per doc (property-tested)."""
     texts = batch.column(text_col).to_pylist()
-    hs = np.array([simhash64(hash64(t.split())) if t.split() else 0 for t in texts],
-                  dtype=np.uint64)
+    tok_lists = [t.split() for t in texts]
+    lens = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    flat = [w for toks in tok_lists for w in toks]
+    th = hash64(flat)
+    n = len(texts)
+    offs = np.cumsum(lens) - lens
+    nz = lens > 0
+    hs = np.zeros(n, dtype=np.uint64)
+    if nz.any():
+        seg = offs[nz]   # contiguous: zero-token docs contribute nothing
+        one = np.uint64(1)
+        for i in range(64):
+            bit = ((th >> np.uint64(i)) & one).astype(np.int64) * 2 - 1
+            pos = np.add.reduceat(bit, seg) > 0
+            hs[nz] |= pos.astype(np.uint64) << np.uint64(i)
     out = pa.table({id_col: batch.column(id_col)})
     out = out.append_column("simhash", pa.array(hs.astype(np.int64).view(np.int64)))
     for b in range(4):
