@@ -1,0 +1,124 @@
+"""CLI entry point — the Ray-native analogue of the reference's ``crawl.py``.
+
+The reference is launched as ``crawl.py --configfile config.yml --config
+Crawl.MaxDepth:3 --load savefile`` (SURVEY §3.1/§3.2). Ours:
+
+    python -m cocrawler_ray --seeds seeds.txt --web-dir CORPUS --out OUT \\
+        [--config max_depth:3 --config num_parts:32 ...] [--resume] \\
+        [--write-logs] [--checkpoint-every N] [--num-cpus N]
+
+and is ``ray job submit``-compatible (north_rule): on a cluster, submit
+with ``ray job submit --working-dir . -- python -m cocrawler_ray ...`` —
+the CLI attaches to the running cluster (``ray.init()`` auto-detects; a
+local session is created when standalone). The library itself never calls
+ray.init; only this CLI, bench.py and the test fixture own a session.
+
+Inputs:
+- ``--seeds``: text file of seed URLs/hosts (seeds.py::expand_seeds_batch
+  semantics — blank lines and # comments ignored).
+- ``--web-dir``: directory holding the Lance-shaped ``web`` and
+  ``web_html`` Parquet tables (the sandbox's synthetic "network";
+  ``python -m cocrawler_ray --gen-corpus`` writes one). A real-web
+  deployment swaps FetcherPartition's table lookup for an HTTP pool.
+- ``--robots``: optional Parquet file/dir with (host, body) robots.txt
+  rows; omitted = allow-all.
+
+Output: the partitioned Parquet tables under --out (fetched cells,
+checkpoints, metrics, manifest) + a one-line JSON summary on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m cocrawler_ray",
+        description="Ray-Data-native crawl over a Lance-shaped web corpus")
+    ap.add_argument("--seeds", help="seed list file (one URL/host per line)")
+    ap.add_argument("--web-dir", help="corpus dir with web/ + web_html/ parquet")
+    ap.add_argument("--robots", help="optional (host, body) robots parquet")
+    ap.add_argument("--out", default="/tmp/cocrawler_ray_out")
+    ap.add_argument("--config", action="append", default=[],
+                    metavar="KEY:VALUE",
+                    help="CrawlConfig override, e.g. max_depth:3 (repeatable)")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the newest complete checkpoint under --out")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--write-logs", action="store_true",
+                    help="export crawllog/robotslog after the crawl")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="CPUs for a standalone local session (ignored when "
+                         "attached to a cluster)")
+    ap.add_argument("--gen-corpus", nargs=3, metavar=("HOSTS", "PAGES", "DIR"),
+                    help="generate a deterministic synthetic corpus and exit")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.gen_corpus:
+        from cocrawler_ray import synth
+
+        hosts, pages, out_dir = (int(args.gen_corpus[0]),
+                                 int(args.gen_corpus[1]), args.gen_corpus[2])
+        synth.write_web_dataset(out_dir, hosts, pages, seed=42)
+        print(json.dumps({"corpus": out_dir, "hosts": hosts, "pages": pages}))
+        return 0
+
+    if not args.seeds or not args.web_dir:
+        build_parser().error("--seeds and --web-dir are required (or --gen-corpus)")
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if not ray.is_initialized():   # standalone; ray job submit attaches
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+
+    from cocrawler_ray.config import CrawlConfig
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+
+    web = pq.read_table(f"{args.web_dir}/web")
+    html = pq.read_table(f"{args.web_dir}/web_html")
+    robots_bodies: dict[str, str] = {}
+    if args.robots:
+        rt = pq.read_table(args.robots)
+        robots_bodies = dict(zip(rt.column("host").to_pylist(),
+                                 rt.column("body").to_pylist()))
+    seed_lines = [ln for ln in open(args.seeds).read().splitlines()]
+
+    cfg = CrawlConfig.from_overrides(
+        *args.config, out_dir=args.out,
+        checkpoint_every=args.checkpoint_every)
+    job = CrawlJob(cfg, web, html, robots_bodies)
+
+    resumed_from = None
+    if args.resume:
+        resumed_from = job.restore_latest()
+    t0 = time.perf_counter()
+    if resumed_from is None:
+        res = job.run(seed_lines)
+    else:
+        res = job.run()   # frontier/seen restored; no re-seeding
+    wall = time.perf_counter() - t0
+
+    summary = {"gens": res["gens"], "fetched": res["fetched"],
+               "appended": res["appended"], "wall_s": round(wall, 3),
+               "pages_per_sec": round(res["fetched"] / max(wall, 1e-9), 1),
+               "out": args.out, "resumed_from_gen": resumed_from}
+    if args.write_logs:
+        summary["logs"] = job.write_logs()
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
