@@ -107,6 +107,40 @@ def test_url_budget(ray_session, corpus, tmp_path):
     assert 0 < fetched.num_rows <= 17 + 3 * 3
 
 
+def test_hot_host_skew(ray_session, tmp_path):
+    """North-rule skew handling: on a Zipf corpus whose head host dominates,
+    per-(gen, host) fetches never exceed the politeness budget, the hot-host
+    backlog metric fires, and ordering still matches the oracle."""
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+
+    web, html = synth.gen_web_tables(num_hosts=5, num_pages=250, seed=7)
+    seeds = synth.gen_seed_lines(5, 250, num_seeds=10, seed=7)
+    cfg = CrawlConfig(out_dir=str(tmp_path), num_parts=4, budget_per_host=4,
+                      max_depth=8, max_gens=40, seed=7, hot_host_threshold=5)
+    job = CrawlJob(cfg, web, html, {})
+    job.run(seeds)
+
+    fetched = job.fetched_table()
+    df = fetched.to_pandas()
+    per = df.groupby(["gen", "host"]).size()
+    assert (per <= 4).all(), "politeness budget violated under skew"
+    assert df["host"].value_counts().iloc[0] > df["host"].value_counts().iloc[-1]
+
+    m = job.storage.read_table("metrics").to_pandas()
+    assert m["name"].str.startswith("hot_host.").any(), \
+        "hot-host backlog metric did not fire"
+
+    ids = web.column("image_id").to_pylist()
+    urls_ = [f"http://{i[:5]}.test/{i[6:]}" for i in ids]
+    oc = OracleCrawler(set(urls_),
+                       dict(zip(urls_, html.column("html").to_pylist())), {},
+                       budget_per_host=4, max_depth=8, max_gens=40, seed=7)
+    oc.add_seeds(seeds)
+    oc.run()
+    assert engine_ordering(fetched) == oc.ordering()
+    assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
+
+
 def test_crawl_conformance_ray_data_path(ray_session, corpus, tmp_path):
     """The huge-wave Ray Data pipeline path must produce byte-identical
     results to the fused per-actor path (they share the same kernels but
