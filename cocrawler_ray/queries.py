@@ -605,8 +605,30 @@ def q_quality_score(sf_dir: str):
                          batch_format="pyarrow"))
 
 
-@_q("q_langid")  # heuristic — rows-only check
+@_q("q_langid", """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(list_slice(regexp_split_to_array(lower(text), '\\s+'),
+                                  1, 200)) AS tk
+  FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+    len(list_intersect(tk, ['the','and','of','a','to','in','is','it','for','on'])) AS s_en,
+    len(list_intersect(tk, ['der','die','das','und','ist','ein','nicht','mit','zu'])) AS s_de,
+    len(list_intersect(tk, ['le','la','les','et','est','un','une','pas','pour'])) AS s_fr,
+    len(list_intersect(tk, ['el','la','los','y','es','un','una','no','para'])) AS s_es
+  FROM toks)
+SELECT doc_id, lang,
+  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM scores
+""")
 def q_langid(sf_dir: str):
+    # stopword-vote language ID; the SQL mirrors the distinct-stopword vote
+    # with earliest-max tie-breaking (declaration order en,de,fr,es)
     return (read(sf_dir, "documents", ["doc_id", "text", "lang"])
             .map_batches(textops.langid_batch, batch_format="pyarrow")
             .map_batches(lambda t: t.select(["doc_id", "lang", "lang_pred"]),
