@@ -152,6 +152,32 @@ def test_crawl_conformance_ray_data_path(ray_session, corpus, tmp_path):
     assert engine_ordering(fetched) == oc.ordering()
 
 
+def test_ray_data_path_replica_cache_not_stale(ray_session, corpus, tmp_path):
+    """Two sequential jobs over DIFFERENT corpora in the same Ray session,
+    both forced down the Ray Data path: the worker-process replica cache
+    (keyed by broadcast refs) must serve each job ITS corpus — a stale hit
+    would fetch the first corpus's pages for the second job."""
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+
+    for i, (hosts, pages) in enumerate([(6, 60), (9, 90)]):
+        web, html = synth.gen_web_tables(num_hosts=hosts, num_pages=pages,
+                                         seed=100 + i)
+        seeds = synth.gen_seed_lines(hosts, pages, num_seeds=6, seed=100 + i)
+        cfg = CrawlConfig(out_dir=str(tmp_path / f"j{i}"), num_parts=3,
+                          budget_per_host=5, max_depth=4, max_gens=10,
+                          seed=100 + i, actor_path_max_rows=0)
+        job = CrawlJob(cfg, web, html, {})
+        res = job.run(seeds)
+        assert res["fetched"] > 0
+        fetched = job.fetched_table()
+        valid_ids = set(web.column("image_id").to_pylist())
+        got_ids = {r for r, s in zip(fetched.column("image_id").to_pylist(),
+                                     fetched.column("status").to_pylist())
+                   if s == 200}
+        assert got_ids <= valid_ids and got_ids, \
+            "Ray Data path fetched rows from a stale corpus replica"
+
+
 def test_all_denied_batch(ray_session, corpus, tmp_path):
     """Regression: a drain block whose rows are ALL robots-denied must not
     crash the fused process stage (pa.concat_tables([]) guard)."""
