@@ -1,0 +1,497 @@
+"""DuckDB SQL mirrors for the hash/sketch conformance queries.
+
+The sketch operators (MinHash-LSH, SimHash, winnowing fingerprint) and the
+pruned ANN paths hash open-vocabulary text with a siphash-based string hash
+that SQL cannot restate, so their round-1 correctness rows were rows-only.
+This module closes that gap with the repo's established two-implementation
+oracle pattern (queries.py module doc): both sides CONSTRUCT the same
+deterministic input from integer formulas, the Ray side runs the REAL
+operator (dedup.minhash_lsh_pairs, dedup.simhash_batch,
+text.fingerprint_batch, similarity.lsh_topk/ivf_topk_seeded, the multimodal
+actor stages), and the SQL side recomputes the expected result analytically:
+
+- Text ops draw tokens from a fixed 64-word vocabulary whose hash64 values
+  are computed HERE (same pd.util.hash_array call as the engine) and
+  embedded in the SQL as HUGEINT literals. All uint64 arithmetic
+  (rolling-polynomial shingles, (a*x+b) mod 2^64 MinHash permutations,
+  splitmix64, FNV band folds) is restated exactly in SQL over HUGEINT with
+  explicit mod-2^64 split multiplies and 32-bit-half XORs.
+- Image/audio/video payloads come from pure integer pixel/byte formulas
+  (no RNG), encoded with the real codecs on the Ray side; the SQL
+  regenerates pixels via generate_series and states decode stats, resize
+  bytes (sha256 of the hex string), frame slices and window features with
+  integer-exact arithmetic (block sizes are powers of two, so every mean
+  is a dyadic rational that float64 represents exactly — bit-equal on both
+  sides with no rounding ambiguity).
+- ANN bucketing is integer-exact by design: LSH uses Rademacher (+-1)
+  hyperplanes against floor(v*1000+0.5)-quantized vectors, IVF assigns by
+  integer squared-L2 to stride-seeded centroids, so bucket membership can
+  never drift between numpy and SQL float kernels; only the final cosine
+  ranking is float (round-6, the pattern q_ann_cosine already validates).
+
+Everything here is generated SQL text — no DuckDB import, no execution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cocrawler_ray.hashing import _perm_constants, hash64, splitmix64
+
+M64 = 1 << 64
+H32 = 1 << 32
+POLY = 0x100000001B3           # hashing._POLY rolling-shingle multiplier
+SM_C1 = 0x9E3779B97F4A7C15     # splitmix64 constants
+SM_C2 = 0xBF58476D1CE4E5B9
+SM_C3 = 0x94D049BB133111EB
+
+VOCAB = [f"w{i:02d}" for i in range(64)]
+VOCAB_H = [int(h) for h in hash64(VOCAB)]
+
+
+# ---------------------------------------------------------------------------
+# uint64 arithmetic fragments (HUGEINT carries values in [0, 2^64))
+# ---------------------------------------------------------------------------
+
+def mulmod(a: str, b: int) -> str:
+    """(a * b) mod 2^64 for a HUGEINT expr in [0,2^64) and a constant b."""
+    if b < (1 << 62):  # product < 2^126 fits HUGEINT directly
+        return f"((({a}) * {b}::HUGEINT) % {M64})"
+    bhi, blo = b >> 32, b & 0xFFFFFFFF
+    return (f"(((({a}) * {bhi}::HUGEINT % {H32}) * {H32}"
+            f" + ({a}) * {blo}::HUGEINT) % {M64})")
+
+
+def xor64(a: str, b: str) -> str:
+    """Bitwise XOR of two HUGEINT exprs in [0,2^64) via 32-bit halves."""
+    return (f"(xor(CAST(({a}) // {H32} AS BIGINT), CAST(({b}) // {H32} AS BIGINT))::HUGEINT * {H32}"
+            f" + xor(CAST(({a}) % {H32} AS BIGINT), CAST(({b}) % {H32} AS BIGINT))::HUGEINT)")
+
+
+def shr(a: str, k: int) -> str:
+    return f"(({a}) // {1 << k})"
+
+
+def to_i64(a: str) -> str:
+    """Reinterpret a [0,2^64) HUGEINT as signed int64 (two's complement)."""
+    return (f"CAST(CASE WHEN ({a}) >= {1 << 63} THEN ({a}) - {M64}"
+            f" ELSE ({a}) END AS BIGINT)")
+
+
+def splitmix_ctes(src: str, carry: str, x: str, out: str, pfx: str) -> tuple[str, str]:
+    """CTE chain computing out = splitmix64(x) from CTE `src`, carrying
+    columns `carry` through. Returns (sql_fragment, final_cte_name)."""
+    z1 = f"(({x}) + {SM_C1}) % {M64}"
+    s1 = f"{pfx}_a AS (SELECT {carry}, {mulmod(xor64('z1', shr('z1', 30)), SM_C2)} AS z2 FROM (SELECT {carry}, {z1} AS z1 FROM {src}))"
+    s2 = f"{pfx}_b AS (SELECT {carry}, {mulmod(xor64('z2', shr('z2', 27)), SM_C3)} AS z3 FROM {pfx}_a)"
+    s3 = f"{pfx}_c AS (SELECT {carry}, {xor64('z3', shr('z3', 31))} AS {out} FROM {pfx}_b)"
+    return ",\n".join([s1, s2, s3]), f"{pfx}_c"
+
+
+def _vocab_values() -> str:
+    """VALUES table vocab(idx, h HUGEINT, bits VARCHAR) — bits is the
+    64-char LSB-first bit string of h (simhash bit extraction)."""
+    rows = []
+    for i, h in enumerate(VOCAB_H):
+        bits = "".join("1" if (h >> b) & 1 else "0" for b in range(64))
+        rows.append(f"({i}, {h}::HUGEINT, '{bits}')")
+    return "(VALUES " + ", ".join(rows) + ") v(idx, h, bits)"
+
+
+# ---------------------------------------------------------------------------
+# Constructed text corpora (Python builders — the Ray side runs the REAL
+# operators over these; each SQL generator restates the same formula)
+# ---------------------------------------------------------------------------
+
+def minhash_text(d: int) -> str:
+    """Clustered near-dup corpus: 4 docs per cluster sharing ~90% of a
+    12..28-token sequence; variant positions differ per doc."""
+    c = d // 4
+    length = 12 + (c * 3) % 17
+    words = []
+    for j in range(length):
+        base = (c * 7 + j * 11 + (j * j) % 13) % 64
+        idx = (base + 1 + d % 5) % 64 if (j + d) % 12 == 0 else base
+        words.append(VOCAB[idx])
+    return " ".join(words)
+
+
+def simhash_text(d: int) -> str:
+    """Periodic tokens (period 7 — exercises occurrence weighting); every
+    13th doc is empty (simhash 0 path)."""
+    if d % 13 == 0:
+        return ""
+    length = 8 + (d * 5) % 13
+    return " ".join(VOCAB[(d * 3 + (j % 7) * 9) % 64] for j in range(length))
+
+
+def fingerprint_text(d: int) -> str:
+    """Length mix covering all fingerprint paths: empty (0), 2 tokens
+    (single sub-k shingle), 12..28 tokens (min-shingle and winnowing)."""
+    m = d % 11
+    length = 0 if m == 0 else (2 if m == 1 else 12 + (d * 3) % 17)
+    return " ".join(VOCAB[(d * 7 + j * 11 + (j * j) % 13) % 64] for j in range(length))
+
+
+def _toks_cte(idx_expr_sql: str, len_expr_sql: str, where: str = "") -> str:
+    """ids + exploded (d, j, h, bits) token table from the documents view."""
+    return f"""ids AS (SELECT doc_id AS d FROM documents),
+vocab AS (SELECT * FROM {_vocab_values()}),
+jj AS (SELECT d, unnest(generate_series(0, ({len_expr_sql}) - 1)) AS j
+       FROM ids{where}),
+toks AS (SELECT jj.d, jj.j, v.h, v.bits
+         FROM jj JOIN vocab v ON v.idx = ({idx_expr_sql}))"""
+
+
+# ---------------------------------------------------------------------------
+# q_simhash oracle
+# ---------------------------------------------------------------------------
+
+def simhash_sql() -> str:
+    # signed bit contribution for simhash value; unsigned 2^(i%16) for bands
+    contrib = ", ".join(
+        f"({i}, ({(1 << i) if i < 63 else -(1 << 63)})::BIGINT, {1 << (i % 16)}::BIGINT)"
+        for i in range(64))
+    return f"""
+WITH {_toks_cte("(jj.d*3 + (jj.j%7)*9) % 64", "8 + (d*5) % 13", " WHERE d % 13 <> 0")},
+bitn AS (SELECT * FROM (VALUES {contrib}) c(i, contrib, bcontrib)),
+votes AS (
+  SELECT t.d, b.i, b.contrib, b.bcontrib,
+         sum(CASE WHEN substring(t.bits, b.i + 1, 1) = '1' THEN 1 ELSE -1 END) AS s
+  FROM toks t CROSS JOIN bitn b GROUP BY t.d, b.i, b.contrib, b.bcontrib),
+vals AS (
+  SELECT d,
+         CAST(sum(CASE WHEN s > 0 THEN contrib ELSE 0 END) AS BIGINT) AS simhash,
+         CAST(sum(CASE WHEN s > 0 AND i BETWEEN  0 AND 15 THEN bcontrib ELSE 0 END) AS BIGINT) AS band0,
+         CAST(sum(CASE WHEN s > 0 AND i BETWEEN 16 AND 31 THEN bcontrib ELSE 0 END) AS BIGINT) AS band1,
+         CAST(sum(CASE WHEN s > 0 AND i BETWEEN 32 AND 47 THEN bcontrib ELSE 0 END) AS BIGINT) AS band2,
+         CAST(sum(CASE WHEN s > 0 AND i BETWEEN 48 AND 63 THEN bcontrib ELSE 0 END) AS BIGINT) AS band3
+  FROM votes GROUP BY d)
+SELECT d AS doc_id, simhash, band0, band1, band2, band3 FROM vals
+UNION ALL
+SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_fingerprint oracle
+# ---------------------------------------------------------------------------
+
+def fingerprint_sql(k: int = 5, window: int = 8) -> str:
+    # rolling k-gram: acc = acc*POLY + h (mod 2^64), h0..h{k-1} via lead()
+    leads = ", ".join(f"lead(h, {j}) OVER w AS h{j}" for j in range(1, k))
+    acc = "h0"
+    for j in range(1, k):
+        acc = f"(({mulmod(acc, POLY)}) + h{j}) % {M64}"
+    sm, sm_final = splitmix_ctes("sel", "d", "m", "sm", "smx")
+    return f"""
+WITH {_toks_cte("(jj.d*7 + jj.j*11 + (jj.j*jj.j) % 13) % 64",
+                "CASE d % 11 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 12 + (d*3) % 17 END")},
+base AS (SELECT d, j, h AS h0, {leads}
+         FROM toks WINDOW w AS (PARTITION BY d ORDER BY j)),
+shfull AS (SELECT d, j AS i, {acc} AS s FROM base WHERE h{k - 1} IS NOT NULL),
+shshort AS (  -- docs with 0 < n_tokens < k: one shingle over all tokens
+  SELECT d, 0 AS i,
+         list_reduce(list(h ORDER BY j), (a, b) -> (a * {POLY} + b) % {M64}) AS s
+  FROM toks GROUP BY d HAVING count(*) < {k}),
+sh AS (SELECT * FROM shfull UNION ALL SELECT * FROM shshort),
+cnt AS (SELECT d, count(*) AS n, min(s) AS mn FROM sh GROUP BY d),
+wm AS (SELECT d, i, min(s) OVER (PARTITION BY d ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+           count(*) OVER (PARTITION BY d) AS n
+       FROM sh),
+sel AS (SELECT DISTINCT d, m FROM wm WHERE n > {window} AND i <= n - {window}),
+{sm},
+folded AS (SELECT d,
+             bit_xor(CAST(sm // {H32} AS BIGINT)) AS xhi,
+             bit_xor(CAST(sm % {H32} AS BIGINT)) AS xlo
+           FROM {sm_final} GROUP BY d),
+fp AS (
+  SELECT d, {to_i64(f"(xhi::HUGEINT * {H32} + xlo::HUGEINT)")} AS fingerprint FROM folded
+  UNION ALL
+  SELECT d, {to_i64('mn')} FROM cnt WHERE n <= {window}
+  UNION ALL
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 11 = 0)
+SELECT d AS doc_id, fingerprint FROM fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_dedup oracle
+# ---------------------------------------------------------------------------
+
+def minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
+                threshold: float = 0.5) -> str:
+    a, b = _perm_constants(num_perm, seed=7)
+    perm_rows = ", ".join(f"({p}, {int(a[p]) >> 32}, {int(a[p]) & 0xFFFFFFFF}, {int(b[p])}::HUGEINT)"
+                          for p in range(num_perm))
+    acc = "h0"
+    for j in range(1, k):
+        acc = f"(({mulmod(acc, POLY)}) + h{j}) % {M64}"
+    leads = ", ".join(f"lead(h, {j}) OVER w AS h{j}" for j in range(1, k))
+    r = num_perm // bands
+    bh = "l[1]"
+    for j in range(2, r + 1):
+        bh = xor64(mulmod(bh, POLY), f"l[{j}]")
+    return f"""
+WITH {_toks_cte(
+        "CASE WHEN (jj.j + jj.d) % 12 = 0 "
+        "THEN (((jj.d//4)*7 + jj.j*11 + (jj.j*jj.j) % 13) % 64 + 1 + jj.d % 5) % 64 "
+        "ELSE ((jj.d//4)*7 + jj.j*11 + (jj.j*jj.j) % 13) % 64 END",
+        "12 + ((d//4)*3) % 17")},
+base AS (SELECT d, j, h AS h0, {leads}
+         FROM toks WINDOW w AS (PARTITION BY d ORDER BY j)),
+sh AS (SELECT d, {acc} AS s FROM base WHERE h{k - 1} IS NOT NULL),
+perms AS (SELECT * FROM (VALUES {perm_rows}) p(p, ahi, alo, badd)),
+sigs AS (
+  SELECT s.d, p.p,
+         min((((s.s * p.ahi % {H32}) * {H32} + s.s * p.alo) % {M64} + p.badd) % {M64}) AS sig
+  FROM sh s CROSS JOIN perms p GROUP BY s.d, p.p),
+bl AS (SELECT d, p // {r} AS band, list(sig ORDER BY p) AS l
+       FROM sigs GROUP BY d, p // {r}),
+mem AS (SELECT d, band, {bh} AS bh FROM bl),
+hot AS (SELECT band, bh FROM mem GROUP BY band, bh HAVING count(*) >= 2),
+pairs AS (SELECT DISTINCT m1.d AS doc_a, m2.d AS doc_b
+          FROM hot JOIN mem m1 USING (band, bh) JOIN mem m2 USING (band, bh)
+          WHERE m1.d < m2.d),
+shsets AS (SELECT d, list_distinct(list(s)) AS ss FROM sh GROUP BY d),
+jac AS (SELECT p.doc_a, p.doc_b,
+               ROUND(len(list_intersect(sa.ss, sb.ss)) * 1.0 /
+                     len(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
+        FROM pairs p JOIN shsets sa ON sa.d = p.doc_a
+                     JOIN shsets sb ON sb.d = p.doc_b)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: Rademacher hyperplanes + integer quantization (shared with engine)
+# ---------------------------------------------------------------------------
+
+QUANT = 1000
+
+
+def rademacher_planes(n_bits: int, dim: int, seed: int = 17) -> np.ndarray:
+    """Deterministic +-1 hyperplanes: sign of splitmix64 bit 20."""
+    idx = (np.arange(n_bits * dim, dtype=np.uint64)
+           + np.uint64(seed * 2_654_435_761))
+    bits = (splitmix64(idx) >> np.uint64(20)) & np.uint64(1)
+    return (bits.astype(np.int64) * 2 - 1).reshape(n_bits, dim)
+
+
+def quantize_vecs(M: np.ndarray) -> np.ndarray:
+    """floor(v*1000 + 0.5) in float64 — bit-identical to the SQL mirror."""
+    return np.floor(M.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+
+
+def _quant_sql(col: str) -> str:
+    return (f"list_transform(CAST({col} AS DOUBLE[]), "
+            f"x -> CAST(floor(x * {QUANT} + 0.5) AS BIGINT))")
+
+
+def ann_lsh_sql(n_bits: int = 6, dim: int = 64, k: int = 10,
+                probe_hamming: int = 1, seed: int = 17) -> str:
+    planes = rademacher_planes(n_bits, dim, seed)
+    bit_exprs = []
+    for bi in range(n_bits):
+        lit = "[" + ", ".join(f"{v}.0" for v in planes[bi]) + "]"
+        bit_exprs.append(
+            f"CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), {lit}) > 0 THEN 1 ELSE 0 END AS b{bi}")
+    ham = " + ".join(f"abs(e.b{i} - qq.b{i})" for i in range(n_bits))
+    bits = ", ".join(bit_exprs)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_quant_sql('embedding')} AS q
+           FROM embeddings),
+keyed AS (SELECT vec_id, v, {bits} FROM e),
+qq AS (SELECT * FROM keyed WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.v FROM keyed e, qq WHERE {ham} <= {probe_hamming})
+SELECT c.vec_id,
+       ROUND(list_cosine_similarity(c.v, (SELECT v FROM qq)), 6) AS sim
+FROM cand c ORDER BY sim DESC, vec_id LIMIT {k}
+"""
+
+
+def ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 10) -> str:
+    d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"
+          " - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))"
+          " + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_quant_sql('embedding')} AS q
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {stride} = 1),
+assign AS (
+  SELECT a.vec_id, c.cid, {d2} AS d2
+  FROM e a CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2, c.cid) = 1),
+qprobe AS (
+  SELECT c.cid FROM e a CROSS JOIN cent c WHERE a.vec_id = 0
+  ORDER BY {d2}, c.cid LIMIT {nprobe}),
+cand AS (SELECT e.vec_id, e.v FROM e
+         JOIN assign s ON s.vec_id = e.vec_id
+         WHERE s.cid IN (SELECT cid FROM qprobe))
+SELECT c.vec_id,
+       ROUND(list_cosine_similarity(c.v, (SELECT v FROM e WHERE vec_id = 0)), 6) AS sim
+FROM cand c ORDER BY sim DESC, vec_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal formula corpora (pure integer pixels/bytes — no RNG)
+# ---------------------------------------------------------------------------
+
+N_IMAGES = 64
+N_PAYLOADS = 32
+PAYLOAD_LEN = 1024
+
+
+def image_dims(d: int) -> tuple[int, int]:
+    return 16 * (1 + d % 2), 16 * (1 + (d // 2) % 2)  # (w, h), both 8-divisible
+
+
+def formula_image(d: int) -> np.ndarray:
+    """(h, w, 3) uint8 — pixel = integer formula of (d, x, y, ch)."""
+    w, h = image_dims(d)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for ch in range(3):
+        img[:, :, ch] = ((x * 3 + y * 5 + ch * 11 + d * 17
+                          + ((x * y + d) % 31) * 7) % 256).astype(np.uint8)
+    return img
+
+
+def conformance_images(n: int = N_IMAGES):
+    """Arrow web-schema table of formula images (real codec encode)."""
+    import pyarrow as pa
+
+    from cocrawler_ray import codecs
+    ids, data, ws, hs, fmts = [], [], [], [], []
+    for d in range(n):
+        w, h = image_dims(d)
+        fmt = codecs.FORMATS[d % 3]
+        ids.append(f"img{d:04d}")
+        data.append(codecs.encode(formula_image(d), fmt))
+        ws.append(w); hs.append(h); fmts.append(fmt)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(data, pa.binary()),
+        "w": pa.array(np.array(ws, dtype=np.int32)),
+        "h": pa.array(np.array(hs, dtype=np.int32)),
+        "fmt": pa.array(fmts, pa.string()),
+    })
+
+
+def formula_payload(d: int, length: int = PAYLOAD_LEN) -> bytes:
+    i = np.arange(length, dtype=np.int64)
+    return ((d * 31 + i * 7 + ((i * i) % 97) * 5) % 256).astype(np.uint8).tobytes()
+
+
+def conformance_payloads(n: int = N_PAYLOADS):
+    import pyarrow as pa
+    return pa.table({
+        "image_id": pa.array([f"img{d:04d}" for d in range(n)], pa.string()),
+        "bytes": pa.array([formula_payload(d) for d in range(n)], pa.binary()),
+    })
+
+
+_PIXEL_SQL = "(x*3 + y*5 + ch*11 + d*17 + ((x*y + d) % 31) * 7) % 256"
+# qnt codec decode: ((p >> 3) << 3) + 4
+_DECODED_SQL = f"CASE WHEN d % 3 = 2 THEN (({_PIXEL_SQL}) // 8) * 8 + 4 ELSE {_PIXEL_SQL} END"
+
+
+def _px_ctes(n: int) -> str:
+    return f"""ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+xs AS (SELECT d, unnest(generate_series(0, 16*(1 + d % 2) - 1)) AS x FROM ids),
+ys AS (SELECT d, x, unnest(generate_series(0, 16*(1 + (d//2) % 2) - 1)) AS y FROM xs),
+px AS (SELECT d, x, y, ch, {_DECODED_SQL} AS p
+       FROM ys CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c)"""
+
+
+def image_decode_stats_sql(n: int = N_IMAGES) -> str:
+    """Means are dyadic-exact (no rounding); stds round-4; phash bits via
+    the integer-exact 64*blocksum > totalsum comparison."""
+    ch_stats = ", ".join(
+        f"avg(CASE WHEN ch = {c} THEN p END) AS mean_{name}, "
+        f"ROUND(stddev_pop(CASE WHEN ch = {c} THEN p END), 4) AS std_{name}"
+        for c, name in enumerate("rgb"))
+    return f"""
+WITH {_px_ctes(n)},
+stats AS (SELECT d, {ch_stats} FROM px GROUP BY d),
+-- phash: 8x8 block sums of gray*3 = r+g+b (integer), bit = 64*S > total
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+blocks AS (SELECT d, (y * 8) // (16*(1 + (d//2) % 2)) AS bi,
+                  (x * 8) // (16*(1 + d % 2)) AS bj, sum(s3) AS bs
+           FROM g3 GROUP BY d, bi, bj),
+tot AS (SELECT d, sum(bs) AS t FROM blocks GROUP BY d),
+ph AS (SELECT b.d,
+         CAST(sum(CASE WHEN 64 * b.bs > tt.t THEN
+           CASE WHEN b.bi = 0 AND b.bj = 0 THEN -9223372036854775808::HUGEINT
+                ELSE (2::HUGEINT ^ (63 - (b.bi * 8 + b.bj)))::HUGEINT END
+           ELSE 0 END) AS BIGINT) AS phash_decoded
+       FROM blocks b JOIN tot tt ON tt.d = b.d GROUP BY b.d)
+SELECT 'img' || lpad(CAST(s.d AS VARCHAR), 4, '0') AS image_id,
+       s.mean_r, s.std_r, s.mean_g, s.std_g, s.mean_b, s.std_b,
+       ph.phash_decoded
+FROM stats s JOIN ph ON ph.d = s.d
+"""
+
+
+def image_resize_sql(n: int = N_IMAGES, out_w: int = 8, out_h: int = 8) -> str:
+    """Resized bytes = per-block integer mean (floor; block counts are
+    powers of two so the float mean is exact and truncation == //)."""
+    return f"""
+WITH {_px_ctes(n)},
+blocks AS (SELECT d, (y * {out_h}) // (16*(1 + (d//2) % 2)) AS bi,
+                  (x * {out_w}) // (16*(1 + d % 2)) AS bj, ch,
+                  sum(p) // count(*) AS byte
+           FROM px GROUP BY d, bi, bj, ch),
+hexes AS (SELECT d, string_agg(lpad(lower(to_hex(byte)), 2, '0'), ''
+                               ORDER BY bi, bj, ch) AS hx
+          FROM blocks GROUP BY d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       {out_w} AS w, {out_h} AS h, 'raw16' AS fmt,
+       sha256(hx) AS bytes_sha256
+FROM hexes
+"""
+
+
+_BYTE_SQL = "(d*31 + i*7 + ((i*i) % 97) * 5) % 256"
+
+
+def frame_sample_sql(n: int = N_PAYLOADS, length: int = PAYLOAD_LEN,
+                     every_k: int = 10) -> str:
+    step = max(1, length // 16)
+    n_chunks = (length + step - 1) // step
+    frame_chunks = list(range(0, n_chunks, every_k))
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+fr AS (SELECT d, unnest([{", ".join(str(j) for j in range(len(frame_chunks)))}]) AS frame_idx,
+              unnest([{", ".join(str(c) for c in frame_chunks)}]) AS chunk
+       FROM ids),
+by AS (SELECT d, frame_idx, chunk,
+              unnest(generate_series(chunk * {step},
+                     least((chunk + 1) * {step}, {length}) - 1)) AS i
+       FROM fr),
+hexes AS (SELECT d, frame_idx,
+                 string_agg(lpad(lower(to_hex({_BYTE_SQL})), 2, '0'), '' ORDER BY i) AS hx
+          FROM by GROUP BY d, frame_idx)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx, sha256(hx) AS frame_bytes_sha256
+FROM hexes
+"""
+
+
+def audio_features_sql(n: int = N_PAYLOADS, length: int = PAYLOAD_LEN,
+                       n_windows: int = 8) -> str:
+    win = length // n_windows
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+by AS (SELECT d, unnest(generate_series(0, {length - 1})) AS i FROM ids),
+feats AS (SELECT d, i // {win} AS win_idx,
+                 sum({_BYTE_SQL}) / {win}.0 AS feat
+          FROM by GROUP BY d, i // {win})
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(win_idx AS INTEGER) AS win_idx, feat
+FROM feats
+"""

@@ -29,7 +29,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from cocrawler_ray import facet, parse, seeds, urls
+from cocrawler_ray import facet, oracles, parse, seeds, urls
 from cocrawler_ray.stages import dedup, joins, similarity, text as textops
 from cocrawler_ray.stages.agg import partial_groupby_agg
 
@@ -635,23 +635,51 @@ def q_langid(sf_dir: str):
                          batch_format="pyarrow"))
 
 
-@_q("q_fingerprint")  # winnowing fingerprint — rows-only check
+def _constructed_text(sf_dir: str, text_fn) -> rd.Dataset:
+    """(doc_id, text) with text built by an integer token formula shared
+    with the DuckDB mirror (oracles.py module doc: the sketch operators
+    hash open-vocabulary text with a hash SQL cannot restate, so the
+    conformance corpus draws from a fixed vocabulary whose hashes are
+    embedded in the SQL as constants — the Ray side still runs the REAL
+    operator)."""
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array([text_fn(int(d)) for d in ids], pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+@_q("q_fingerprint", oracles.fingerprint_sql())
 def q_fingerprint(sf_dir: str):
-    return (read(sf_dir, "documents", ["doc_id", "text"])
+    """Winnowing fingerprint (real operator) over the constructed-vocab
+    corpus; int64 bit-view output (uint64 > 2^63 breaks the pandas/DuckDB
+    round-trip, same rule as band_hash in dedup.py)."""
+    def view64(t: pa.Table) -> pa.Table:
+        fp = t.column("fingerprint").to_numpy().view(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(fp, pa.int64())})
+
+    return (_constructed_text(sf_dir, oracles.fingerprint_text)
             .map_batches(textops.fingerprint_batch, batch_format="pyarrow")
-            .map_batches(lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"))
+            .map_batches(view64, batch_format="pyarrow"))
 
 
-@_q("q_minhash_dedup")  # MinHash-LSH candidates + Jaccard verify — rows-only
+@_q("q_minhash_dedup", oracles.minhash_sql())
 def q_minhash_dedup(sf_dir: str):
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    """Full MinHash-LSH pipeline (shingle -> minhash -> band -> bucket ->
+    pair -> distributed Jaccard verify) vs a complete SQL restatement of
+    the same uint64 arithmetic."""
+    ds = _constructed_text(sf_dir, oracles.minhash_text)
     return dedup.minhash_lsh_pairs(ds, "doc_id", "text", num_perm=64, bands=16,
                                    verify_threshold=0.5)
 
 
-@_q("q_simhash")  # rows-only
+@_q("q_simhash", oracles.simhash_sql())
 def q_simhash(sf_dir: str):
-    return (read(sf_dir, "documents", ["doc_id", "text"])
+    return (_constructed_text(sf_dir, oracles.simhash_text)
             .map_batches(dedup.simhash_batch, fn_kwargs=dict(id_col="doc_id"),
                          batch_format="pyarrow"))
 
@@ -685,17 +713,26 @@ ORDER BY sim DESC, vec_id LIMIT 10
 """)
 def q_ann_cosine(sf_dir: str):
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrow = [r for r in ds.take(5) if r["vec_id"] == 0]
-    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    qv = _query_vec(ds)
     return similarity.cosine_topk(ds, qv, k=10, exclude_ids={0})
 
 
-@_q("q_ann_lsh")  # LSH-bucketed approximate ANN — rows-only
+def _query_vec(ds: rd.Dataset, vec_id: int = 0) -> np.ndarray:
+    """The query vector by id — a filtered scan, not take(N)-and-hope
+    (block order is not contractual)."""
+    rows = (ds.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], vec_id)), batch_format="pyarrow")
+        .take_all())
+    return np.asarray(rows[0]["embedding"], dtype=np.float64)
+
+
+@_q("q_ann_lsh", oracles.ann_lsh_sql(n_bits=6, dim=64, k=10, probe_hamming=1))
 def q_ann_lsh(sf_dir: str):
+    """Pruned multi-probe LSH with integer-exact bucketing — the SQL
+    mirror recomputes the same Rademacher sign bits and hamming<=1 probe
+    set, then ranks the surviving candidates by cosine."""
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrow = [r for r in ds.take(5) if r["vec_id"] == 0]
-    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
-    return similarity.lsh_topk(ds, qv, k=10, n_bits=6)
+    return similarity.lsh_topk(ds, _query_vec(ds), k=10, n_bits=6)
 
 
 @_q("q_content_gate", """
@@ -800,12 +837,14 @@ def q_ngram_jaccard(sf_dir: str):
             .groupby("pair_id").map_groups(jac, batch_format="pandas"))
 
 
-@_q("q_ann_ivf")  # IVF coarse-quantizer ANN — rows-only
+@_q("q_ann_ivf", oracles.ann_ivf_sql(stride=37, nprobe=4, k=10))
 def q_ann_ivf(sf_dir: str):
+    """Pruned IVF with stride-seeded centroids and integer-exact cell
+    assignment (similarity.ivf_topk_seeded doc); SQL restates the cells
+    and probes, then ranks candidates by cosine. The trained-k-means
+    variant (ivf_topk) keeps its pytest exactness check."""
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrow = [r for r in ds.take(5) if r["vec_id"] == 0]
-    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
-    return similarity.ivf_topk(ds, qv, k=10, nlist=8, nprobe=3)
+    return similarity.ivf_topk_seeded(ds, _query_vec(ds), k=10, stride=37, nprobe=4)
 
 
 @_q("q_embed_neardup", """
@@ -821,54 +860,76 @@ def q_embed_neardup(sf_dir: str):
     return dedup.embedding_neardup_pairs(ds, threshold=0.45)
 
 
-# multimodal plumbing — rows-only (operates on a deterministic mini corpus)
-@_q("q_image_decode_stats")
+# multimodal — the REAL actor-pool stages over formula corpora (pure
+# integer pixels/bytes, oracles.py module doc) so DuckDB can restate the
+# decode/resize/sample arithmetic exactly; the RNG corpus from synth.py
+# stays covered by pytest (PSNR / golden tests).
+@_q("q_image_decode_stats", oracles.image_decode_stats_sql())
 def q_image_decode_stats(sf_dir: str):
-    from cocrawler_ray import synth
     from cocrawler_ray.stages.multimodal import ImageDecodeStats
-    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=64, seed=42)
-    return (rd.from_arrow(web)
+
+    def round_std(t: pa.Table) -> pa.Table:
+        for name in "rgb":
+            i = t.schema.get_field_index(f"std_{name}")
+            t = t.set_column(i, f"std_{name}",
+                             pa.array(np.round(t.column(f"std_{name}").to_numpy(), 4)))
+        return t
+
+    return (rd.from_arrow(oracles.conformance_images())
             .map_batches(ImageDecodeStats, batch_format="pyarrow", batch_size=16,
-                         concurrency=2))
+                         concurrency=2)
+            .map_batches(round_std, batch_format="pyarrow"))
 
 
 def _digest_binary(t: pa.Table, col: str) -> pa.Table:
-    """Replace a binary column with its sha256 hex (comparison-friendly)."""
+    """Replace a binary column with sha256 of its HEX STRING (DuckDB's
+    sha256 only takes VARCHAR, and a BLOB->VARCHAR cast rejects non-UTF8
+    payloads — hashing the hex keeps both sides comparable)."""
     import hashlib
-    dig = [hashlib.sha256(b).hexdigest() for b in t.column(col).to_pylist()]
+    dig = [hashlib.sha256(b.hex().encode()).hexdigest()
+           for b in t.column(col).to_pylist()]
     return t.drop_columns([col]).append_column(col + "_sha256",
                                                pa.array(dig, pa.string()))
 
 
-@_q("q_image_resize")  # actor-pool resize stage — rows-only
+@_q("q_image_resize", oracles.image_resize_sql())
 def q_image_resize(sf_dir: str):
-    from cocrawler_ray import synth
     from cocrawler_ray.stages.multimodal import ImageResize
-    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=64, seed=42)
-    return (rd.from_arrow(web)
+    return (rd.from_arrow(oracles.conformance_images())
             .map_batches(ImageResize, batch_format="pyarrow", batch_size=16,
                          concurrency=2)
             .map_batches(lambda t: _digest_binary(t, "bytes"),
                          batch_format="pyarrow"))
 
 
-@_q("q_frame_sample")  # video frame-sampling plumbing (stub decoder) — rows-only
+@_q("q_frame_sample", oracles.frame_sample_sql())
 def q_frame_sample(sf_dir: str):
-    from cocrawler_ray import synth
     from cocrawler_ray.stages.multimodal import FrameSample
-    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=32, seed=42)
-    return (rd.from_arrow(web)
+    return (rd.from_arrow(oracles.conformance_payloads())
             .map_batches(FrameSample, batch_format="pyarrow", batch_size=8,
                          concurrency=2)
             .map_batches(lambda t: _digest_binary(t, "frame_bytes"),
                          batch_format="pyarrow"))
 
 
-@_q("q_audio_features")  # audio feature plumbing (stub DSP) — rows-only
+@_q("q_audio_features", oracles.audio_features_sql())
 def q_audio_features(sf_dir: str):
-    from cocrawler_ray import synth
     from cocrawler_ray.stages.multimodal import AudioFeatures
-    web, _ = synth.gen_web_tables(num_hosts=4, num_pages=32, seed=42)
-    return (rd.from_arrow(web)
+
+    def explode(t: pa.Table) -> pa.Table:
+        # (image_id, features list<float32>) -> (image_id, win_idx, feat)
+        # rows; feat is S/128 with S < 2^15, exact in float32 AND float64.
+        feats = t.column("features")
+        n_per = pc.list_value_length(feats).to_numpy()
+        ids = np.repeat(t.column("image_id").to_numpy(zero_copy_only=False), n_per)
+        win = np.concatenate([np.arange(c, dtype=np.int32) for c in n_per]) \
+            if len(n_per) else np.array([], dtype=np.int32)
+        vals = pc.list_flatten(feats).to_numpy().astype(np.float64)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "win_idx": pa.array(win, pa.int32()),
+                         "feat": pa.array(vals, pa.float64())})
+
+    return (rd.from_arrow(oracles.conformance_payloads())
             .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
-                         concurrency=2))
+                         concurrency=2)
+            .map_batches(explode, batch_format="pyarrow"))

@@ -125,9 +125,13 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
     O(bands x |corpus|) interpreter calls since almost every bucket is a
     singleton. Multi-member bucket keys (the actual near-dup clusters,
     << corpus) are broadcast via ``ray.put``; a second filtered pass yields
-    only their member rows, and pair expansion is vectorized. The verify
-    step pulls text ONLY for candidate-pair ids (a pruned streaming pass
-    over ``ds``), so nothing materializes the corpus on the driver."""
+    only their member rows, vectorized per-batch pair expansion runs in the
+    workers, and only the distinct (doc_a, doc_b) int pairs land on the
+    driver (bounded by the true near-dup rate, not the corpus). The verify
+    step is fully distributed: each candidate doc's text is tagged with its
+    pair ids in a streaming pass and Jaccard runs per pair group via
+    groupby(pair_idx).map_groups — no driver text dict, no per-pair driver
+    loop (the round-1 form pulled every candidate text to the driver)."""
     import ray
 
     _FNV = np.uint64(0x100000001B3)
@@ -159,41 +163,87 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
                                t.column("band_hash").to_numpy())
             return t.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
 
-        m = (band_rows.map_batches(members_only, batch_format="pyarrow")
-             .to_pandas())
-        bid = m["band_id"].to_numpy()
-        bh = m["band_hash"].to_numpy()
-        ids = m[id_col].to_numpy()
-        order = np.lexsort((ids, bh, bid))
-        bid, bh, ids = bid[order], bh[order], ids[order]
-        newg = np.concatenate(([True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])))
-        starts = np.flatnonzero(newg)
-        ends = np.append(starts[1:], len(ids))
-        pa_list, pb_list = [], []
-        for s, e in zip(starts, ends):   # one iteration per near-dup cluster
-            if e - s >= 2:
-                ia, ib = np.triu_indices(e - s, k=1)
-                pa_list.append(ids[s:e][ia])
-                pb_list.append(ids[s:e][ib])
-        pairs = (pd.DataFrame({"doc_a": np.concatenate(pa_list),
-                               "doc_b": np.concatenate(pb_list)})
-                 if pa_list else empty)
+        def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g[id_col].to_numpy())
+            if len(ids) < 2:
+                return empty
+            ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+        # per-bucket expansion runs distributed (only hot buckets reach
+        # map_groups, so the per-group Python cost is bounded by the
+        # cluster count); drop_duplicates on the collected int pairs
+        pairs = (band_rows.map_batches(members_only, batch_format="pyarrow")
+                 .groupby(["band_id", "band_hash"])
+                 .map_groups(expand_pairs, batch_format="pandas")
+                 .to_pandas())
+        if pairs.empty:
+            pairs = empty
     pairs = pairs.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     if verify_threshold is not None and len(pairs):
-        cand_ids = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
-                                             pairs["doc_b"].to_numpy()]))
-        id_set = set(cand_ids.tolist())
-        texts_tab = (ds.map_batches(
-            lambda t: t.filter(pa.array(np.isin(t.column(id_col).to_numpy(),
-                                                cand_ids))),
-            batch_format="pyarrow").to_pandas())
-        texts = dict(zip(texts_tab[id_col], texts_tab[text_col]))
-        assert id_set <= set(texts), "candidate ids missing from corpus"
-        jac = np.array([ngram_jaccard(texts[a], texts[b], k)
-                        for a, b in zip(pairs["doc_a"], pairs["doc_b"])])
-        pairs = pairs.assign(jaccard=np.round(jac, 6))
+        pairs = verify_pairs_jaccard(ds, pairs, id_col=id_col, text_col=text_col, k=k)
         pairs = pairs[pairs["jaccard"] >= verify_threshold].reset_index(drop=True)
     return pairs
+
+
+def verify_pairs_jaccard(ds: rd.Dataset, pairs: pd.DataFrame,
+                         id_col: str, text_col: str = "text", k: int = 3
+                         ) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate (doc_a, doc_b) pairs, distributed.
+
+    Broadcast the pair table (ints only, ray.put once); one streaming pass
+    tags each member doc's text with every pair_idx it participates in
+    (a doc in P pairs is replicated P times — P is bounded by the doc's
+    near-dup cluster size); groupby(pair_idx).map_groups computes Jaccard
+    with both texts co-located. Nothing corpus-sized touches the driver."""
+    import ray
+
+    pair_ref = ray.put((pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        from cocrawler_ray.hashing import concat_ranges
+        a_ids, b_ids = ray.get(pair_ref)
+        ids = t.column(id_col).to_numpy()
+        idx_parts, row_parts = [], []
+        for side in (a_ids, b_ids):
+            # a doc can sit in multiple pairs: gather every match run in
+            # the sorted side array (vectorized searchsorted + run expand)
+            order = np.argsort(side, kind="stable")
+            srt = side[order]
+            starts = np.searchsorted(srt, ids, side="left")
+            counts = np.searchsorted(srt, ids, side="right") - starts
+            if counts.sum() == 0:
+                continue
+            idx_parts.append(order[concat_ranges(starts, counts)])
+            row_parts.append(np.repeat(np.arange(len(ids), dtype=np.int64), counts))
+        if not idx_parts:
+            return pa.table({"pair_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], t.schema.field(id_col).type),
+                             text_col: pa.array([], pa.string())})
+        rows = pa.array(np.concatenate(row_parts))
+        return pa.table({
+            "pair_idx": pa.array(np.concatenate(idx_parts).astype(np.int64)),
+            id_col: t.column(id_col).take(rows),
+            text_col: t.column(text_col).take(rows),
+        })
+
+    def jac(g: pd.DataFrame) -> pd.DataFrame:
+        i = int(g["pair_idx"].iloc[0])
+        g = g.sort_values(id_col)
+        if len(g) != 2:
+            return pd.DataFrame({"pair_idx": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        j = ngram_jaccard(g[text_col].iloc[0], g[text_col].iloc[1], k)
+        return pd.DataFrame({"pair_idx": [i], "jaccard": [round(j, 6)]})
+
+    scored = (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("pair_idx").map_groups(jac, batch_format="pandas")
+              .to_pandas())
+    out = pairs.reset_index(drop=True).copy()
+    out["jaccard"] = np.nan
+    out.loc[scored["pair_idx"].to_numpy(), "jaccard"] = scored["jaccard"].to_numpy()
+    assert not out["jaccard"].isna().any(), "pair member missing from corpus"
+    return out
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -56,9 +56,11 @@ class ImageDecodeStats:
             std[i] = img.reshape(-1, 3).std(axis=0)
             ph[i] = codecs.average_phash(img)
         out = batch.select(["image_id"])
+        # raw float64 stats — rounding is a presentation concern left to
+        # consumers (a pixel-sum mean is a dyadic rational, exact in f64)
         for c, name in enumerate("rgb"):
-            out = out.append_column(f"mean_{name}", pa.array(np.round(mean[:, c], 4)))
-            out = out.append_column(f"std_{name}", pa.array(np.round(std[:, c], 4)))
+            out = out.append_column(f"mean_{name}", pa.array(mean[:, c]))
+            out = out.append_column(f"std_{name}", pa.array(std[:, c]))
         return out.append_column("phash_decoded", pa.array(ph))
 
 

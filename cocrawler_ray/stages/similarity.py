@@ -51,10 +51,18 @@ def cosine_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
 
 def hyperplane_key_batch(batch: pa.Table, planes: np.ndarray,
                          vec_col: str = "embedding") -> pa.Table:
-    """LSH bucket key = sign bits against `planes` (n_bits, dim)."""
-    M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64)
-                             for v in batch.column(vec_col).to_pylist()]))
-    bits = (M @ planes.T) > 0
+    """LSH bucket key = sign bits of integer dot products against
+    Rademacher (+-1) `planes` over floor(v*1000+0.5)-quantized vectors.
+
+    Quantized bucketing makes bucket membership integer-EXACT: at cluster
+    scale the same vector always lands in the same bucket no matter which
+    worker/platform/kernel computed the dot (a float sign test near 0 can
+    flip between summation orders), and it is what lets the DuckDB
+    conformance oracle (oracles.ann_lsh_sql) restate bucketing exactly."""
+    from cocrawler_ray.oracles import quantize_vecs
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in batch.column(vec_col).to_pylist()])
+    bits = (quantize_vecs(M) @ planes.T) > 0
     key = np.zeros(len(M), dtype=np.int64)
     for b in range(planes.shape[0]):
         key |= bits[:, b].astype(np.int64) << b
@@ -66,12 +74,12 @@ def lsh_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10, n_bits: int = 8
              seed: int = 17, probe_hamming: int = 1) -> pd.DataFrame:
     """Approximate top-k: score only rows whose hyperplane key is within
     `probe_hamming` bits of the query's key (multi-probe)."""
+    from cocrawler_ray.oracles import quantize_vecs, rademacher_planes
     dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
-    q = _norm_rows(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+    planes = rademacher_planes(n_bits, dim, seed)
+    qb = (quantize_vecs(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+          @ planes.T) > 0
     qkey = 0
-    qb = (planes @ q) > 0
     for b in range(n_bits):
         qkey |= int(qb[b]) << b
     ok_keys = {qkey}
@@ -119,6 +127,53 @@ def ivf_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
         M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64)
                                  for v in t.column(vec_col).to_pylist()]))
         assign = np.argmax(M @ cents.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, list(probe))))
+
+    cand = ds.map_batches(prune, batch_format="pyarrow")
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+                    stride: int = 37, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> pd.DataFrame:
+    """IVF-flat with stride-seeded centroids and integer-exact assignment.
+
+    Centroids are the rows with ``id % stride == 1`` (deterministic sample
+    init, zero Lloyd iterations — pick ``stride`` so the centroid count is
+    O(1000) at the target scale; use ``ivf_topk``'s trained k-means when
+    cell balance matters more than restatability). Cell assignment is
+    argmin squared-L2 between floor(v*1000+0.5)-quantized int64 vectors
+    (ties -> smallest centroid id), so the partition of rows into cells is
+    exactly reproducible anywhere — including the DuckDB conformance
+    oracle (oracles.ann_ivf_sql). Only the final cosine ranking is float.
+    """
+    from cocrawler_ray.oracles import quantize_vecs
+
+    cent_tab = (ds.map_batches(
+        lambda t: t.filter(pa.array(t.column(id_col).to_numpy() % stride == 1)),
+        batch_format="pyarrow").to_pandas())
+    cent_tab = cent_tab.sort_values(id_col)
+    C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                for v in cent_tab[vec_col]]))
+    qq = quantize_vecs(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+
+    def d2(X: np.ndarray) -> np.ndarray:
+        # (n, ncent) integer squared L2 — exact, no float in the argmin
+        return ((X * X).sum(axis=1)[:, None]
+                - 2 * (X @ C.T) + (C * C).sum(axis=1)[None, :])
+
+    probe = set(np.argsort(d2(qq[None, :])[0], kind="stable")[:nprobe].tolist())
+    import ray
+    cref = ray.put(C)
+
+    def prune(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        X = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in t.column(vec_col).to_pylist()]))
+        dd = ((X * X).sum(axis=1)[:, None] - 2 * (X @ cents.T)
+              + (cents * cents).sum(axis=1)[None, :])
+        assign = np.argmin(dd, axis=1)
         return t.filter(pa.array(np.isin(assign, list(probe))))
 
     cand = ds.map_batches(prune, batch_format="pyarrow")

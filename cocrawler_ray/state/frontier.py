@@ -219,12 +219,17 @@ class FrontierPartition:
                 [t] + [pq.read_table(p) for p in self.spilled_files])
         return schemas.validate(t, "frontier")
 
-    def restore(self, table: pa.Table, spilled_files: list[str] | None = None) -> None:
+    def restore(self, table: pa.Table) -> None:
+        """Restore from a folded snapshot (snapshot() already inlines any
+        spilled bands, so the snapshot table IS the whole partition state).
+        spilled_files is reset BEFORE append(): append() may legitimately
+        re-spill the restored rows, and those new band files must be
+        tracked, not clobbered."""
         self._chunks = []
         self._sorted = None
         self.total = 0
+        self.spilled_files = []
         self.append(table)
-        self.spilled_files = list(spilled_files or [])
 
 
 def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:

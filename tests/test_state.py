@@ -164,6 +164,25 @@ def test_frontier_snapshot_includes_spilled(tmp_path):
     assert sorted(seen) == [f"s{i:04d}" for i in range(300)]
 
 
+def test_frontier_restore_into_spilling_partition(tmp_path):
+    """Regression: restoring a folded snapshot into a partition whose
+    spill_threshold is below the snapshot size must not drop rows. The old
+    restore() reset spilled_files AFTER append() — append() re-spilled the
+    oversized restored table into a band file that the stale reset then
+    forgot, silently losing half the frontier."""
+    f = FrontierPartition(part=0)
+    f.append(_mk_rows([f"s{i:04d}" for i in range(200)], ["h.test"] * 200, [1] * 200))
+    snap = f.snapshot()
+    g = FrontierPartition(part=0, spill_threshold=100, spill_dir=str(tmp_path / "g"))
+    g.restore(snap)
+    seen = []
+    for gen in range(40):
+        seen += g.drain(gen, budget_per_host=50).column("surt").to_pylist()
+        if g.is_empty():
+            break
+    assert sorted(seen) == [f"s{i:04d}" for i in range(200)]
+
+
 # -- robots -----------------------------------------------------------------
 
 def test_robots_partition_cache_and_decisions():
