@@ -312,6 +312,36 @@ FROM cand c ORDER BY sim DESC, vec_id LIMIT {k}
 """
 
 
+def embed_neardup_lsh_sql(threshold: float = 0.45, n_bits: int = 4,
+                          n_tables: int = 8, dim: int = 64,
+                          seed: int = 29) -> str:
+    """Mirror of dedup.embedding_neardup_lsh_pairs: same quantized
+    Rademacher buckets (integer-exact), pairs sharing any (table, key)
+    bucket, exact cosine >= threshold."""
+    selects = []
+    for t in range(n_tables):
+        planes = rademacher_planes(n_bits, dim, seed + t)
+        bits = " + ".join(
+            f"CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), "
+            f"[{', '.join(f'{v}.0' for v in planes[b])}]) > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits))
+        selects.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS key FROM e")
+    keys_union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_quant_sql('embedding')} AS q
+           FROM embeddings),
+keys AS ({keys_union}),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key
+         WHERE a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
+
+
 def ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 10) -> str:
     d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"
           " - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))"

@@ -248,33 +248,28 @@ FROM m a JOIN m b ON b.doc_id = a.nxt JOIN m c ON c.doc_id = b.nxt
 WHERE a.doc_id % 50 = 0
 """)
 def q_redirect_chain(sf_dir: str):
-    ds = read(sf_dir, "documents", ["doc_id"])
-    all_ids = ds.to_pandas()["doc_id"].to_numpy()
-    nxt = (all_ids * 7 + 3) % 500
-    mapping = dict(zip(all_ids.tolist(), nxt.tolist()))
-    ref = ray.put(mapping)
+    """Three redirect hops as distributed hash joins — the redirect map is
+    the (doc_id, nxt) projection of the corpus, i.e. corpus-sized, so it
+    is joined (shuffle on the hop key), never collected to the driver
+    (the round-1 form built a driver-side dict of the whole table)."""
+    def hop_map(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "nxt": pa.array((d * 7 + 3) % 500)})
 
-    def f(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        d0 = batch.column("doc_id").to_numpy()
-        d0 = d0[d0 % 50 == 0]
-        rows = []
-        for d in d0:
-            h1 = m.get(int(d))
-            h2 = m.get(h1) if h1 is not None else None
-            h3 = m.get(h2) if h2 is not None else None
-            if h3 is not None:
-                rows.append((int(d), h1, h2, h3))
-        if not rows:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "hop1": pa.array([], pa.int64()),
-                             "hop2": pa.array([], pa.int64()),
-                             "hop3": pa.array([], pa.int64())})
-        a, b, c, dd = zip(*rows)
-        return pa.table({"doc_id": pa.array(a, pa.int64()), "hop1": pa.array(b, pa.int64()),
-                         "hop2": pa.array(c, pa.int64()), "hop3": pa.array(dd, pa.int64())})
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    m = (read(sf_dir, "documents", ["doc_id"])
+         .map_batches(hop_map, batch_format="pyarrow"))
+    start = m.map_batches(
+        lambda t: t.filter(pa.array(t.column("doc_id").to_numpy() % 50 == 0))
+                   .rename_columns(["doc_id", "hop1"]),
+        batch_format="pyarrow")
+    j1 = joins.hash_join(start, m.rename_columns(["h1_id", "hop2"]),
+                         on="hop1", right_on="h1_id", num_partitions=4)
+    j2 = joins.hash_join(j1, m.rename_columns(["h2_id", "hop3"]),
+                         on="hop2", right_on="h2_id", num_partitions=4)
+    return j2.map_batches(
+        lambda t: t.select(["doc_id", "hop1", "hop2", "hop3"]),
+        batch_format="pyarrow")
 
 
 # S3-ish — payload digest (sha256; warc.py uses sha1, duckdb lacks it)
@@ -379,10 +374,28 @@ SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
 FROM events
 """)
 def q_distinct_hosts(sf_dir: str):
+    """Exact count-distinct over two columns in ONE streaming pass:
+    per-block partial distinct sets (list columns, one row per block)
+    union-ed on the driver. Driver memory is bounded by the true distinct
+    cardinality, not the row count; at sketch-tolerant scale swap the
+    exact sets for HLL partials behind the same one-row-per-block shape
+    (the round-1 form ran two full ds.unique() scans)."""
     ds = read(sf_dir, "events", ["user_id", "event_type"])
-    n_users = len(ds.unique("user_id"))
-    n_types = len(ds.unique("event_type"))
-    return pd.DataFrame({"n_users": [np.int64(n_users)], "n_types": [np.int64(n_types)]})
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "users": pa.array([pc.unique(t["user_id"]).to_pylist()],
+                              pa.list_(pa.int64())),
+            "types": pa.array([pc.unique(t["event_type"]).to_pylist()],
+                              pa.list_(pa.string())),
+        })
+
+    users, types = set(), set()
+    for part in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        users.update(part["users"])
+        types.update(part["types"])
+    return pd.DataFrame({"n_users": [np.int64(len(users))],
+                         "n_types": [np.int64(len(types))]})
 
 
 @_q("q_topk_hosts", """
@@ -508,16 +521,24 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) =
 """)
 def q_dedup_first(sf_dir: str):
     # first-by-id per group is associative -> combiner: each block keeps its
-    # local winner, the final combine runs over ~groups x blocks rows only
-    # (never shuffles the full table). D1's batch form at scale.
+    # local winner, so only ~groups x blocks rows reach the exchange. The
+    # finish is DISTRIBUTED (native groupby Min + hash join back to the
+    # winner rows) because the group key here is the full user x type
+    # domain — a driver-side combine of the partials would scale with the
+    # key domain, not with a constant (D1's batch form at scale).
     def local_first(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values("event_id", kind="stable")
                   .drop_duplicates(["user_id", "event_type"], keep="first"))
 
-    parts = (read(sf_dir, "events", ["user_id", "event_type", "event_id", "value"])
-             .map_batches(local_first, batch_format="pandas")
-             .to_pandas())
-    return local_first(parts).reset_index(drop=True)
+    winners = (read(sf_dir, "events", ["user_id", "event_type", "event_id", "value"])
+               .map_batches(local_first, batch_format="pandas"))
+    firsts = (winners.groupby(["user_id", "event_type"])
+              .aggregate(Min("event_id", alias_name="event_id")))
+    out = winners.join(firsts, join_type="inner", num_partitions=4,
+                       on=("user_id", "event_type", "event_id"))
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_type", "event_id", "value"]),
+        batch_format="pyarrow")
 
 
 @_q("q_union_links", """
@@ -526,12 +547,18 @@ SELECT DISTINCT id FROM (
   UNION ALL SELECT l_suppkey FROM lineitem)
 """)
 def q_union_links(sf_dir: str):
+    """Distinct of a two-source union, kept distributed: per-block local
+    unique (combiner) then a groupby-distinct — at crawl scale the
+    distinct URL-id set IS the big data, so it stays a Dataset instead of
+    a driver-side unique()+sort (round-1 form)."""
     a = (read(sf_dir, "orders", ["o_custkey"])
          .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow"))
     b = (read(sf_dir, "lineitem", ["l_suppkey"])
          .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow"))
-    ids = a.union(b).unique("id")
-    return pd.DataFrame({"id": np.sort(np.asarray(ids))})
+    local = a.union(b).map_batches(
+        lambda t: pa.table({"id": pc.unique(t["id"])}), batch_format="pyarrow")
+    return (local.groupby("id").aggregate(Count(alias_name="__n"))
+            .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow"))
 
 
 @_q("q_pricing_summary", """
@@ -858,6 +885,15 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def q_embed_neardup(sf_dir: str):
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return dedup.embedding_neardup_pairs(ds, threshold=0.45)
+
+
+@_q("q_embed_neardup_lsh", oracles.embed_neardup_lsh_sql())
+def q_embed_neardup_lsh(sf_dir: str):
+    """Sub-quadratic LSH-bucketed near-dup (the 100 TB path) — the SQL
+    mirror restates the integer-exact buckets, so this checks both the
+    blocking and the within-bucket scoring."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_neardup_lsh_pairs(ds, threshold=0.45)
 
 
 # multimodal — the REAL actor-pool stages over formula corpora (pure

@@ -281,37 +281,113 @@ def simhash_batch(batch: pa.Table, id_col: str, text_col: str = "text") -> pa.Ta
 
 # -- embedding cosine near-dup ---------------------------------------------
 
+_EMPTY_PAIRS = {"vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64")}
+
+
+def _norm_mat(vals) -> np.ndarray:
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
 def embedding_neardup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.8) -> pd.DataFrame:
-    """All (a<b) pairs with cosine >= threshold.
+    """All (a<b) pairs with cosine >= threshold — EXACT, distributed.
 
-    Batch x broadcast-matrix matmul (float64). At this table's scale the
-    full matrix broadcasts; the 100 TB path LSH-buckets rows first (random
-    hyperplane signs) and only compares within buckets."""
+    All-pairs is inherently O(N^2) compute; the scale question is where it
+    runs. This is a block-pair cartesian: the dataset's blocks stay in the
+    object store (``to_arrow_refs`` — nothing materializes on the driver),
+    one Ray task scores each unordered block pair (i <= j), and only the
+    tiny qualifying-pair tables return. Worker memory is O(block), compute
+    parallelism is B(B+1)/2 tasks. Raw tasks instead of Dataset ops
+    because a pairwise self-join over blocks has no map_batches/groupby
+    shape (each task needs exactly two co-located blocks).
+
+    For the sub-quadratic approximate path use
+    ``embedding_neardup_lsh_pairs``."""
     import ray
 
-    tbl = ds.to_pandas()
-    ids = tbl[id_col].to_numpy()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in tbl[vec_col]])
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, M))
+    refs = ds.to_arrow_refs()
 
-    def against_all(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_M = ray.get(ref)
-        q = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ all_M.T
+    @ray.remote
+    def block_pairs(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        ia = ta.column(id_col).to_numpy()
+        ib = tb.column(id_col).to_numpy()
+        A = _norm_mat(ta.column(vec_col).to_pylist())
+        B = _norm_mat(tb.column(vec_col).to_pylist())
+        sims = A @ B.T
         qa, qb = np.nonzero(sims >= threshold)
-        a = batch[id_col].to_numpy()[qa]
-        b = all_ids[qb]
-        keep = a < b
-        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep],
+        a, b = ia[qa], ib[qb]
+        keep = a < b if same else a != b
+        a2 = np.where(a[keep] < b[keep], a[keep], b[keep])
+        b2 = np.where(a[keep] < b[keep], b[keep], a[keep])
+        return pd.DataFrame({"vec_a": a2, "vec_b": b2,
                              "sim": np.round(sims[qa, qb][keep], 6)})
 
-    out = ds.map_batches(against_all, batch_format="pandas").to_pandas()
+    futs = [block_pairs.remote(refs[i], refs[j], i == j)
+            for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = [p for p in ray.get(futs) if len(p)]
+    if not parts:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    out = pd.concat(parts, ignore_index=True).drop_duplicates(["vec_a", "vec_b"])
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_lsh_pairs(ds: rd.Dataset, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.45, n_bits: int = 4,
+                                n_tables: int = 8, seed: int = 29
+                                ) -> pd.DataFrame:
+    """Approximate near-dup pairs — the 100 TB path: sub-quadratic
+    LSH-bucketed comparison (SemDeDup-style blocking).
+
+    Each row is keyed into ``n_tables`` independent hyperplane tables
+    (OR-construction recall boost); rows sharing a (table, key) bucket are
+    scored by within-bucket matmul in a groupby(bucket).map_groups —
+    bucket count is bounded by n_tables * 2^n_bits so the per-group Python
+    overhead stays fixed, and nothing corpus-sized leaves the workers.
+    Bucketing uses the integer-exact quantized Rademacher planes
+    (similarity.hyperplane_key_batch rationale), so the DuckDB mirror
+    (oracles.embed_neardup_lsh_sql) restates bucket membership exactly.
+    Recall < 1 by design; raise n_tables (or use the exact block-pair
+    ``embedding_neardup_pairs``) when completeness matters."""
+    from cocrawler_ray.oracles import quantize_vecs, rademacher_planes
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    planes = [rademacher_planes(n_bits, dim, seed + t) for t in range(n_tables)]
+
+    def key(t: pa.Table) -> pa.Table:
+        Q = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in t.column(vec_col).to_pylist()]))
+        outs = []
+        for ti, P in enumerate(planes):
+            bits = (Q @ P.T) > 0
+            k = np.full(len(Q), ti << n_bits, dtype=np.int64)
+            for b in range(n_bits):
+                k |= bits[:, b].astype(np.int64) << b
+            outs.append(pa.table({"bucket": pa.array(k),
+                                  id_col: t.column(id_col),
+                                  vec_col: t.column(vec_col)}))
+        return pa.concat_tables(outs)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        ids = g[id_col].to_numpy()
+        M = _norm_mat(g[vec_col])
+        sims = M @ M.T
+        qa, qb = np.nonzero(sims >= threshold)
+        keep = ids[qa] < ids[qb]
+        return pd.DataFrame({"vec_a": ids[qa][keep], "vec_b": ids[qb][keep],
+                             "sim": np.round(sims[qa, qb][keep], 6)})
+
+    out = (ds.map_batches(key, batch_format="pyarrow")
+           .groupby("bucket").map_groups(score, batch_format="pandas")
+           .to_pandas())
     if out.empty:
-        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                             "vec_b": pd.Series([], dtype="int64"),
-                             "sim": pd.Series([], dtype="float64")})
+        return pd.DataFrame(_EMPTY_PAIRS)
+    out = out.drop_duplicates(["vec_a", "vec_b"])
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -18,42 +18,54 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 
-def broadcast_join(ds: rd.Dataset, small: pd.DataFrame, left_key: str,
+def broadcast_join(ds: rd.Dataset, small, left_key: str,
                    right_key: str) -> rd.Dataset:
-    """Inner join against a broadcast small side (J2 pattern)."""
-    ref = ray.put(small)
+    """Inner join against a broadcast small side (J2 pattern).
 
-    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        s = ray.get(ref)
-        return batch.merge(s, left_on=left_key, right_on=right_key, how="inner")
+    Arrow-native end to end: the small side ships once as a single-chunk
+    Arrow table (``ray.put``), every batch joins zero-copy via
+    ``pa.Table.join`` (Acero hash join in C++) — no per-batch
+    Arrow->pandas->Arrow round-trip. The right key column is dropped from
+    the output (it equals the left key on every surviving row)."""
+    tbl = (pa.Table.from_pandas(small, preserve_index=False)
+           if isinstance(small, pd.DataFrame) else small)
+    ref = ray.put(tbl.combine_chunks())
 
-    return ds.map_batches(join_batch, batch_format="pandas")
+    def join_batch(batch: pa.Table) -> pa.Table:
+        return batch.join(ray.get(ref), keys=[left_key],
+                          right_keys=[right_key], join_type="inner")
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _isin_filter(ds: rd.Dataset, keys, key_col: str, negate: bool) -> rd.Dataset:
+    ref = ray.put(pa.array(np.asarray(keys)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(key_col), value_set=ray.get(ref))
+        if negate:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def broadcast_semi(ds: rd.Dataset, keys, key_col: str) -> rd.Dataset:
-    """Semi join: keep rows whose key is in the broadcast key set (J3)."""
-    ref = ray.put(np.asarray(keys))
-
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[key_col].isin(ray.get(ref))]
-
-    return ds.map_batches(f, batch_format="pandas")
+    """Semi join: keep rows whose key is in the broadcast key set (J3).
+    Vectorized ``pc.is_in`` per Arrow batch — no pandas conversion."""
+    return _isin_filter(ds, keys, key_col, negate=False)
 
 
 def broadcast_anti(ds: rd.Dataset, keys, key_col: str) -> rd.Dataset:
     """Anti join: drop rows whose key is in the broadcast key set (J1 —
     links-minus-seen in batch form)."""
-    ref = ray.put(np.asarray(keys))
-
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[~batch[key_col].isin(ray.get(ref))]
-
-    return ds.map_batches(f, batch_format="pandas")
+    return _isin_filter(ds, keys, key_col, negate=True)
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, right_on: str | None = None,

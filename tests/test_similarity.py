@@ -46,6 +46,44 @@ def test_self_query_found_by_all_paths(emb):
         assert sim.ivf_topk(ds, q, k=1, nlist=8, nprobe=2)["vec_id"].iloc[0] == r["vec_id"]
 
 
+def test_ivf_seeded_full_probe_equals_brute_force(emb):
+    ds, rows = emb
+    q = np.asarray(rows[3]["embedding"], dtype=np.float64)
+    exact = sim.cosine_topk(ds, q, k=10)
+    n_cent = sum(1 for r in ds.take_all() if r["vec_id"] % 37 == 1)
+    ivf = sim.ivf_topk_seeded(ds, q, k=10, stride=37, nprobe=n_cent)
+    assert ivf["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert np.allclose(ivf["sim"], exact["sim"])
+
+
+def test_embedding_neardup_block_pairs_exact(emb):
+    """Distributed block-pair cartesian == naive all-pairs on the driver."""
+    from cocrawler_ray.stages import dedup
+    ds, _ = emb
+    got = dedup.embedding_neardup_pairs(ds, threshold=0.4)
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sims = M @ M.T
+    want = sorted((int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+                  for i in range(len(ids)) for j in range(i + 1, len(ids))
+                  if sims[i, j] >= 0.4)
+    assert list(zip(got["vec_a"], got["vec_b"])) == want
+
+
+def test_embedding_neardup_lsh_subset_of_exact(emb):
+    """Bucketed pairs are a subset of the exact pair set with equal sims."""
+    from cocrawler_ray.stages import dedup
+    ds, _ = emb
+    exact = dedup.embedding_neardup_pairs(ds, threshold=0.4)
+    lsh = dedup.embedding_neardup_lsh_pairs(ds, threshold=0.4)
+    ex = {(a, b): s for a, b, s in zip(exact["vec_a"], exact["vec_b"], exact["sim"])}
+    assert len(lsh) > 0
+    for a, b, s in zip(lsh["vec_a"], lsh["vec_b"], lsh["sim"]):
+        assert (a, b) in ex and abs(ex[(a, b)] - s) < 1e-9
+
+
 def test_approx_never_beats_exact(emb):
     ds, rows = emb
     q = np.asarray(rows[7]["embedding"], dtype=np.float64)
