@@ -47,6 +47,14 @@ class CrawlConfig:
     hot_host_threshold: int = 10_000
     # frontier cold-tail spill threshold (rows per partition)
     spill_threshold: int = 2_000_000
+    # retry semantics (cocrawler/fetcher.py MaxTries + scheduler requeue):
+    # total attempts per URL before giving up
+    max_tries: int = 4
+    # synthetic transient-failure rate knob for the sandbox fetcher: URLs
+    # with hash64(url) % transient_every == 0 return 503 on their first
+    # 1-2 attempts (0 = off). A real-HTTP backend replaces this with actual
+    # connection errors behind the same status>=500 requeue path.
+    transient_every: int = 0
     # execution-path switch (pipelines/crawl.py): generations whose ready
     # frontier is at most this many rows run the fused per-actor path (one
     # RPC per actor); larger waves run the Ray Data streaming pipeline

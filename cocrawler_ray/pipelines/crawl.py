@@ -73,16 +73,18 @@ from cocrawler_ray.stages.process import (  # noqa: E402  (re-export for tests)
 _REPLICA_CACHE: dict = {}
 
 
-def _wave_replicas(web_ref, html_ref, robots_ref, user_agent: str):
+def _wave_replicas(web_ref, html_ref, robots_ref, user_agent: str,
+                   transient_every: int = 0):
     from cocrawler_ray.stages.fetch import FetcherPartition
     from cocrawler_ray.state.robots_actor import RobotsPartition
 
-    key = (web_ref.hex(), html_ref.hex(), robots_ref.hex(), user_agent)
+    key = (web_ref.hex(), html_ref.hex(), robots_ref.hex(), user_agent,
+           transient_every)
     hit = _REPLICA_CACHE.get(key)
     if hit is None:
         # zero-copy plasma reads of the single-chunk broadcast tables
         web, html, bodies = ray.get(web_ref), ray.get(html_ref), ray.get(robots_ref)
-        hit = (FetcherPartition(-1, web, html),
+        hit = (FetcherPartition(-1, web, html, transient_every),
                RobotsPartition(-1, bodies, 10, user_agent))
         _REPLICA_CACHE.clear()
         _REPLICA_CACHE[key] = hit
@@ -91,7 +93,8 @@ def _wave_replicas(web_ref, html_ref, robots_ref, user_agent: str):
 
 def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
                  out_dir: str, web_ref, html_ref, robots_ref,
-                 user_agent: str):
+                 user_agent: str, transient_every: int = 0,
+                 max_tries: int = 4):
     """The fused per-batch stage of the huge-wave Ray Data path (see module
     docstring). SELF-SUFFICIENT: robots gate + fetch run locally against
     the worker's cached replica (fetch state is host-agnostic; only
@@ -121,7 +124,7 @@ def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
             return counts()
         gen = int(batch.column("gen")[0].as_py())
         fetcher, robots = _wave_replicas(web_ref, html_ref, robots_ref,
-                                         user_agent)
+                                         user_agent, transient_every)
 
         # robots gate + fetch, locally (replica decisions are deterministic:
         # static rule bodies, host-agnostic — same gate as ShardHost's)
@@ -139,18 +142,30 @@ def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
 
         persist_fetched_cell(storage, fetched, gen)
 
-        # extract + canonicalize + score on 200s, in-batch combiner dedup
+        futs = []
+        # 5xx -> requeue to the owning frontier partitions (awaited with
+        # the candidate delivery below, so Dataset completion implies both)
+        from cocrawler_ray.stages.process import retry_rows
+        rr = retry_rows(gated, fetched.column("status"), max_tries)
+        if rr.num_rows:
+            rparts = host_partition(rr.column("host").to_pylist(), num_parts)
+            for a in np.unique(rparts % num_actors):
+                idx = np.flatnonzero(rparts % num_actors == a)
+                futs.append(shards[int(a)].requeue_rows.remote(
+                    rr.take(pa.array(idx, pa.int64()))))
+
+        # extract + canonicalize + score on 200s (+3xx targets), combiner dedup
         links = links_to_candidates(fetched, max_depth)
         n_cand = links.num_rows
         if n_cand:
             # route candidates to their seen partitions' hosting actors
             surts = links.column("dst_surt").to_pylist()
             actor_of = surt_partition(surts, num_parts) % num_actors
-            futs = []
             for a in np.unique(actor_of):
                 idx = np.flatnonzero(actor_of == a)
                 futs.append(shards[int(a)].accept_candidates.remote(
                     links.take(pa.array(idx, pa.int64()))))
+        if futs:
             ray.get(futs)
         return counts(n_in, n_allowed, n_fetched, n_cand)
 
@@ -200,7 +215,8 @@ class CrawlJob:
         Shard = ray.remote(ShardHost)
         self.shards = [Shard.remote(a, A, K, robots_bodies, cfg.user_agent,
                                     web_ref, html_ref, cfg.seen_capacity,
-                                    cfg.exact_seen, cfg.spill_threshold, spill)
+                                    cfg.exact_seen, cfg.spill_threshold, spill,
+                                    cfg.transient_every)
                        for a in range(A)]
         ray.get([s.set_peers.remote(self.shards) for s in self.shards])
         self.fetched_total = 0
@@ -278,7 +294,7 @@ class CrawlJob:
             chunk_refs = [ref for dg in ray.get(drain_gens) for ref in dg]
             outs = ray.get([
                 self.shards[i % self.num_actors].process_chunk.remote(
-                    ref, g, cfg.max_depth, cfg.out_dir)
+                    ref, g, cfg.max_depth, cfg.out_dir, cfg.max_tries)
                 for i, ref in enumerate(chunk_refs)])
             drained = sum(c["n_in"] for c in outs)
             n_fetched = sum(c["n_fetched"] for c in outs)
@@ -307,7 +323,8 @@ class CrawlJob:
                                        self.num_actors, cfg.max_depth,
                                        cfg.out_dir, self.web_ref,
                                        self.html_ref, self.robots_ref,
-                                       cfg.user_agent)
+                                       cfg.user_agent, cfg.transient_every,
+                                       cfg.max_tries)
                 counts = (rd.from_arrow_refs(drains)
                           .map_batches(process, batch_format="pyarrow",
                                        batch_size=cfg.fetch_batch_size)

@@ -62,6 +62,7 @@ FETCHED = pa.schema(
         ("gen", pa.int32()),
         ("part", pa.int32()),
         ("status", pa.int32()),
+        ("location", pa.string()),  # 3xx redirect target ("" otherwise)
         ("image_id", pa.string()),
         ("bytes", pa.binary()),
         ("w", pa.int32()),

@@ -28,8 +28,19 @@ import pyarrow as pa
 
 
 class FetcherPartition:
-    def __init__(self, part: int, web: pa.Table, html: pa.Table):
+    """``transient_every`` > 0 turns on deterministic transient failures
+    (the sandbox image of connection resets / 5xx): a URL with
+    ``hash64(url) % transient_every == 0`` answers 503 until the row's
+    ``retries`` reaches ``1 + hash64(url + "#t") % 2`` — so MaxTries/
+    requeue semantics (cocrawler/fetcher.py::fetch retry loop +
+    scheduler.py::requeue_work) are exercised end-to-end. Alias URLs
+    (path ``/aNNNNNN``) 301-redirect to the same host's ``/pNNNNNN`` page
+    when that page exists (post_fetch.py::handle_redirect analogue)."""
+
+    def __init__(self, part: int, web: pa.Table, html: pa.Table,
+                 transient_every: int = 0):
         self.part = part
+        self.transient_every = transient_every
         # contiguous tables: pa.Table.take on a multi-chunk binary column is
         # ~200x slower than on contiguous buffers (per-chunk gather). The
         # driver broadcasts single-chunk tables (CrawlJob combines before
@@ -55,6 +66,34 @@ class FetcherPartition:
         self.fetch_count += n
         pos = self.index.get_indexer(urls)
         found = pos >= 0
+
+        # alias redirects: /aNNNNNN -> 301 to /pNNNNNN on the same host
+        location = np.full(n, "", dtype=object)
+        redirected = np.zeros(n, dtype=bool)
+        for i in np.flatnonzero(~found):
+            u = urls[i]
+            j = u.rfind("/a")
+            if j >= 0 and u[j + 2:].isdigit():
+                target = u[:j] + "/p" + u[j + 2:]
+                if self.index.get_indexer([target])[0] >= 0:
+                    location[i] = target
+                    redirected[i] = True
+
+        # deterministic transient 5xx (see class docstring)
+        failing = np.zeros(n, dtype=bool)
+        if self.transient_every:
+            from cocrawler_ray.hashing import hash64
+            h = hash64(urls)
+            cand = (h % np.uint64(self.transient_every)) == 0
+            if cand.any():
+                fail_n = 1 + (hash64([urls[i] + "#t"
+                                      for i in np.flatnonzero(cand)])
+                              % np.uint64(2)).astype(np.int64)
+                retries = batch.column("retries").to_numpy()[cand]
+                failing[np.flatnonzero(cand)] = retries < fail_n
+        found = found & ~failing
+        redirected = redirected & ~failing
+        location[failing] = ""
         sub = self.web.take(pa.array(pos[found], pa.int64()))
 
         def scatter(col, fill):
@@ -69,7 +108,9 @@ class FetcherPartition:
         caption = scatter(sub.column("caption"), "")
         phash = np.zeros(n, dtype=np.int64); phash[found] = sub.column("phash").to_numpy()
         image_id = scatter(sub.column("image_id"), "")
-        status = np.where(found, 200, 404).astype(np.int32)
+        status = np.where(found, 200,
+                          np.where(failing, 503,
+                                   np.where(redirected, 301, 404))).astype(np.int32)
         digest = np.array([hashlib.sha256(b).hexdigest() if b is not None else ""
                            for b in bytes_col], dtype=object)
 
@@ -83,6 +124,7 @@ class FetcherPartition:
         out = batch.select(["surt", "url", "host", "priority", "rand", "depth", "gen", "part"])
         return (out
                 .append_column("status", pa.array(status))
+                .append_column("location", pa.array(location, pa.string()))
                 .append_column("image_id", pa.array(image_id, pa.string()))
                 .append_column("bytes", pa.array(list(bytes_col), pa.binary()))
                 .append_column("w", pa.array(w))

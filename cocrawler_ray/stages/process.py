@@ -106,8 +106,56 @@ def persist_fetched_cell(storage, fetched: pa.Table, gen: int) -> None:
     storage.write_cell_named(cell, "fetched", gen, f"part={part0:05d}-{suffix}")
 
 
+def redirect_candidates(fetched: pa.Table) -> pa.Table:
+    """3xx rows -> candidate rows for the redirect TARGET (reference
+    post_fetch.py::handle_redirect: canonicalize Location against the
+    redirecting URL, then through seen-gate -> frontier like any link).
+    The target inherits the redirecting row's priority and depth (a hop is
+    not a deeper page); kind='redirect' feeds the same winner dedup rule."""
+    st = fetched.column("status")
+    is3xx = pa.compute.and_(pa.compute.greater_equal(st, 300),
+                            pa.compute.less(st, 400))
+    rows = fetched.filter(is3xx)
+    if rows.num_rows == 0:
+        return pa.table({f.name: pa.array([], f.type)
+                         for f in schemas.LINKS})
+    res = urls.canonicalize_batch(rows.column("location").to_pylist(),
+                                  rows.column("url").to_pylist())
+    keep = res["valid"]
+    src_surts = np.asarray(rows.column("surt").to_pylist(), dtype=object)[keep]
+    prio = rows.column("priority").to_numpy()[keep]
+    depth = rows.column("depth").to_numpy()[keep]
+    return pa.table({
+        "src_surt": pa.array(src_surts, pa.string()),
+        "dst_url": pa.array(res["url"][keep], pa.string()),
+        "dst_surt": pa.array(res["surt"][keep], pa.string()),
+        "dst_host": pa.array(res["host"][keep], pa.string()),
+        "kind": pa.array(["redirect"] * int(keep.sum()), pa.string()),
+        "priority": pa.array(prio.astype(np.int32)),
+        "depth": pa.array(depth.astype(np.int32)),
+    })
+
+
+def retry_rows(gated: pa.Table, statuses: pa.ChunkedArray | pa.Array,
+               max_tries: int) -> pa.Table:
+    """5xx rows -> frontier-schema rows to requeue (scheduler.py::
+    requeue_work + fetcher MaxTries). ``gated`` is the pre-fetch batch
+    (fetch output is positionally aligned with its input); rows whose NEXT
+    attempt would exceed max_tries are dropped. The frontier's requeue()
+    applies the retries+1 bump and priority demotion."""
+    st = np.asarray(statuses)
+    mask = (st >= 500) & (st < 600)
+    mask &= gated.column("retries").to_numpy() + 1 < max_tries
+    cols = ("surt", "url", "host", "priority", "rand", "depth", "retries", "seed_id")
+    return gated.select(list(cols)).filter(pa.array(mask))
+
+
 def links_to_candidates(fetched: pa.Table, max_depth: int) -> pa.Table:
-    """200-rows -> deduped candidate link rows (the combiner output)."""
+    """200-rows -> deduped candidate link rows (the combiner output),
+    merged with 3xx redirect-target candidates."""
     ok = pa.compute.equal(fetched.column("status"), 200)
     links = extract_and_score(fetched.filter(ok), max_depth)
+    redirs = redirect_candidates(fetched)
+    if redirs.num_rows:
+        links = pa.concat_tables([links, redirs]).combine_chunks()
     return dedup_links_batch(links)

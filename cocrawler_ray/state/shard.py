@@ -43,7 +43,8 @@ class ShardHost:
                  robots_bodies: dict[str, str], user_agent: str,
                  web: pa.Table, web_html: pa.Table,
                  seen_capacity: int, exact_seen: bool,
-                 spill_threshold: int, spill_dir: str):
+                 spill_threshold: int, spill_dir: str,
+                 transient_every: int = 0):
         self.actor_id = actor_id
         self.num_actors = num_actors
         self.num_parts = num_parts
@@ -53,9 +54,10 @@ class ShardHost:
         self.seen = {p: SeenPartition(p, seen_capacity, exact_seen)
                      for p in my_parts}
         self.robots = RobotsPartition(actor_id, robots_bodies, 10, user_agent)
-        self.fetcher = FetcherPartition(actor_id, web, web_html)
+        self.fetcher = FetcherPartition(actor_id, web, web_html, transient_every)
         self.peers: list | None = None
         self._outbox: dict[int, list] = {}  # target actor -> candidate bufs
+        self._requeue_outbox: dict[int, list] = {}  # target actor -> 5xx rows
 
     def set_peers(self, handles: list) -> None:
         self.peers = handles
@@ -94,7 +96,7 @@ class ShardHost:
     # -- fused chunk processing (load-balanced across ALL actors) ------------
 
     def process_chunk(self, chunk: pa.Table, gen: int, max_depth: int,
-                      out_dir: str) -> dict:
+                      out_dir: str, max_tries: int = 4) -> dict:
         """Process one politeness-gated drain chunk end-to-end on THIS
         actor: robots-gate + fetch + persist + extract/canonicalize/score +
         combiner-dedup; candidates are BUFFERED in a per-target outbox
@@ -108,18 +110,28 @@ class ShardHost:
         of serializing on its owner (north_rule hot-host skew handling,
         fused-path form)."""
         from cocrawler_ray.stages.process import (
-            links_to_candidates, persist_fetched_cell)
+            links_to_candidates, persist_fetched_cell, retry_rows)
         from cocrawler_ray.storage import Storage
 
         storage = Storage(out_dir)
         counts = {"n_in": chunk.num_rows, "n_allowed": 0, "n_fetched": 0,
-                  "n_cand": 0}
-        fetched, n_allowed = self.fetch_gated(chunk, gen)
-        counts["n_allowed"] = n_allowed
-        if n_allowed == 0 or fetched.num_rows == 0:
+                  "n_cand": 0, "n_retry": 0}
+        fetched, gated = self.fetch_gated(chunk, gen)
+        counts["n_allowed"] = gated.num_rows
+        if fetched.num_rows == 0:
             return counts
         counts["n_fetched"] = fetched.num_rows
         persist_fetched_cell(storage, fetched, gen)
+        # 5xx -> requeue to the owning frontier partition (buffered like
+        # candidates; flushed in the same per-gen exchange round)
+        rr = retry_rows(gated, fetched.column("status"), max_tries)
+        counts["n_retry"] = rr.num_rows
+        if rr.num_rows:
+            rparts = host_partition(rr.column("host").to_pylist(), self.num_parts)
+            for a in np.unique(rparts % self.num_actors):
+                idx = np.flatnonzero(rparts % self.num_actors == a)
+                self._requeue_outbox.setdefault(int(a), []).append(
+                    rr.take(pa.array(idx, pa.int64())))
         links = links_to_candidates(fetched, max_depth)
         counts["n_cand"] = links.num_rows
         if links.num_rows == 0:
@@ -149,20 +161,41 @@ class ShardHost:
             else:
                 acks.append(self.peers[a].accept_candidates.remote(merged))
         self._outbox = {}
+        for a, bufs in self._requeue_outbox.items():
+            merged = pa.concat_tables(bufs) if len(bufs) > 1 else bufs[0]
+            if a == self.actor_id:
+                self.requeue_rows(merged)
+            else:
+                acks.append(self.peers[a].requeue_rows.remote(merged))
+        self._requeue_outbox = {}
         return acks
+
+    def requeue_rows(self, rows: pa.Table) -> int:
+        """Requeue 5xx rows into their owning frontier partitions (retries
+        and priority bumped by FrontierPartition.requeue). No seen gate —
+        the URLs are already seen; they re-enter the queue directly."""
+        parts = host_partition(rows.column("host").to_pylist(), self.num_parts)
+        n = 0
+        for p in np.unique(parts):
+            idx = np.flatnonzero(parts == p)
+            n += self.frontier[int(p)].requeue(
+                rows.take(pa.array(idx, pa.int64())))
+        return n
 
     # -- robots + fetch (fused: one RPC per batch per actor) -----------------
 
-    def fetch_gated(self, batch: pa.Table, gen: int) -> tuple[pa.Table, int]:
+    def fetch_gated(self, batch: pa.Table, gen: int) -> tuple[pa.Table, pa.Table]:
         """Robots-gate then fetch a batch of frontier rows; returns
-        (fetched_table, n_allowed)."""
+        (fetched_table, gated_batch) — fetch output is positionally aligned
+        with the gated input, so callers can split retries off the original
+        frontier rows."""
         hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
         paths = url_paths(batch.column("url").to_pylist())
         allow = self.robots.check_batch(hosts, paths, gen)
         batch = batch.filter(pa.array(allow))
         if batch.num_rows == 0:
-            return batch, 0
-        return self.fetcher.fetch(batch), batch.num_rows
+            return batch, batch
+        return self.fetcher.fetch(batch), batch
 
     # -- seen ----------------------------------------------------------------
 

@@ -65,11 +65,14 @@ def link_targets(num_pages: int, seed: int = 42, out_deg_max: int = 8
 
 
 def page_html(p: int, hosts: np.ndarray, targets: np.ndarray, caption: str,
-              filler: int = 0) -> str:
+              filler: int = 0, alias_every: int = 0) -> str:
     """Synthetic HTML for page p: title + links (same-host relative, cross-host
     absolute) + every third target as an <img src> embed. ``filler`` adds
     that many bytes of text between links so parse cost resembles real pages
-    (real HTML is tens of KB of prose around the anchors)."""
+    (real HTML is tens of KB of prose around the anchors). ``alias_every``
+    > 0 rewrites links to qualifying targets (t % alias_every == 3) as
+    alias paths ``/aNNNNNN`` which the fetcher 301-redirects to the real
+    page — the redirect-handling path of the crawl loop (M7)."""
     parts = [f"<html><head><title>{caption}</title>"
              '<meta name="generator" content="synthweb/1.0"></head><body>']
     me = hosts[p]
@@ -78,7 +81,9 @@ def page_html(p: int, hosts: np.ndarray, targets: np.ndarray, caption: str,
         per = max(32, filler // max(1, len(targets)))
         pad = "<p>" + (caption + " ") * (per // (len(caption) + 1) + 1) + "</p>"
     for j, t in enumerate(targets):
-        href = f"/p{t:06d}" if hosts[t] == me else page_url(int(hosts[t]), int(t))
+        seg = "a" if alias_every and t % alias_every == 3 else "p"
+        href = (f"/{seg}{t:06d}" if hosts[t] == me
+                else f"http://{host_name(int(hosts[t]))}/{seg}{t:06d}")
         if pad:
             parts.append(pad)
         if j % 3 == 2:
@@ -90,7 +95,7 @@ def page_html(p: int, hosts: np.ndarray, targets: np.ndarray, caption: str,
 
 
 def _page_rows(page_ids: np.ndarray, hosts: np.ndarray, all_targets: list[np.ndarray],
-               seed: int, filler: int = 0) -> dict[str, list]:
+               seed: int, filler: int = 0, alias_every: int = 0) -> dict[str, list]:
     rng = np.random.default_rng(seed + 2)
     cols: dict[str, list] = {k: [] for k in
                              ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "html", "url")}
@@ -112,19 +117,20 @@ def _page_rows(page_ids: np.ndarray, hosts: np.ndarray, all_targets: list[np.nda
         cols["caption"].append(caption)
         cols["phash"].append(codecs.average_phash(img))
         cols["html"].append(page_html(int(p), hosts, all_targets[p], caption,
-                                      filler=filler))
+                                      filler=filler, alias_every=alias_every))
         cols["url"].append(page_url(hid, int(p)))
     _ = rng
     return cols
 
 
 def gen_web_tables(num_hosts: int = 20, num_pages: int = 500, seed: int = 42,
-                   out_deg_max: int = 8, filler: int = 0
+                   out_deg_max: int = 8, filler: int = 0, alias_every: int = 0
                    ) -> tuple[pa.Table, pa.Table]:
     """(web, web_html) Arrow tables — single-process path for tests."""
     hosts = assign_hosts(num_pages, num_hosts, seed)
     targets = link_targets(num_pages, seed, out_deg_max=out_deg_max)
-    cols = _page_rows(np.arange(num_pages), hosts, targets, seed, filler=filler)
+    cols = _page_rows(np.arange(num_pages), hosts, targets, seed, filler=filler,
+                      alias_every=alias_every)
     web = pa.table(
         {
             "image_id": pa.array(cols["image_id"], pa.string()),
@@ -189,7 +195,7 @@ def gen_seed_lines(num_hosts: int, num_pages: int, num_seeds: int = 20, seed: in
 
 def write_web_dataset(out_dir: str, num_hosts: int, num_pages: int, seed: int = 42,
                       pages_per_block: int = 2000, out_deg_max: int = 8,
-                      filler: int = 0) -> None:
+                      filler: int = 0, alias_every: int = 0) -> None:
     """Ray-parallel generator for bench scale: shards page ranges across
     map_batches tasks, writes web/ and web_html/ parquet under out_dir.
     Output is identical to gen_web_tables for the same parameters."""
@@ -211,7 +217,8 @@ def write_web_dataset(out_dir: str, num_hosts: int, num_pages: int, seed: int = 
         for b in batch["block"]:
             b = int(b)
             lo, hi = b * pages_per_block, min((b + 1) * pages_per_block, num_pages)
-            cols = _page_rows(np.arange(lo, hi), h, tg, seed, filler=filler)
+            cols = _page_rows(np.arange(lo, hi), h, tg, seed, filler=filler,
+                              alias_every=alias_every)
             web = pa.table({
                 "image_id": pa.array(cols["image_id"], pa.string()),
                 "bytes": pa.array(cols["bytes"], pa.binary()),

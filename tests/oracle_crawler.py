@@ -27,7 +27,8 @@ class OracleCrawler:
     def __init__(self, web_urls: set[str], html_by_url: dict[str, str],
                  robots_bodies: dict[str, str], budget_per_host: int = 4,
                  max_depth: int = 6, max_gens: int = 50, seed: int = 42,
-                 user_agent: str = "cocrawler"):
+                 user_agent: str = "cocrawler", transient_every: int = 0,
+                 max_tries: int = 4):
         self.web_urls = web_urls
         self.html_by_url = html_by_url
         self.robots = {h: robots_mod.parse_robots(b) for h, b in robots_bodies.items()}
@@ -36,9 +37,30 @@ class OracleCrawler:
         self.max_gens = max_gens
         self.seed = seed
         self.ua = user_agent
+        self.transient_every = transient_every
+        self.max_tries = max_tries
         self.seen: set[str] = set()
-        self.frontier: dict[str, list] = {}  # host -> heap of (prio, rand, surt, url, depth)
+        # host -> heap of (prio, rand, surt, url, depth, retries)
+        self.frontier: dict[str, list] = {}
         self.fetch_log: list[tuple] = []  # (gen, priority, rand, surt, url, status)
+
+    def _fetch_status(self, url: str, retries: int) -> tuple[int, str]:
+        """(status, location) — mirrors FetcherPartition: deterministic
+        transient 503s gated on the row's retry count, /aNNNNNN alias 301s
+        when the same-host /pNNNNNN target exists, else 200/404."""
+        from cocrawler_ray.hashing import hash64
+        if self.transient_every and int(hash64([url])[0]) % self.transient_every == 0:
+            fail_n = 1 + int(hash64([url + "#t"])[0]) % 2
+            if retries < fail_n:
+                return 503, ""
+        if url in self.web_urls:
+            return 200, ""
+        j = url.rfind("/a")
+        if j >= 0 and url[j + 2:].isdigit():
+            target = url[:j] + "/p" + url[j + 2:]
+            if target in self.web_urls:
+                return 301, target
+        return 404, ""
 
     def _rand(self, surt: str) -> int:
         return int(rand_for_surt([surt], seed=self.seed)[0])
@@ -51,7 +73,7 @@ class OracleCrawler:
             return False
         self.seen.add(c.surt)
         heapq.heappush(self.frontier.setdefault(c.host, []),
-                       (priority, self._rand(c.surt), c.surt, c.url, depth))
+                       (priority, self._rand(c.surt), c.surt, c.url, depth, 0))
         return True
 
     def add_seeds(self, seed_lines: list[str]) -> int:
@@ -74,19 +96,32 @@ class OracleCrawler:
             for host in sorted(self.frontier):
                 heap = self.frontier[host]
                 for _ in range(min(self.budget, len(heap))):
-                    p, r, surt, url, depth = heapq.heappop(heap)
-                    drained.append((p, r, surt, url, depth, host))
+                    p, r, surt, url, depth, retries = heapq.heappop(heap)
+                    drained.append((p, r, surt, url, depth, retries, host))
                 if not heap:
                     del self.frontier[host]
             if not drained:
                 break
             # robots gate then fetch
             new_links = []  # (dst_surt, priority, src_surt, kind, dst_url, dst_host, depth)
-            for p, r, surt, url, depth, host in drained:
+            requeues = []   # (prio+1, rand, surt, url, depth, retries+1, host)
+            for p, r, surt, url, depth, retries, host in drained:
                 if not self._allowed(host, url):
                     continue
-                status = 200 if url in self.web_urls else 404
+                status, location = self._fetch_status(url, retries)
                 self.fetch_log.append((gen, p, r, surt, url, status))
+                if status >= 500:
+                    # engine: FrontierPartition.requeue (retries+1, prio+1),
+                    # dropped when the NEXT attempt would exceed max_tries
+                    if retries + 1 < self.max_tries:
+                        requeues.append((p + 1, r, surt, url, depth, retries + 1, host))
+                    continue
+                if 300 <= status < 400:
+                    # engine: redirect target inherits priority and depth
+                    c = urls.canonicalize(location, url)
+                    if c is not None:
+                        new_links.append((c.surt, p, surt, "redirect", c.url, c.host, depth))
+                    continue
                 if status != 200:
                     continue
                 html = self.html_by_url.get(url, "")
@@ -110,7 +145,11 @@ class OracleCrawler:
                     continue
                 self.seen.add(dst)
                 heapq.heappush(self.frontier.setdefault(dst_host, []),
-                               (prio, self._rand(dst), dst, dst_url, depth))
+                               (prio, self._rand(dst), dst, dst_url, depth, 0))
+            # requeues re-enter directly (already seen — no gate)
+            for prio, r, surt, url, depth, retries, host in requeues:
+                heapq.heappush(self.frontier.setdefault(host, []),
+                               (prio, r, surt, url, depth, retries))
 
     # -- conformance views --------------------------------------------------
 

@@ -141,6 +141,64 @@ def test_hot_host_skew(ray_session, tmp_path):
     assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
 
 
+@pytest.fixture(scope="module")
+def corpus_rr():
+    """Corpus with redirects (alias links -> 301) and transient 503s:
+    exercises M7 redirect handling and MaxTries/requeue end-to-end."""
+    web, html = synth.gen_web_tables(num_hosts=NUM_HOSTS, num_pages=NUM_PAGES,
+                                     seed=SEED, alias_every=4)
+    robots_t = synth.gen_robots_table(NUM_HOSTS)
+    seeds = synth.gen_seed_lines(NUM_HOSTS, NUM_PAGES, num_seeds=12, seed=SEED)
+    ids = web.column("image_id").to_pylist()
+    urls = [f"http://{i[:5]}.test/{i[6:]}" for i in ids]
+    html_by_url = dict(zip(urls, html.column("html").to_pylist()))
+    robots_bodies = dict(zip(robots_t.column("host").to_pylist(),
+                             robots_t.column("body").to_pylist()))
+    return web, html, robots_bodies, seeds, set(urls), html_by_url
+
+
+def _run_rr(corpus_rr, tmp_path, **engine_kw):
+    oc = OracleCrawler(corpus_rr[4], corpus_rr[5], corpus_rr[2],
+                       budget_per_host=3, max_depth=4, max_gens=20, seed=SEED,
+                       transient_every=5, max_tries=3)
+    oc.add_seeds(corpus_rr[3])
+    oc.run()
+    job = run_engine(corpus_rr, tmp_path, transient_every=5, max_tries=3,
+                     **engine_kw)
+    return oc, job
+
+
+def test_crawl_conformance_redirects_and_retries(ray_session, corpus_rr, tmp_path):
+    """Engine == oracle with 3xx and 5xx present: same seen set, same
+    ordering, and the corpus actually produced redirects and retries."""
+    oc, job = _run_rr(corpus_rr, tmp_path)
+    fetched = job.fetched_table()
+    statuses = fetched.column("status").to_pylist()
+    assert 301 in statuses, "corpus produced no redirects"
+    assert 503 in statuses, "corpus produced no transient failures"
+    # a 503'd URL must be re-attempted (appears more than once)
+    urls_503 = {u for u, s in zip(fetched.column("url").to_pylist(), statuses)
+                if s == 503}
+    from collections import Counter
+    attempts = Counter(fetched.column("url").to_pylist())
+    assert any(attempts[u] > 1 for u in urls_503), "no retry was attempted"
+    # a redirect target must have been fetched in a later generation
+    locs = {loc for loc, s in zip(fetched.column("location").to_pylist(), statuses)
+            if 300 <= s < 400}
+    fetched_urls = set(fetched.column("url").to_pylist())
+    assert locs and locs & fetched_urls, "no redirect target was followed"
+    assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
+    assert engine_ordering(fetched) == oc.ordering()
+    assert fetched.num_rows == len(oc.fetch_log)
+
+
+def test_crawl_conformance_redirects_and_retries_ray_data_path(
+        ray_session, corpus_rr, tmp_path):
+    oc, job = _run_rr(corpus_rr, tmp_path, actor_path_max_rows=0)
+    assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
+    assert engine_ordering(job.fetched_table()) == oc.ordering()
+
+
 def test_crawl_conformance_ray_data_path(ray_session, corpus, tmp_path):
     """The huge-wave Ray Data pipeline path must produce byte-identical
     results to the fused per-actor path (they share the same kernels but
