@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", action="store_true",
                     help="restore the newest complete checkpoint under --out")
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--write-warc", action="store_true",
+                    help="export fetched rows as WARC/1.0 request+response pairs")
     ap.add_argument("--write-logs", action="store_true",
                     help="export crawllog/robotslog after the crawl")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -116,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
                "out": args.out, "resumed_from_gen": resumed_from}
     if args.write_logs:
         summary["logs"] = job.write_logs()
+    if args.write_warc:
+        summary["warc"] = job.write_warcs()
     print(json.dumps(summary))
     return 0
 

@@ -55,6 +55,9 @@ class CrawlConfig:
     # 1-2 attempts (0 = off). A real-HTTP backend replaces this with actual
     # connection errors behind the same status>=500 requeue path.
     transient_every: int = 0
+    # S5 rejected-URL log: persist dropped candidates (invalid/too-deep)
+    # as rejectlog cells during processing (off by default — hot-path cost)
+    log_rejects: bool = False
     # execution-path switch (pipelines/crawl.py): generations whose ready
     # frontier is at most this many rows run the fused per-actor path (one
     # RPC per actor); larger waves run the Ray Data streaming pipeline

@@ -94,7 +94,7 @@ def _wave_replicas(web_ref, html_ref, robots_ref, user_agent: str,
 def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
                  out_dir: str, web_ref, html_ref, robots_ref,
                  user_agent: str, transient_every: int = 0,
-                 max_tries: int = 4):
+                 max_tries: int = 4, log_rejects: bool = False):
     """The fused per-batch stage of the huge-wave Ray Data path (see module
     docstring). SELF-SUFFICIENT: robots gate + fetch run locally against
     the worker's cached replica (fetch state is host-agnostic; only
@@ -113,11 +113,17 @@ def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
     storage = Storage(out_dir)
 
     def process(batch: pa.Table) -> pa.Table:
-        def counts(n_in=0, n_allowed=0, n_fetched=0, n_cand=0):
+        def counts(n_in=0, n_allowed=0, n_fetched=0, n_cand=0,
+                   rf=0, rh=0):
             return pa.table({"n_in": pa.array([n_in], pa.int64()),
                              "n_allowed": pa.array([n_allowed], pa.int64()),
                              "n_fetched": pa.array([n_fetched], pa.int64()),
-                             "n_cand": pa.array([n_cand], pa.int64())})
+                             "n_cand": pa.array([n_cand], pa.int64()),
+                             # robots counter DELTAS from this worker's
+                             # replica — merged by the driver so robotslog
+                             # covers huge-wave decisions too
+                             "robots_fetches": pa.array([rf], pa.int64()),
+                             "robots_hits": pa.array([rh], pa.int64())})
 
         n_in = batch.num_rows
         if n_in == 0:
@@ -130,15 +136,17 @@ def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
         # static rule bodies, host-agnostic — same gate as ShardHost's)
         hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
         paths = url_paths(batch.column("url").to_pylist())
+        rf0, rh0 = robots.fetch_count, robots.hit_count
         allow = robots.check_batch(hosts, paths, gen)
+        rf, rh = robots.fetch_count - rf0, robots.hit_count - rh0
         gated = batch.filter(pa.array(allow))
         n_allowed = gated.num_rows
         if n_allowed == 0:
-            return counts(n_in, 0)
+            return counts(n_in, 0, rf=rf, rh=rh)
         fetched = fetcher.fetch(gated)
         n_fetched = fetched.num_rows
         if n_fetched == 0:
-            return counts(n_in, n_allowed)
+            return counts(n_in, n_allowed, rf=rf, rh=rh)
 
         persist_fetched_cell(storage, fetched, gen)
 
@@ -155,7 +163,13 @@ def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
                     rr.take(pa.array(idx, pa.int64()))))
 
         # extract + canonicalize + score on 200s (+3xx targets), combiner dedup
-        links = links_to_candidates(fetched, max_depth)
+        if log_rejects:
+            from cocrawler_ray.stages.process import persist_rejects_cell
+            links, rejects = links_to_candidates(fetched, max_depth,
+                                                 collect_rejects=True)
+            persist_rejects_cell(storage, rejects, fetched, gen)
+        else:
+            links = links_to_candidates(fetched, max_depth)
         n_cand = links.num_rows
         if n_cand:
             # route candidates to their seen partitions' hosting actors
@@ -167,7 +181,7 @@ def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
                     links.take(pa.array(idx, pa.int64()))))
         if futs:
             ray.get(futs)
-        return counts(n_in, n_allowed, n_fetched, n_cand)
+        return counts(n_in, n_allowed, n_fetched, n_cand, rf=rf, rh=rh)
 
     return process
 
@@ -224,6 +238,9 @@ class CrawlJob:
         self.gen = 0
         self._pending_est = 0  # frontier-size estimate (path choice only)
         self.metrics_rows: list[tuple] = []
+        # robots decisions made by huge-wave task-worker replicas (merged
+        # into robotslog; the ShardHost counters only see the actor path)
+        self.wave_robots = {"fetches": 0, "hits": 0}
 
     # -- seeding (seeds.py::expand_seeds -> add_url flow) --------------------
 
@@ -294,7 +311,8 @@ class CrawlJob:
             chunk_refs = [ref for dg in ray.get(drain_gens) for ref in dg]
             outs = ray.get([
                 self.shards[i % self.num_actors].process_chunk.remote(
-                    ref, g, cfg.max_depth, cfg.out_dir, cfg.max_tries)
+                    ref, g, cfg.max_depth, cfg.out_dir, cfg.max_tries,
+                    cfg.log_rejects)
                 for i, ref in enumerate(chunk_refs)])
             drained = sum(c["n_in"] for c in outs)
             n_fetched = sum(c["n_fetched"] for c in outs)
@@ -324,13 +342,16 @@ class CrawlJob:
                                        cfg.out_dir, self.web_ref,
                                        self.html_ref, self.robots_ref,
                                        cfg.user_agent, cfg.transient_every,
-                                       cfg.max_tries)
+                                       cfg.max_tries, cfg.log_rejects)
                 counts = (rd.from_arrow_refs(drains)
                           .map_batches(process, batch_format="pyarrow",
                                        batch_size=cfg.fetch_batch_size)
                           .to_pandas())
                 drained = int(counts["n_in"].sum()) if len(counts) else 0
                 n_fetched = int(counts["n_fetched"].sum()) if len(counts) else 0
+                if len(counts):
+                    self.wave_robots["fetches"] += int(counts["robots_fetches"].sum())
+                    self.wave_robots["hits"] += int(counts["robots_hits"].sum())
         t_pipeline = _time.perf_counter() - t0
         self.fetched_total += n_fetched
         self.storage.append_manifest({"kind": "fetched", "gen": g})
@@ -439,11 +460,14 @@ class CrawlJob:
     # -- log sinks (SURVEY §2.1 S4/S5: crawllog / robots-log JSON lines) ----
 
     def write_logs(self) -> dict[str, str]:
-        """Export the side-channel logs the reference writes per fetch:
-        crawllog (url, status, timings, sizes — Crawler.fetch_and_process
-        jsonl) and robotslog (per-host decision counts). Batch image: a
-        streaming projection of the fetched table written as JSON — no
-        driver materialization."""
+        """Export the side-channel logs the reference writes per fetch
+        (SURVEY §2.1 S4/S5): crawllog (url, status, timings, sizes —
+        Crawler.fetch_and_process jsonl), robotslog (decision counts,
+        actor-path counters PLUS the huge-wave replica deltas), facetlog
+        (per-200-page head facets — Logging.facet_log) and rejectlog
+        (dropped candidate URLs — Logging.rejected_url_log, written as
+        cells during processing when cfg.log_rejects). All streaming
+        projections — no driver materialization."""
         out = {}
         files = self.storage.table_files("fetched")
         if files:
@@ -453,7 +477,47 @@ class CrawlJob:
                                       "fetch_ms", "digest"])
                .write_json(crawllog_dir))
             out["crawllog"] = crawllog_dir
+            # facetlog: re-join 200 rows to their HTML (broadcast table)
+            # and extract head facets — a streaming pass, one task per cell
+            html_ref = self.html_ref
+            facet_dir = str(self.storage.root / "facetlog")
+
+            def facets(t: pa.Table) -> pa.Table:
+                from cocrawler_ray import facet as facet_mod
+                html_t = ray.get(html_ref)
+                idx = pd_index = None
+                import pandas as _pd
+                pd_index = _pd.Index(html_t.column("image_id").to_pylist())
+                keep = t.filter(pa.compute.equal(t.column("status"), 200))
+                pos = pd_index.get_indexer(keep.column("image_id").to_pylist())
+                urls_, gens_ = keep.column("url").to_pylist(), keep.column("gen").to_pylist()
+                us, gs, ks, vs = [], [], [], []
+                for i, p in enumerate(pos):
+                    if p < 0:
+                        continue
+                    body = html_t.column("html")[int(p)].as_py()
+                    for k, v in facet_mod.find_head_facets(body):
+                        us.append(urls_[i]); gs.append(gens_[i])
+                        ks.append(k); vs.append(v)
+                _ = idx
+                return pa.table({"url": pa.array(us, pa.string()),
+                                 "gen": pa.array(np.array(gs, dtype=np.int32)),
+                                 "k": pa.array(ks, pa.string()),
+                                 "v": pa.array(vs, pa.string())})
+
+            (rd.read_parquet(files, columns=["url", "image_id", "status", "gen"])
+               .map_batches(facets, batch_format="pyarrow")
+               .write_json(facet_dir))
+            out["facetlog"] = facet_dir
+        reject_files = self.storage.table_files("rejectlog")
+        if reject_files:
+            reject_dir = str(self.storage.root / "rejectlog_json")
+            rd.read_parquet(reject_files).write_json(reject_dir)
+            out["rejectlog"] = reject_dir
         robots_counts = ray.get([s.robots_stats.remote() for s in self.shards])
+        if self.wave_robots["fetches"] or self.wave_robots["hits"]:
+            robots_counts.append({"actor": -1, "source": "wave_replicas",
+                                  **self.wave_robots})
         robotslog = self.storage.root / "robotslog.jsonl"
         import json as _json
         with open(robotslog, "w") as fh:
@@ -461,6 +525,17 @@ class CrawlJob:
                 fh.write(_json.dumps(rec) + "\n")
         out["robotslog"] = str(robotslog)
         return out
+
+    def write_warcs(self, max_size: int = 1 << 30,
+                    date: str = "2026-01-01T00:00:00Z") -> dict:
+        """Optional archival sink (S3): render the fetched Parquet cells as
+        WARC/1.0 request+response pairs (warc.py). Streaming, one rotated
+        series per cell — resumable, never one giant file."""
+        from cocrawler_ray import warc
+        dest = str(self.storage.root / "warc")
+        files = self.storage.table_files("fetched")
+        n = warc.write_warc_from_fetched(files, dest, max_size, date) if files else 0
+        return {"dir": dest, "records": n}
 
     # -- conformance views --------------------------------------------------
 

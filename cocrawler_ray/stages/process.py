@@ -23,10 +23,16 @@ from cocrawler_ray import parse, schemas, urls
 from cocrawler_ray.hashing import hash64
 
 
-def extract_and_score(batch: pa.Table, max_depth: int) -> pa.Table:
+def extract_and_score(batch: pa.Table, max_depth: int,
+                      collect_rejects: bool = False
+                      ) -> pa.Table | tuple[pa.Table, pa.Table]:
     """fetched(+html) batch -> candidate link rows: extract, canonicalize,
     validity-filter, priority-score (child = parent priority + 1, drop
-    depth>max). Reference: parse.py + urls.py + Crawler.add_url (M4,M1,M8)."""
+    depth>max). Reference: parse.py + urls.py + Crawler.add_url (M4,M1,M8).
+
+    With ``collect_rejects`` the dropped URLs come back as a second table
+    (src_surt, raw_url, reason in {invalid, too_deep}) — the reference's
+    Logging.rejected_url_log sink (S5)."""
     htmls = batch.column("html").to_pylist()
     page_urls = batch.column("url").to_pylist()
     src_surts = batch.column("surt").to_pylist()
@@ -39,16 +45,29 @@ def extract_and_score(batch: pa.Table, max_depth: int) -> pa.Table:
     si = ex["src_idx"][keep]
     child_depth = depth[si] + 1
     keep2 = child_depth <= max_depth
-    si = si[keep2]
-    return pa.table({
-        "src_surt": pa.array([src_surts[i] for i in si], pa.string()),
+    links = pa.table({
+        "src_surt": pa.array([src_surts[i] for i in si[keep2]], pa.string()),
         "dst_url": pa.array(res["url"][keep][keep2], pa.string()),
         "dst_surt": pa.array(res["surt"][keep][keep2], pa.string()),
         "dst_host": pa.array(res["host"][keep][keep2], pa.string()),
         "kind": pa.array(ex["kind"][keep][keep2], pa.string()),
-        "priority": pa.array((prio[si] + 1).astype(np.int32)),
-        "depth": pa.array((depth[si] + 1).astype(np.int32)),
+        "priority": pa.array((prio[si[keep2]] + 1).astype(np.int32)),
+        "depth": pa.array((depth[si[keep2]] + 1).astype(np.int32)),
     })
+    if not collect_rejects:
+        return links
+    raw = np.asarray(ex["raw"], dtype=object)
+    src_all = np.asarray([src_surts[i] for i in ex["src_idx"]], dtype=object)
+    rej_src = np.concatenate([src_all[~keep], src_all[keep][~keep2]])
+    rej_url = np.concatenate([raw[~keep], raw[keep][~keep2]])
+    rej_why = np.concatenate([np.full((~keep).sum(), "invalid", dtype=object),
+                              np.full((~keep2).sum(), "too_deep", dtype=object)])
+    rejects = pa.table({
+        "src_surt": pa.array(rej_src, pa.string()),
+        "raw_url": pa.array(rej_url, pa.string()),
+        "reason": pa.array(rej_why, pa.string()),
+    })
+    return links, rejects
 
 
 def winner_indices(batch: pa.Table, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -93,6 +112,19 @@ def dedup_links_batch(batch: pa.Table) -> pa.Table:
     h = hash64(batch.column("dst_surt").to_pylist())
     _, winner = winner_indices(batch, h)
     return batch.take(pa.array(np.sort(winner), pa.int64()))
+
+
+def persist_rejects_cell(storage, rejects: pa.Table, fetched: pa.Table,
+                         gen: int) -> None:
+    """Rejected-URL log cells (S5), content-keyed like fetched cells so
+    task replays overwrite idempotently."""
+    if rejects is None or rejects.num_rows == 0:
+        return
+    first_surt = fetched.column("surt")[0].as_py()
+    suffix = f"{int(hash64([first_surt])[0]) & 0xFFFFFFFF:08x}"
+    part0 = int(fetched.column("part")[0].as_py())
+    storage.write_cell_named(rejects, "rejectlog", gen,
+                             f"part={part0:05d}-{suffix}")
 
 
 def persist_fetched_cell(storage, fetched: pa.Table, gen: int) -> None:
@@ -150,12 +182,17 @@ def retry_rows(gated: pa.Table, statuses: pa.ChunkedArray | pa.Array,
     return gated.select(list(cols)).filter(pa.array(mask))
 
 
-def links_to_candidates(fetched: pa.Table, max_depth: int) -> pa.Table:
+def links_to_candidates(fetched: pa.Table, max_depth: int,
+                        collect_rejects: bool = False
+                        ) -> pa.Table | tuple[pa.Table, pa.Table]:
     """200-rows -> deduped candidate link rows (the combiner output),
     merged with 3xx redirect-target candidates."""
     ok = pa.compute.equal(fetched.column("status"), 200)
-    links = extract_and_score(fetched.filter(ok), max_depth)
+    out = extract_and_score(fetched.filter(ok), max_depth,
+                            collect_rejects=collect_rejects)
+    links, rejects = out if collect_rejects else (out, None)
     redirs = redirect_candidates(fetched)
     if redirs.num_rows:
         links = pa.concat_tables([links, redirs]).combine_chunks()
-    return dedup_links_batch(links)
+    links = dedup_links_batch(links)
+    return (links, rejects) if collect_rejects else links

@@ -96,7 +96,8 @@ class ShardHost:
     # -- fused chunk processing (load-balanced across ALL actors) ------------
 
     def process_chunk(self, chunk: pa.Table, gen: int, max_depth: int,
-                      out_dir: str, max_tries: int = 4) -> dict:
+                      out_dir: str, max_tries: int = 4,
+                      log_rejects: bool = False) -> dict:
         """Process one politeness-gated drain chunk end-to-end on THIS
         actor: robots-gate + fetch + persist + extract/canonicalize/score +
         combiner-dedup; candidates are BUFFERED in a per-target outbox
@@ -110,7 +111,8 @@ class ShardHost:
         of serializing on its owner (north_rule hot-host skew handling,
         fused-path form)."""
         from cocrawler_ray.stages.process import (
-            links_to_candidates, persist_fetched_cell, retry_rows)
+            links_to_candidates, persist_fetched_cell, persist_rejects_cell,
+            retry_rows)
         from cocrawler_ray.storage import Storage
 
         storage = Storage(out_dir)
@@ -132,7 +134,12 @@ class ShardHost:
                 idx = np.flatnonzero(rparts % self.num_actors == a)
                 self._requeue_outbox.setdefault(int(a), []).append(
                     rr.take(pa.array(idx, pa.int64())))
-        links = links_to_candidates(fetched, max_depth)
+        if log_rejects:
+            links, rejects = links_to_candidates(fetched, max_depth,
+                                                 collect_rejects=True)
+            persist_rejects_cell(storage, rejects, fetched, gen)
+        else:
+            links = links_to_candidates(fetched, max_depth)
         counts["n_cand"] = links.num_rows
         if links.num_rows == 0:
             return counts

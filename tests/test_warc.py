@@ -1,0 +1,104 @@
+"""WARC/1.0 sink golden tests (SURVEY §2.1 S3 — CCWARCWriter semantics:
+request+response pairs, sha1 payload digest, per-record gzip members,
+rotation, deterministic output)."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+from cocrawler_ray import warc
+
+
+def _write_sample(tmp_path, name="t", max_size=1 << 30):
+    w = warc.WARCWriter(str(tmp_path), prefix=name, max_size=max_size)
+    w.write_fetch("http://h0001.test/p000002", 0, 200, b"\x00PAYLOAD\xff\r\n\r\nX")
+    w.write_fetch("http://h0001.test/a000003", 0, 301, b"",
+                  location="http://h0001.test/p000003")
+    w.close()
+    return tmp_path / f"{name}-00000.warc.gz"
+
+
+def test_warc_roundtrip_and_digest(tmp_path):
+    path = _write_sample(tmp_path)
+    recs = warc.read_warc_records(str(path))
+    kinds = [r["WARC-Type"] for r in recs]
+    assert kinds == ["warcinfo", "request", "response", "request", "response"]
+    resp = recs[2]
+    # HTTP head + binary payload round-trips byte-exact
+    head, _, payload = resp["block"].partition(b"\r\n\r\n")
+    assert head.startswith(b"HTTP/1.1 200 OK")
+    assert payload == b"\x00PAYLOAD\xff\r\n\r\nX"
+    assert resp["WARC-Payload-Digest"] == warc.sha1_b32(payload)
+    # redirect response carries the Location header
+    head301 = recs[4]["block"].partition(b"\r\n\r\n")[0]
+    assert b"Location: http://h0001.test/p000003" in head301
+    # request is linked to its response
+    assert recs[1]["WARC-Concurrent-To"] == recs[2]["WARC-Record-ID"]
+
+
+def test_warc_deterministic_bytes(tmp_path):
+    a = _write_sample(tmp_path / "a")
+    b = _write_sample(tmp_path / "b")
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_warc_rotation(tmp_path):
+    w = warc.WARCWriter(str(tmp_path), prefix="r", max_size=500)
+    for i in range(10):
+        w.write_fetch(f"http://h.test/p{i:06d}", 0, 200, b"x" * 300)
+    w.close()
+    files = sorted(tmp_path.glob("r-*.warc.gz"))
+    assert len(files) > 1, "size rotation did not trigger"
+    # every file standalone-parses and starts with its own warcinfo
+    total = 0
+    for f in files:
+        recs = warc.read_warc_records(str(f))
+        assert recs[0]["WARC-Type"] == "warcinfo"
+        assert recs[0]["WARC-Filename"] == f.name
+        total += sum(1 for r in recs if r["WARC-Type"] == "response")
+    assert total == 10
+
+
+def test_warc_gzip_members_individually_seekable(tmp_path):
+    """Each record is its own gzip member: decompressing the first member
+    alone yields exactly the warcinfo record."""
+    path = _write_sample(tmp_path)
+    raw = path.read_bytes()
+    d = zlib.decompressobj(wbits=31)
+    first = d.decompress(raw)
+    assert first.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo")
+    assert d.unused_data, "expected more gzip members after the first"
+
+
+def test_warc_export_from_crawl(ray_session, tmp_path):
+    """End-to-end: crawl -> write_warcs -> every fetched row has a response
+    record whose payload digest matches the stored sha256 digest."""
+    from cocrawler_ray import synth
+    from cocrawler_ray.config import CrawlConfig
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+
+    web, html = synth.gen_web_tables(num_hosts=6, num_pages=60, seed=42)
+    seeds = synth.gen_seed_lines(6, 60, num_seeds=6, seed=42)
+    cfg = CrawlConfig(out_dir=str(tmp_path), num_parts=2, budget_per_host=4,
+                      max_depth=3, max_gens=4, seed=42)
+    job = CrawlJob(cfg, web, html, {})
+    job.run(seeds)
+    out = job.write_warcs()
+    fetched = job.fetched_table()
+    assert out["records"] == fetched.num_rows
+    by_url_gen = {}
+    import pathlib
+    for f in pathlib.Path(out["dir"]).glob("*.warc.gz"):
+        for r in warc.read_warc_records(str(f)):
+            if r["WARC-Type"] == "response":
+                by_url_gen[(r["WARC-Target-URI"],)] = r
+    n_checked = 0
+    for row in fetched.to_pylist():
+        rec = by_url_gen.get((row["url"],))
+        assert rec is not None, row["url"]
+        payload = rec["block"].partition(b"\r\n\r\n")[2]
+        if row["status"] == 200:
+            assert hashlib.sha256(payload).hexdigest() == row["digest"]
+            n_checked += 1
+    assert n_checked > 10
