@@ -35,6 +35,39 @@ _BASE = re.compile(
 )
 
 
+# one fused alternation of _HREF|_SRC|_CSS_URL: a realistic page is tens
+# of KB, and scanning it once instead of three times roughly halves the
+# parse stage's memory traffic — the crawl loop's dominant compute. Group
+# layout: 1-3 href (link), 4-6 src (embed), 7-9 css url (embed).
+_ALL = re.compile(
+    r"""<(?:a|link)\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))"""
+    r"""|<(?:img|script|iframe|embed|source|video|audio|frame)\b[^>]*?"""
+    r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))"""
+    r"""|url\(\s*(?:"([^"]*)"|'([^']*)'|([^)'"\s]+))\s*\)"""
+    r"""|<base\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_page(html: str) -> tuple[str | None, list[str], list[str]]:
+    """(base_href, links, embeds) in ONE scan — the batch path's kernel
+    (find_base + find_html_links fused; first <base> wins, like a browser).
+    """
+    base: str | None = None
+    links: list[str] = []
+    embeds: list[str] = []
+    for m in _ALL.finditer(html):
+        g = m.groups()
+        if g[0] is not None or g[1] is not None or g[2] is not None:
+            links.append(g[0] if g[0] is not None else g[1] if g[1] is not None else g[2])
+        elif g[9] is not None or g[10] is not None or g[11] is not None:
+            if base is None:
+                base = next(x for x in g[9:] if x is not None)
+        else:
+            embeds.append(next(x for x in g[3:9] if x is not None))
+    return base, links, embeds
+
+
 def _first_group(m: re.Match) -> str:
     return next(g for g in m.groups() if g is not None)
 
@@ -44,11 +77,11 @@ def find_html_links(html: str) -> tuple[list[str], list[str]]:
 
     links = <a>/<link> hrefs; embeds = src attributes + css url() refs.
     Mirrors the reference's split (cocrawler/parse.py returns links & embeds
-    separately so embeds can get different priority).
+    separately so embeds can get different priority). Single fused scan;
+    each list keeps document order (css refs interleave with src embeds by
+    position — consumers are order-insensitive past the per-list split).
     """
-    links = [_first_group(m) for m in _HREF.finditer(html)]
-    embeds = [_first_group(m) for m in _SRC.finditer(html)]
-    embeds += [_first_group(m) for m in _CSS_URL.finditer(html)]
+    _, links, embeds = parse_page(html)
     return links, embeds
 
 
@@ -71,8 +104,8 @@ def extract_links_batch(htmls, page_urls) -> dict[str, np.ndarray]:
     for i, html in enumerate(htmls):
         if not html:
             continue
-        base = find_base(html, page_urls[i])
-        links, embeds = find_html_links(html)
+        base0, links, embeds = parse_page(html)
+        base = base0 if base0 is not None else page_urls[i]
         for u in links:
             src_idx.append(i)
             raw.append(u)

@@ -135,7 +135,7 @@ def make_process(shards, num_parts: int, num_actors: int, max_depth: int,
         # robots gate + fetch, locally (replica decisions are deterministic:
         # static rule bodies, host-agnostic — same gate as ShardHost's)
         hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
-        paths = url_paths(batch.column("url").to_pylist())
+        paths = url_paths(batch.column("url"))
         rf0, rh0 = robots.fetch_count, robots.hit_count
         allow = robots.check_batch(hosts, paths, gen)
         rf, rh = robots.fetch_count - rf0, robots.hit_count - rh0

@@ -33,9 +33,17 @@ from cocrawler_ray.state.robots_actor import RobotsPartition
 from cocrawler_ray.state.seen import SeenPartition
 
 
-def url_paths(us: list[str]) -> np.ndarray:
-    return np.array(["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/" for u in us],
-                    dtype=object)
+def url_paths(us) -> np.ndarray:
+    """Path component of each URL — vectorized (RE2 over the Arrow column;
+    the per-row Python split was a hot per-drained-URL loop). Accepts an
+    Arrow array/chunked array or a Python list."""
+    import pyarrow.compute as pc
+    arr = us if isinstance(us, (pa.Array, pa.ChunkedArray)) else pa.array(us, pa.string())
+    stripped = pc.replace_substring_regex(arr, pattern=r"^[a-z][a-z0-9+.-]*://[^/]*",
+                                          replacement="")
+    out = stripped.to_numpy(zero_copy_only=False).astype(object)
+    out[out == ""] = "/"
+    return out
 
 
 class ShardHost:
@@ -197,7 +205,7 @@ class ShardHost:
         with the gated input, so callers can split retries off the original
         frontier rows."""
         hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
-        paths = url_paths(batch.column("url").to_pylist())
+        paths = url_paths(batch.column("url"))
         allow = self.robots.check_batch(hosts, paths, gen)
         batch = batch.filter(pa.array(allow))
         if batch.num_rows == 0:
