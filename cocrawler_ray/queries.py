@@ -332,8 +332,11 @@ def q_global_counters(sf_dir: str):
 @_q("q_host_counts",
     "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id")
 def q_host_counts(sf_dir: str):
+    # user_id domain scales with the data (A2: per-host counts at crawl
+    # scale) -> distributed combine of the partials, not a driver pandas.
     return partial_groupby_agg(read(sf_dir, "events", ["user_id"]),
-                               ["user_id"], {"n": (None, "count")})
+                               ["user_id"], {"n": (None, "count")},
+                               distributed=True)
 
 
 @_q("q_latency_summary", """
@@ -403,8 +406,23 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
 GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
 """)
 def q_topk_hosts(sf_dir: str):
-    out = partial_groupby_agg(read(sf_dir, "events", ["user_id"]),
-                              ["user_id"], {"n": (None, "count")})
+    # O3 at scale: per-block count partials -> distributed combine (the
+    # user_id domain scales with the data) -> per-block LOCAL top-k ->
+    # tiny driver merge of <= 10·n_blocks rows. The full per-host count
+    # table never reaches the driver.
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", sort=False, observed=True).size()
+                .rename("n").reset_index())
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n", "user_id"], ascending=[False, True])
+                .head(10))
+
+    counts = (read(sf_dir, "events", ["user_id"])
+              .map_batches(local_first, batch_format="pandas")
+              .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+    out = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["n", "user_id"], ascending=[False, True])
             .head(10).reset_index(drop=True))
 

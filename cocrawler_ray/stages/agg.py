@@ -14,6 +14,19 @@ before the seen shuffle (stages/process.py::dedup_links_batch).
 
 Supported kinds: sum, count, min, max, mean (mean decomposes into
 sum+count partials and divides in the combine step).
+
+Two combine strategies, chosen by key cardinality at the CALL SITE:
+
+- ``distributed=False`` (default): per-block partials are pulled to the
+  driver and combined in pandas. Correct plan ONLY when the group domain
+  is bounded by a small constant (status codes, event types, TPC-H
+  returnflag) — then the driver holds n_blocks × O(1) rows.
+- ``distributed=True``: the partials stay a Dataset and the combine is a
+  native ``groupby().aggregate()`` shuffle OF THE PARTIALS (still far
+  smaller than shuffling the raw input whenever blocks contain repeated
+  keys). Use for keys whose domain scales with the data — per-host /
+  per-user counts, where a driver combine would hold the whole key domain
+  × n_blocks. Only the final one-row-per-group result is materialized.
 """
 
 from __future__ import annotations
@@ -22,15 +35,18 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
 
 _PARTIAL_KINDS = {"sum", "count", "min", "max", "mean"}
 
 
 def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
-                        aggs: dict[str, tuple[str | None, str]]) -> pd.DataFrame:
+                        aggs: dict[str, tuple[str | None, str]],
+                        *, distributed: bool = False) -> pd.DataFrame:
     """``aggs``: out_col -> (in_col, kind); kind in sum/count/min/max/mean
-    (in_col ignored for count). Returns the combined result as pandas
-    (group cardinality is small by contract — that's when to use this)."""
+    (in_col ignored for count). Returns the combined result as pandas.
+    Set ``distributed=True`` when the key domain scales with the data
+    (see module docstring)."""
     for out_col, (_, kind) in aggs.items():
         if kind not in _PARTIAL_KINDS:
             raise ValueError(f"{out_col}: unsupported kind {kind}")
@@ -48,7 +64,30 @@ def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
                 cols[out_col] = getattr(g[col], kind)()
         return pd.concat(cols, axis=1).reset_index()
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts_ds = ds.map_batches(partial, batch_format="pandas")
+
+    if distributed:
+        agg_objs = []
+        for out_col, (_, kind) in aggs.items():
+            if kind in ("sum", "count"):
+                agg_objs.append(Sum(out_col, alias_name=out_col))
+            elif kind == "mean":
+                agg_objs.append(Sum(f"__{out_col}_sum", alias_name=f"__{out_col}_sum"))
+                agg_objs.append(Sum(f"__{out_col}_n", alias_name=f"__{out_col}_n"))
+            elif kind == "min":
+                agg_objs.append(Min(out_col, alias_name=out_col))
+            else:
+                agg_objs.append(Max(out_col, alias_name=out_col))
+        res = parts_ds.groupby(keys).aggregate(*agg_objs).to_pandas()
+        for out_col, (_, kind) in aggs.items():
+            if kind == "mean":
+                res[out_col] = res[f"__{out_col}_sum"] / res[f"__{out_col}_n"]
+                res = res.drop(columns=[f"__{out_col}_sum", f"__{out_col}_n"])
+            elif kind == "count":
+                res[out_col] = res[out_col].astype(np.int64)
+        return res
+
+    parts = parts_ds.to_pandas()
     g = parts.groupby(keys, sort=False, observed=True)
     out = {}
     for out_col, (_, kind) in aggs.items():
