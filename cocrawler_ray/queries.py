@@ -30,7 +30,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from cocrawler_ray import facet, oracles, parse, seeds, urls
-from cocrawler_ray.stages import dedup, joins, similarity, text as textops
+from cocrawler_ray.stages import dedup, exchange, joins, similarity, text as textops
 from cocrawler_ray.stages.agg import partial_groupby_agg
 
 QUERIES: dict = {}
@@ -406,22 +406,23 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
 GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
 """)
 def q_topk_hosts(sf_dir: str):
-    # O3 at scale: per-block count partials -> distributed combine (the
-    # user_id domain scales with the data) -> per-block LOCAL top-k ->
-    # tiny driver merge of <= 10·n_blocks rows. The full per-host count
-    # table never reaches the driver.
-    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+    # O3 at scale: per-block count partials -> hash-exchange combine (the
+    # user_id domain scales with the data) where each partition ALSO takes
+    # its local top-k -> tiny driver merge of <= 10·P rows. The full
+    # per-host count table never reaches the driver.
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby("user_id", sort=False, observed=True).size()
                 .rename("n").reset_index())
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(["n", "user_id"], ascending=[False, True])
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        full = (df.groupby("user_id", sort=False, observed=True)["n"].sum()
+                .reset_index())
+        return (full.sort_values(["n", "user_id"], ascending=[False, True])
                 .head(10))
 
     counts = (read(sf_dir, "events", ["user_id"])
-              .map_batches(local_first, batch_format="pandas")
-              .groupby("user_id").aggregate(Sum("n", alias_name="n")))
-    out = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+              .map_batches(local_counts, batch_format="pandas"))
+    out = exchange.grouped_shuffle(counts, ["user_id"], combine_topk).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["n", "user_id"], ascending=[False, True])
             .head(10).reset_index(drop=True))
@@ -501,11 +502,11 @@ def q_host_window(sf_dir: str):
                               .select(["c_custkey"]), batch_format="pyarrow")
                  .unique("c_custkey"))
     orders = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    out = (joins.broadcast_semi(orders, np.asarray(open_keys), "o_custkey")
-           .groupby("o_orderpriority").aggregate(Count(alias_name="n"))
-           .to_pandas())
-    out["n"] = out["n"].astype(np.int64)
-    return out
+    # combiner aggregate: priority domain is 5 values, so only per-block
+    # partials cross the wire (native groupby would sort-shuffle every row)
+    return partial_groupby_agg(
+        joins.broadcast_semi(orders, np.asarray(open_keys), "o_custkey"),
+        ["o_orderpriority"], {"n": (None, "count")})
 
 
 @_q("q_fetch_join", """
@@ -540,20 +541,19 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) =
 def q_dedup_first(sf_dir: str):
     # first-by-id per group is associative -> combiner: each block keeps its
     # local winner, so only ~groups x blocks rows reach the exchange. The
-    # finish is DISTRIBUTED (native groupby Min + hash join back to the
-    # winner rows) because the group key here is the full user x type
-    # domain — a driver-side combine of the partials would scale with the
-    # key domain, not with a constant (D1's batch form at scale).
+    # finish is DISTRIBUTED (hash exchange co-locating each group's block
+    # winners, then the same vectorized winner rule per partition) because
+    # the group key here is the full user x type domain — a driver-side
+    # combine of the partials would scale with the key domain, not with a
+    # constant (D1's batch form at scale).
     def local_first(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values("event_id", kind="stable")
                   .drop_duplicates(["user_id", "event_type"], keep="first"))
 
     winners = (read(sf_dir, "events", ["user_id", "event_type", "event_id", "value"])
                .map_batches(local_first, batch_format="pandas"))
-    firsts = (winners.groupby(["user_id", "event_type"])
-              .aggregate(Min("event_id", alias_name="event_id")))
-    out = winners.join(firsts, join_type="inner", num_partitions=4,
-                       on=("user_id", "event_type", "event_id"))
+    out = exchange.grouped_shuffle(winners, ["user_id", "event_type"],
+                                   local_first)
     return out.map_batches(
         lambda t: t.select(["user_id", "event_type", "event_id", "value"]),
         batch_format="pyarrow")
@@ -575,8 +575,8 @@ def q_union_links(sf_dir: str):
          .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow"))
     local = a.union(b).map_batches(
         lambda t: pa.table({"id": pc.unique(t["id"])}), batch_format="pyarrow")
-    return (local.groupby("id").aggregate(Count(alias_name="__n"))
-            .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow"))
+    return exchange.grouped_shuffle(
+        local, ["id"], lambda df: df.drop_duplicates("id"))
 
 
 @_q("q_pricing_summary", """
@@ -742,10 +742,9 @@ def q_phash_bands(sf_dir: str):
         band = np.floor(first.to_numpy(zero_copy_only=False).astype(np.float64) * 8).astype(np.int64)
         return pa.table({"band": pa.array(band)})
 
-    out = (ds.map_batches(f, batch_format="pyarrow")
-           .groupby("band").aggregate(Count(alias_name="n")).to_pandas())
-    out["n"] = out["n"].astype(np.int64)
-    return out
+    # 8 bands -> combiner partials, no row shuffle
+    return partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                               ["band"], {"n": (None, "count")})
 
 
 @_q("q_ann_cosine", """
@@ -864,22 +863,25 @@ def q_ngram_jaccard(sf_dir: str):
                          "doc_id": pa.array(d[keep]),
                          "text": t.column("text").filter(pa.array(keep))})
 
-    def jac(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                              "doc_b": pd.Series([], dtype=np.int64),
-                              "jaccard": pd.Series([], dtype=np.float64)})
-        if len(g) != 2:
-            return empty
-        g = g.sort_values("doc_id")
-        ta, tb = g["text"].iloc[0], g["text"].iloc[1]
-        if not ta.strip() or not tb.strip():
-            return empty
-        return pd.DataFrame({"doc_a": [g["doc_id"].iloc[0]],
-                             "doc_b": [g["doc_id"].iloc[1]],
-                             "jaccard": [round(dedup.ngram_jaccard(ta, tb, k=3), 6)]})
+    def jac_partition(df: pd.DataFrame) -> pd.DataFrame:
+        das, dbs, jacs = [], [], []
+        for _, g in df.groupby("pair_id", sort=False):
+            if len(g) != 2:
+                continue
+            g = g.sort_values("doc_id")
+            ta, tb = g["text"].iloc[0], g["text"].iloc[1]
+            if not ta.strip() or not tb.strip():
+                continue
+            das.append(g["doc_id"].iloc[0])
+            dbs.append(g["doc_id"].iloc[1])
+            jacs.append(round(dedup.ngram_jaccard(ta, tb, k=3), 6))
+        return pd.DataFrame({"doc_a": np.array(das, dtype=np.int64),
+                             "doc_b": np.array(dbs, dtype=np.int64),
+                             "jaccard": np.array(jacs, dtype=np.float64)})
 
-    return (ds.map_batches(key, batch_format="pyarrow")
-            .groupby("pair_id").map_groups(jac, batch_format="pandas"))
+    return exchange.grouped_shuffle(
+        ds.map_batches(key, batch_format="pyarrow"),
+        ["pair_id"], jac_partition)
 
 
 @_q("q_ann_ivf", oracles.ann_ivf_sql(stride=37, nprobe=4, k=10))

@@ -22,11 +22,13 @@ Two combine strategies, chosen by key cardinality at the CALL SITE:
   is bounded by a small constant (status codes, event types, TPC-H
   returnflag) — then the driver holds n_blocks × O(1) rows.
 - ``distributed=True``: the partials stay a Dataset and the combine is a
-  native ``groupby().aggregate()`` shuffle OF THE PARTIALS (still far
-  smaller than shuffling the raw input whenever blocks contain repeated
-  keys). Use for keys whose domain scales with the data — per-host /
-  per-user counts, where a driver combine would hold the whole key domain
-  × n_blocks. Only the final one-row-per-group result is materialized.
+  hash exchange OF THE PARTIALS (``stages.exchange.grouped_shuffle`` —
+  still far smaller than shuffling the raw input whenever blocks contain
+  repeated keys; a native ``groupby().aggregate()`` was measured at 14 s+
+  on 90k partial rows, see exchange.py). Use for keys whose domain scales
+  with the data — per-host / per-user counts, where a driver combine
+  would hold the whole key domain × n_blocks. Only the final
+  one-row-per-group result is materialized.
 """
 
 from __future__ import annotations
@@ -35,7 +37,8 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+
+from cocrawler_ray.stages.exchange import grouped_shuffle
 
 _PARTIAL_KINDS = {"sum", "count", "min", "max", "mean"}
 
@@ -67,25 +70,28 @@ def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
     parts_ds = ds.map_batches(partial, batch_format="pandas")
 
     if distributed:
-        agg_objs = []
+        plan = {}  # partial-col -> numpy combine op
         for out_col, (_, kind) in aggs.items():
             if kind in ("sum", "count"):
-                agg_objs.append(Sum(out_col, alias_name=out_col))
+                plan[out_col] = "sum"
             elif kind == "mean":
-                agg_objs.append(Sum(f"__{out_col}_sum", alias_name=f"__{out_col}_sum"))
-                agg_objs.append(Sum(f"__{out_col}_n", alias_name=f"__{out_col}_n"))
-            elif kind == "min":
-                agg_objs.append(Min(out_col, alias_name=out_col))
+                plan[f"__{out_col}_sum"] = "sum"
+                plan[f"__{out_col}_n"] = "sum"
             else:
-                agg_objs.append(Max(out_col, alias_name=out_col))
-        res = parts_ds.groupby(keys).aggregate(*agg_objs).to_pandas()
+                plan[out_col] = kind
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby(keys, sort=False, observed=True)
+                    .agg(plan).reset_index())
+
+        res = grouped_shuffle(parts_ds, keys, combine).to_pandas()
         for out_col, (_, kind) in aggs.items():
             if kind == "mean":
                 res[out_col] = res[f"__{out_col}_sum"] / res[f"__{out_col}_n"]
                 res = res.drop(columns=[f"__{out_col}_sum", f"__{out_col}_n"])
             elif kind == "count":
                 res[out_col] = res[out_col].astype(np.int64)
-        return res
+        return res[keys + list(aggs)]
 
     parts = parts_ds.to_pandas()
     g = parts.groupby(keys, sort=False, observed=True)

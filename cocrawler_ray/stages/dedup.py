@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from cocrawler_ray.hashing import hash64, shingle_hash_batch
+from cocrawler_ray.stages import exchange
 
 
 # -- exact ------------------------------------------------------------------
@@ -46,14 +47,13 @@ def exact_dedup(ds: rd.Dataset, id_col: str, text_col: str = "text") -> rd.Datas
         return (df.sort_values(id_col, kind="stable")
                   .drop_duplicates("digest", keep="first"))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
-
-    return (ds.map_batches(content_hash_batch, fn_kwargs=dict(text_col=text_col),
-                           batch_format="pyarrow")
-              .map_batches(local_first, batch_format="pandas")
-              .groupby("digest")
-              .map_groups(first, batch_format="pandas"))
+    survivors = (ds.map_batches(content_hash_batch,
+                                fn_kwargs=dict(text_col=text_col),
+                                batch_format="pyarrow")
+                 .map_batches(local_first, batch_format="pandas"))
+    # digest domain ~= |distinct corpus| -> hash exchange (vectorized
+    # winner rule per partition), not the per-group-Python native groupby
+    return exchange.grouped_shuffle(survivors, ["digest"], local_first)
 
 
 # -- shingles / MinHash LSH -------------------------------------------------
@@ -118,23 +118,28 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
     """Candidate near-dup pairs via MinHash banding; optional exact-Jaccard
     verification.
 
-    Scale shape: the banding pass streams (map_batches) into a materialized
-    int-only band table (never text) held in the object store; bucket sizes
-    come from a NATIVE vectorized ``groupby().count()`` — per-bucket
-    ``map_groups`` was one Python/pandas call per bucket, i.e.
-    O(bands x |corpus|) interpreter calls since almost every bucket is a
-    singleton. Multi-member bucket keys (the actual near-dup clusters,
-    << corpus) are broadcast via ``ray.put``; a second filtered pass yields
-    only their member rows, vectorized per-batch pair expansion runs in the
-    workers, and only the distinct (doc_a, doc_b) int pairs land on the
-    driver (bounded by the true near-dup rate, not the corpus). The verify
-    step is fully distributed: each candidate doc's text is tagged with its
-    pair ids in a streaming pass and Jaccard runs per pair group via
-    groupby(pair_idx).map_groups — no driver text dict, no per-pair driver
-    loop (the round-1 form pulled every candidate text to the driver)."""
-    import ray
-
+    Scale shape: the banding pass streams (map_batches) into int-only band
+    rows (never text), which take ONE hash exchange
+    (``exchange.grouped_shuffle``) co-locating each (band, hash) bucket.
+    Hot-bucket detection is then a local vectorized size transform inside
+    the partition reduce, and only the multi-member buckets (the actual
+    near-dup clusters, << corpus) pay per-group pair expansion; only the
+    distinct (doc_a, doc_b) int pairs land on the driver (bounded by the
+    true near-dup rate, not the corpus). ``Dataset.groupby`` is avoided
+    deliberately: its aggregate is per-group Python over the bands x corpus
+    bucket domain (measured 14 s / 90k rows — exchange.py). The verify step
+    is fully distributed too: each candidate doc's text is tagged with its
+    pair ids in a streaming pass and Jaccard runs with both texts
+    co-located by the same exchange — no driver text dict, no per-pair
+    driver loop (the round-1 form pulled every candidate text to the
+    driver)."""
     _FNV = np.uint64(0x100000001B3)
+
+    if verify_threshold is not None:
+        # the corpus feeds two passes (banding + verify tag); pin the
+        # blocks in the object store (spillable) instead of recomputing
+        # the upstream pipeline per pass
+        ds = ds.materialize()
 
     def _bucket_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
         # collisions only over-include rows; exact grouping happens later
@@ -146,39 +151,34 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
         minhash_bands_batch,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, num_perm=num_perm,
                        bands=bands, k=k),
-        batch_format="pyarrow").materialize()
-    hot = (band_rows.groupby(["band_id", "band_hash"]).count()
-           .map_batches(lambda df: df[df["count()"] >= 2], batch_format="pandas")
-           .to_pandas())
+        batch_format="pyarrow")
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64")})
-    if hot.empty:
-        pairs = empty
-    else:
-        hot_ref = ray.put(np.unique(_bucket_key(
-            hot["band_id"].to_numpy(), hot["band_hash"].to_numpy())))
 
-        def members_only(t: pa.Table) -> pa.Table:
-            keys = _bucket_key(t.column("band_id").to_numpy(),
-                               t.column("band_hash").to_numpy())
-            return t.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
-
-        def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def expand_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # every member of a bucket is co-located here, so hot-bucket
+        # detection is a LOCAL vectorized size transform; only the hot
+        # buckets (the actual near-dup clusters, << corpus) pay the
+        # per-group pair expansion.
+        key = _bucket_key(df["band_id"].to_numpy(), df["band_hash"].to_numpy())
+        sizes = df.groupby(key, sort=False)[df.columns[0]].transform("size")
+        hot = df[sizes.to_numpy() >= 2]
+        out = []
+        for _, g in hot.groupby(["band_id", "band_hash"], sort=False):
             ids = np.sort(g[id_col].to_numpy())
-            if len(ids) < 2:
-                return empty
             ia, ib = np.triu_indices(len(ids), k=1)
-            return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+            out.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+        return pd.concat(out, ignore_index=True) if out else empty
 
-        # per-bucket expansion runs distributed (only hot buckets reach
-        # map_groups, so the per-group Python cost is bounded by the
-        # cluster count); drop_duplicates on the collected int pairs
-        pairs = (band_rows.map_batches(members_only, batch_format="pyarrow")
-                 .groupby(["band_id", "band_hash"])
-                 .map_groups(expand_pairs, batch_format="pandas")
-                 .to_pandas())
-        if pairs.empty:
-            pairs = empty
+    # ONE hash exchange of int-only band rows, NOT Dataset.groupby (the
+    # bucket domain is bands x corpus — per-group Python in the native
+    # aggregate, see exchange.py). A pair caught in two bands lands in two
+    # bucket partitions; the driver-side drop_duplicates on the collected
+    # int pairs is bounded by the true near-dup rate, not the corpus.
+    pairs = exchange.grouped_shuffle(
+        band_rows, ["band_id", "band_hash"], expand_partition).to_pandas()
+    if pairs.empty:
+        pairs = empty
     pairs = pairs.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     if verify_threshold is not None and len(pairs):
         pairs = verify_pairs_jaccard(ds, pairs, id_col=id_col, text_col=text_col, k=k)
@@ -227,18 +227,31 @@ def verify_pairs_jaccard(ds: rd.Dataset, pairs: pd.DataFrame,
             text_col: t.column(text_col).take(rows),
         })
 
-    def jac(g: pd.DataFrame) -> pd.DataFrame:
-        i = int(g["pair_idx"].iloc[0])
-        g = g.sort_values(id_col)
-        if len(g) != 2:
-            return pd.DataFrame({"pair_idx": pd.Series([], dtype=np.int64),
-                                 "jaccard": pd.Series([], dtype=np.float64)})
-        j = ngram_jaccard(g[text_col].iloc[0], g[text_col].iloc[1], k)
-        return pd.DataFrame({"pair_idx": [i], "jaccard": [round(j, 6)]})
+    def jac_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # a doc participating in many pairs is replicated per pair — hash
+        # its shingle set ONCE per partition (one vectorized batch call),
+        # then each pair is a sorted-array intersection, not a re-shingle.
+        uniq = df.drop_duplicates(subset=[id_col])
+        sh, counts = shingle_hash_batch(uniq[text_col].tolist(), k)
+        offs = np.cumsum(counts) - counts
+        sets = {did: np.unique(sh[offs[i]:offs[i] + counts[i]])
+                for i, did in enumerate(uniq[id_col].to_numpy())}
+        idxs, jacs = [], []
+        for i, g in df.groupby("pair_idx", sort=False):
+            if len(g) != 2:
+                continue
+            ga, gb = g[id_col].to_numpy()
+            sa, sb = sets[ga], sets[gb]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jacs.append(round(1.0 if union == 0 else inter / union, 6))
+            idxs.append(int(i))
+        return pd.DataFrame({"pair_idx": np.array(idxs, dtype=np.int64),
+                             "jaccard": np.array(jacs, dtype=np.float64)})
 
-    scored = (ds.map_batches(tag, batch_format="pyarrow")
-              .groupby("pair_idx").map_groups(jac, batch_format="pandas")
-              .to_pandas())
+    scored = exchange.grouped_shuffle(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["pair_idx"], jac_partition).to_pandas()
     out = pairs.reset_index(drop=True).copy()
     out["jaccard"] = np.nan
     out.loc[scored["pair_idx"].to_numpy(), "jaccard"] = scored["jaccard"].to_numpy()

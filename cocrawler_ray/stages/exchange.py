@@ -1,0 +1,127 @@
+"""Vectorized hash exchange — a key-co-locating shuffle built on raw Ray
+tasks, for high-cardinality grouped reductions.
+
+Why not ``Dataset.groupby().aggregate()``: Ray Data 2.49's sort-based
+aggregate pays per-GROUP Python cost in the reduce stage — measured here at
+~14 s for 90k rows / 75k groups on 32 CPUs (and *worse* with fewer blocks:
+41 s at 8 blocks), versus <1 s for the same reduction expressed as a
+vectorized pandas/Arrow groupby. For key domains that scale with the data
+(per-host counts, winner-per-key dedup, LSH bucket membership) that cost is
+the difference between an engine and a demo.
+
+Shape (classic MR exchange, expressed in Ray):
+
+1. ``ds.to_arrow_refs()`` — executes the upstream pipeline; block refs
+   stay in the object store (NO driver pull).
+2. One split task per block: vectorized ``hash(key) % P`` partition
+   assignment (``pd.util.hash_pandas_object`` — deterministic, any key
+   dtype mix), returning P sub-tables per block.
+3. One reduce task per partition: concat its N sub-tables (all rows of
+   its key range, co-located) and apply the caller's VECTORIZED reduce
+   (a pandas groupby / drop_duplicates / pa.TableGroupBy — never a
+   per-group Python call).
+4. ``rd.from_arrow_refs`` wraps the P reduced blocks back into a Dataset,
+   so downstream stages keep streaming. The driver only ever holds
+   ObjectRefs.
+
+Scale notes: P should track cluster width (defaults to cluster CPUs).
+The exchange creates N x P sub-objects; with Ray Data's ~128 MiB target
+blocks a 100 TB input is ~10^6 blocks, so at P=10^3 the driver would hold
+10^9 refs — beyond that scale, run the exchange hierarchically (exchange
+within node-sized groups of blocks first, then exchange the ~P x groups
+partials; both rounds are this same function). Skewed keys: a single hot
+key lands one partition; salt upstream (the crawl loop's hot-host
+splitting) before exchanging.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _split_by_hash(table: pa.Table, keys: list[str], P: int) -> list[pa.Table]:
+    """Vectorized partition split of one block: list of P sub-tables."""
+    if table.num_rows == 0:
+        return [table] * P
+    df = table.select(keys).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    part = (h % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_parts = part[order]
+    bounds = np.searchsorted(sorted_parts, np.arange(P + 1))
+    taken = table.take(pa.array(order, pa.int64()))
+    return [taken.slice(bounds[p], bounds[p + 1] - bounds[p])
+            for p in range(P)]
+
+
+def _reduce(fn: Callable[[pd.DataFrame], pd.DataFrame],
+            *tables: pa.Table) -> pa.Table:
+    full = pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
+    out = fn(full.to_pandas())
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _join_reduce(left_keys: list[str], right_keys: list[str], how: str,
+                 n_left: int, *tables: pa.Table) -> pa.Table:
+    lts, rts = tables[:n_left], tables[n_left:]
+    left = pa.concat_tables([t for t in lts if t.num_rows] or lts[:1])
+    right = pa.concat_tables([t for t in rts if t.num_rows] or rts[:1])
+    return left.join(right, keys=left_keys, right_keys=right_keys,
+                     join_type=how)
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+              right_on: list[str] | None = None, how: str = "inner",
+              num_partitions: int | None = None) -> rd.Dataset:
+    """Large-large join as the same hash exchange: both sides split by
+    identical key hashes (values only — column names don't enter
+    ``hash_pandas_object``), each partition joined with Acero
+    (``pa.Table.join``, C++ hash join). Replaces ``Dataset.join`` for the
+    same reason grouped_shuffle replaces ``groupby().aggregate()``: the
+    native operator spins a per-call aggregator actor pool whose fixed
+    cost dominates at any scale a single query sees, while this exchange
+    is plain tasks over object-store refs."""
+    right_on = right_on or on
+    lrefs = left.to_arrow_refs()
+    rrefs = right.to_arrow_refs()
+    if not lrefs or not rrefs:
+        return left if not lrefs else right
+    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    split = ray.remote(num_returns=P)(_split_by_hash)
+    joinr = ray.remote(_join_reduce)
+    ls = [split.remote(r, on, P) for r in lrefs]
+    rs = [split.remote(r, right_on, P) for r in rrefs]
+    if P == 1:
+        ls, rs = [[s] for s in ls], [[s] for s in rs]
+    out = [joinr.remote(on, right_on, how, len(ls),
+                        *[l[p] for l in ls], *[r[p] for r in rs])
+           for p in range(P)]
+    return rd.from_arrow_refs(out)
+
+
+def grouped_shuffle(ds: rd.Dataset, keys: list[str],
+                    reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """Co-locate rows by ``keys`` and apply a vectorized per-partition
+    reduce. ``reduce_fn`` sees every row of its key range in one pandas
+    DataFrame (multiple keys per partition — it must group internally,
+    e.g. ``df.groupby(keys).agg(...)`` / ``drop_duplicates``)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    split = ray.remote(num_returns=P)(_split_by_hash)
+    reduce_t = ray.remote(_reduce)
+    subs = [split.remote(ref, keys, P) for ref in refs]
+    if P == 1:  # num_returns=1 yields a bare ref, not a list
+        subs = [[s] for s in subs]
+    out = [reduce_t.remote(reduce_fn, *[s[p] for s in subs])
+           for p in range(P)]
+    return rd.from_arrow_refs(out)

@@ -69,7 +69,11 @@ def broadcast_anti(ds: rd.Dataset, keys, key_col: str) -> rd.Dataset:
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, right_on: str | None = None,
-              num_partitions: int = 16, join_type: str = "inner") -> rd.Dataset:
-    """Large-large hash-partitioned join (J4) — Ray Data's shuffle join."""
-    return left.join(right, join_type=join_type, num_partitions=num_partitions,
-                     on=(on,), right_on=(right_on,) if right_on else None)
+              num_partitions: int | None = None, join_type: str = "inner") -> rd.Dataset:
+    """Large-large hash-partitioned join (J4) — the vectorized hash
+    exchange + per-partition Acero join (exchange.hash_join; Ray Data's
+    native ``Dataset.join`` pays a per-call aggregator actor pool)."""
+    from cocrawler_ray.stages.exchange import hash_join as _hj
+    return _hj(left, right, on=[on],
+               right_on=[right_on] if right_on else None,
+               how=join_type, num_partitions=num_partitions)
