@@ -94,12 +94,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     if not lrefs or not rrefs:
         return left if not lrefs else right
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
-    split = ray.remote(num_returns=P)(_split_by_hash)
     joinr = ray.remote(_join_reduce)
+    if P == 1:  # no exchange needed — join all blocks in one task
+        return rd.from_arrow_refs(
+            [joinr.remote(on, right_on, how, len(lrefs), *lrefs, *rrefs)])
+    split = ray.remote(num_returns=P)(_split_by_hash)
     ls = [split.remote(r, on, P) for r in lrefs]
     rs = [split.remote(r, right_on, P) for r in rrefs]
-    if P == 1:
-        ls, rs = [[s] for s in ls], [[s] for s in rs]
     out = [joinr.remote(on, right_on, how, len(ls),
                         *[l[p] for l in ls], *[r[p] for r in rs])
            for p in range(P)]
@@ -117,11 +118,11 @@ def grouped_shuffle(ds: rd.Dataset, keys: list[str],
     if not refs:
         return ds
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
-    split = ray.remote(num_returns=P)(_split_by_hash)
     reduce_t = ray.remote(_reduce)
+    if P == 1:  # no exchange needed — reduce all blocks in one task
+        return rd.from_arrow_refs([reduce_t.remote(reduce_fn, *refs)])
+    split = ray.remote(num_returns=P)(_split_by_hash)
     subs = [split.remote(ref, keys, P) for ref in refs]
-    if P == 1:  # num_returns=1 yields a bare ref, not a list
-        subs = [[s] for s in subs]
     out = [reduce_t.remote(reduce_fn, *[s[p] for s in subs])
            for p in range(P)]
     return rd.from_arrow_refs(out)

@@ -1,0 +1,132 @@
+"""stages.exchange: the vectorized hash exchange that replaces Ray Data's
+native groupby/join on hot paths (see exchange.py module docstring for the
+measured motivation).
+
+Invariants under test:
+- co-location: a grouped_shuffle reduce sees EVERY row of each key it
+  receives (a per-partition groupby equals the global pandas groupby);
+- determinism: the same input produces the same multiset of rows for any
+  partition count, including P=1 (bare-ref edge) and heavy key skew;
+- hash_join == pandas merge on the same keys (values-only hashing, so
+  differently-named join columns still co-locate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cocrawler_ray.stages import exchange
+
+
+def _norm(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    return (df.sort_values(keys, kind="stable").reset_index(drop=True)
+            .reindex(sorted(df.columns), axis=1))
+
+
+@pytest.fixture(scope="module")
+def mixed_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "host": [f"h{int(i):03d}.test" for i in rng.integers(0, 300, n)],
+        "kind": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    return rd.from_pandas(df).repartition(16), df
+
+
+def test_grouped_shuffle_matches_pandas(mixed_ds):
+    ds, df = mixed_ds
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby(["host", "kind"], sort=False, observed=True)
+                .agg(n=("v", "size"), s=("v", "sum")).reset_index())
+
+    got = exchange.grouped_shuffle(ds, ["host", "kind"], combine).to_pandas()
+    want = combine(df)
+    got, want = _norm(got, ["host", "kind"]), _norm(want, ["host", "kind"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("P", [1, 3, 32])
+def test_grouped_shuffle_colocates_every_key(mixed_ds, P):
+    # If any key's rows were split across partitions, the per-partition
+    # count for that key would under-count vs the global groupby.
+    ds, df = mixed_ds
+
+    def counts(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby("host", sort=False).size().rename("n")
+                .reset_index())
+
+    got = exchange.grouped_shuffle(ds, ["host"], counts,
+                                   num_partitions=P).to_pandas()
+    assert len(got) == df["host"].nunique()  # one output row per key
+    want = df.groupby("host").size().rename("n").reset_index()
+    pd.testing.assert_frame_equal(_norm(got, ["host"]), _norm(want, ["host"]),
+                                  check_dtype=False)
+
+
+def test_grouped_shuffle_hot_key_skew(ray_session):
+    import ray.data as rd
+
+    # 90% of rows share one key: the hot key must land whole in a single
+    # partition and still reduce correctly.
+    df = pd.DataFrame({"k": ["hot"] * 900 + [f"k{i}" for i in range(100)],
+                       "v": np.arange(1000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(8)
+    got = exchange.grouped_shuffle(
+        ds, ["k"],
+        lambda p: p.groupby("k", sort=False)["v"].sum().reset_index(),
+        num_partitions=6).to_pandas()
+    want = df.groupby("k")["v"].sum().reset_index()
+    pd.testing.assert_frame_equal(_norm(got, ["k"]), _norm(want, ["k"]),
+                                  check_dtype=False)
+
+
+def test_grouped_shuffle_winner_rule(mixed_ds):
+    # drop_duplicates-style reduce (the exact_dedup / q_dedup_first shape):
+    # first row per key by a stable order.
+    ds, df = mixed_ds
+
+    def first(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.sort_values("v", kind="stable")
+                .drop_duplicates("host", keep="first"))
+
+    got = exchange.grouped_shuffle(ds, ["host"], first).to_pandas()
+    want = first(df)
+    pd.testing.assert_frame_equal(_norm(got, ["host"]), _norm(want, ["host"]),
+                                  check_dtype=False)
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"id": rng.integers(0, 500, 2000).astype(np.int64),
+                         "lv": rng.integers(0, 9, 2000).astype(np.int64)})
+    # right: unique keys, half overlapping
+    right = pd.DataFrame({"rid": np.arange(250, 750, dtype=np.int64),
+                          "rv": np.arange(500, dtype=np.int64)})
+    got = exchange.hash_join(
+        rd.from_pandas(left).repartition(7),
+        rd.from_pandas(right).repartition(3),
+        on=["id"], right_on=["rid"], how="inner").to_pandas()
+    want = left.merge(right, left_on="id", right_on="rid").drop(columns=["rid"])
+    assert len(got) == len(want)
+    got = _norm(got, ["id", "lv", "rv"])
+    want = _norm(want, ["id", "lv", "rv"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_join_no_matches(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"id": np.arange(10, dtype=np.int64), "a": 1})
+    right = pd.DataFrame({"id": np.arange(100, 110, dtype=np.int64), "b": 2})
+    got = exchange.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                             on=["id"], how="inner").to_pandas()
+    assert len(got) == 0
