@@ -989,3 +989,129 @@ def q_audio_features(sf_dir: str):
             .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
                          concurrency=2)
             .map_batches(explode, batch_format="pyarrow"))
+
+
+# ===========================================================================
+# Event-time windowing / sessions / as-of join / image hamming near-dup
+# ===========================================================================
+
+@_q("q_window_agg", """
+SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win, event_type,
+       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 4) AS sv
+FROM events GROUP BY win, event_type
+""")
+def q_window_agg(sf_dir: str):
+    # tumbling 1-hour event-time windows: the window id is a pure per-row
+    # function, so this is a column-add + distributed combiner aggregate —
+    # no sort/range-repartition (stages/window.py)
+    from cocrawler_ray.stages.window import tumbling_window_agg
+    out = tumbling_window_agg(
+        read(sf_dir, "events", ["ts", "event_type", "value"]),
+        "ts", 3_600_000_000, ["event_type"],
+        {"n": (None, "count"), "sv": ("value", "sum")})
+    out["sv"] = out["sv"].round(4)
+    return out
+
+
+@_q("q_sessionize", """
+WITH o AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_us
+  FROM events),
+s AS (
+  SELECT user_id, value, ts_us,
+         SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess
+  FROM o)
+SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 4) AS sv
+FROM s GROUP BY user_id, sess
+""")
+def q_sessionize(sf_dir: str):
+    # 30-min-gap sessions per user: ONE grouped_shuffle co-locates each
+    # user's events; the vectorized gap-split (sort/diff/cumsum) runs in
+    # the partition reduce (stages/window.py::sessionize)
+    from cocrawler_ray.stages.window import sessionize
+    out = sessionize(read(sf_dir, "events",
+                          ["user_id", "ts", "event_id", "value"]),
+                     "user_id", "ts", "event_id", 1_800_000_000, "value")
+    return out.map_batches(
+        lambda df: df.assign(sv=df["sv"].round(4)), batch_format="pandas")
+
+
+@_q("q_asof_join", """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS px
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(r.o_orderdate) AS BIGINT) AS asof_us, r.px
+FROM events e ASOF JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+""")
+def q_asof_join(sf_dir: str):
+    # for each event, the most recent order of the same key at or before
+    # the event time — exchange.asof_join (hash exchange on the by-key +
+    # per-partition vectorized merge_asof). The right side pre-aggregates
+    # to unique (key, time) rows (local combiner -> grouped_shuffle) so
+    # tie-resolution is deterministic.
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["o_custkey", "o_orderdate"], sort=False)
+                ["o_totalprice"].max().rename("px").reset_index())
+
+    orders = (read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+              .map_batches(local_max, batch_format="pandas"))
+    rights = exchange.grouped_shuffle(
+        orders, ["o_custkey", "o_orderdate"],
+        lambda df: (df.groupby(["o_custkey", "o_orderdate"], sort=False)
+                    ["px"].max().reset_index()))
+    events = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = exchange.asof_join(events, rights, ["user_id"], ["o_custkey"],
+                                "ts", "o_orderdate")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "asof_us": df["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").view("int64"),
+            "px": df["px"].to_numpy()})
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+@_q("q_phash_hamming", """
+WITH p AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(0, 31),
+              j -> CASE WHEN embedding[j + 1] > 0 THEN 1 << j ELSE 0 END))
+              AS BIGINT) AS ph
+  FROM embeddings),
+b AS (
+  SELECT p.vec_id, p.ph, g.band, (p.ph >> (g.band * 8)) & 255 AS bv
+  FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) g),
+c AS (
+  SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b, a.ph AS pha, x.ph AS phb
+  FROM b a JOIN b x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id)
+SELECT vec_a, vec_b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
+FROM c WHERE bit_count(xor(pha, phb)) <= 6
+""")
+def q_phash_hamming(sf_dir: str):
+    # image near-dup by perceptual-hash Hamming distance: a 32-bit phash
+    # from embedding sign bits (the real crawl tables carry a phash column;
+    # the driver tables derive one deterministically), 4x8-bit exact-match
+    # LSH bands, popcount(xor) <= 6 verify — all inside one hash exchange
+    # (stages/dedup.py::phash_hamming_pairs).
+    def ph(t: pa.Table) -> pa.Table:
+        E = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in t.column("embedding").to_pylist()])
+        bits = (E[:, :32] > 0).astype(np.int64)
+        val = (bits << np.arange(32, dtype=np.int64)).sum(axis=1)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "ph": pa.array(val, pa.int64())})
+
+    ds = read(sf_dir, "embeddings").map_batches(ph, batch_format="pyarrow")
+    return dedup.phash_hamming_pairs(ds, "vec_id", "ph",
+                                     bits=32, bands=4, max_dist=6)

@@ -404,3 +404,79 @@ def embedding_neardup_lsh_pairs(ds: rd.Dataset, id_col: str = "vec_id",
         return pd.DataFrame(_EMPTY_PAIRS)
     out = out.drop_duplicates(["vec_a", "vec_b"])
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# -- phash hamming near-dup (image axis) ------------------------------------
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup table (numpy < 2.0
+    has no bitwise_count)."""
+    x = x.view(np.uint64) if x.dtype == np.int64 else x.astype(np.uint64)
+    return (_POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[(x >> np.uint64(48)).astype(np.int64)])
+
+
+def phash_hamming_pairs(ds: rd.Dataset, id_col: str, phash_col: str,
+                        bits: int = 32, bands: int = 4,
+                        max_dist: int = 6) -> pd.DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    LSH-blocked: split each ``bits``-bit phash into ``bands`` equal-width
+    exact-match bands; pairs sharing >= 1 aligned band are candidates, and
+    candidates verify with popcount(xor) <= ``max_dist``.
+
+    Recall contract (standard banding pigeonhole): any pair with distance
+    < ``bands`` is GUARANTEED caught; beyond that recall decays — size
+    ``bands`` to the target distance. Scale shape mirrors MinHash-LSH:
+    int-only (band, band_value) rows through ONE ``grouped_shuffle``;
+    every bucket's members are co-located so pair expansion + Hamming
+    verification run vectorized inside the partition reduce, and only the
+    verified int pairs reach the driver (bounded by the near-dup rate)."""
+    assert bits % bands == 0
+    width = bits // bands
+    mask = np.int64((1 << width) - 1)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ph = t.column(phash_col).to_numpy().astype(np.int64)
+        ids = t.column(id_col).to_numpy()
+        outs = []
+        for b in range(bands):
+            bv = (ph >> np.int64(b * width)) & mask
+            outs.append(pa.table({
+                "band": pa.array(np.full(len(ph), b, dtype=np.int64)),
+                "bv": pa.array(bv),
+                id_col: pa.array(ids),
+                "ph": pa.array(ph)}))
+        return pa.concat_tables(outs)
+
+    empty = pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                          "vec_b": pd.Series([], dtype=np.int64),
+                          "hamming": pd.Series([], dtype=np.int64)})
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["band", "bv"], sort=False)[id_col].transform("size")
+        hot = df[sizes.to_numpy() >= 2]
+        out = []
+        for _, g in hot.groupby(["band", "bv"], sort=False):
+            order = np.argsort(g[id_col].to_numpy(), kind="stable")
+            ids = g[id_col].to_numpy()[order]
+            phs = g["ph"].to_numpy()[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            d = popcount64(phs[ia] ^ phs[ib])
+            keep = d <= max_dist
+            out.append(pd.DataFrame({"vec_a": ids[ia][keep],
+                                     "vec_b": ids[ib][keep],
+                                     "hamming": d[keep]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = exchange.grouped_shuffle(
+        ds.map_batches(band_rows, batch_format="pyarrow"),
+        ["band", "bv"], expand).to_pandas()
+    if pairs.empty:
+        return empty
+    return (pairs.drop_duplicates(["vec_a", "vec_b"])
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))

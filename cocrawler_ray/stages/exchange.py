@@ -107,6 +107,77 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     return rd.from_arrow_refs(out)
 
 
+def _asof_reduce(lby: list[str], rby: list[str], lon: str, ron: str,
+                 direction: str, n_left: int, *tables: pa.Table) -> pa.Table:
+    lts, rts = tables[:n_left], tables[n_left:]
+    left = pa.concat_tables([t for t in lts if t.num_rows] or lts[:1]).to_pandas()
+    right = pa.concat_tables([t for t in rts if t.num_rows] or rts[:1]).to_pandas()
+    # An empty side may carry null-typed (object) columns (e.g. Ray
+    # from_pandas of an empty frame); merge_asof requires matching numeric
+    # dtypes, so borrow the non-empty side's dtypes for the join columns.
+    if not len(right) and len(left):
+        right = right.astype({ron: left[lon].dtype,
+                              **{rb: left[lb].dtype
+                                 for lb, rb in zip(lby, rby)}})
+    elif not len(left) and len(right):
+        left = left.astype({lon: right[ron].dtype,
+                            **{lb: right[rb].dtype
+                               for lb, rb in zip(lby, rby)}})
+    elif not len(left) and not len(right):
+        cols = dict(left.items())
+        cols.update((c, v) for c, v in right.items() if c not in cols)
+        return pa.Table.from_pandas(pd.DataFrame(cols), preserve_index=False)
+    # merge_asof needs GLOBAL sort by the on-column (by-groups are handled
+    # internally); stable so equal-time rows keep input order
+    left = left.sort_values(lon, kind="stable")
+    right = right.sort_values(ron, kind="stable")
+    out = pd.merge_asof(left, right, left_on=lon, right_on=ron,
+                        left_by=lby, right_by=rby, direction=direction)
+    out = out[out[ron].notna()]  # inner semantics: unmatched left rows drop
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, left_by: list[str],
+              right_by: list[str], left_on: str, right_on: str,
+              direction: str = "backward",
+              num_partitions: int | None = None) -> rd.Dataset:
+    """As-of join (nearest prior/following ``right_on`` per ``left_on``,
+    within equal ``by`` keys) — an operator Ray Data lacks. Same hash
+    exchange as :func:`hash_join` on the by-keys (values-only hashing, so
+    differently-named by-columns co-locate), then a vectorized
+    ``pd.merge_asof`` per partition. Inner semantics: left rows with no
+    match drop.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    correctness requires only that all rows of one by-key land in one
+    partition — the exchange guarantees it; time ranges need NOT be
+    partition-aligned. Ties in the right side at the same (by, on) value
+    resolve to the last row in sorted order — pre-aggregate the right side
+    to unique (by, on) pairs for deterministic output."""
+    right_by = right_by or left_by
+    lrefs, rrefs = left.to_arrow_refs(), right.to_arrow_refs()
+    if not lrefs:
+        return left
+    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    reducer = ray.remote(_asof_reduce)
+    if not rrefs:  # schema-bearing empty right block so the reduce runs
+        sch = right.schema()
+        pa_sch = getattr(sch, "base_schema", None) \
+            or pa.schema(list(zip(sch.names, sch.types)))
+        rrefs = [ray.put(pa_sch.empty_table())]
+    if P == 1:
+        return rd.from_arrow_refs(
+            [reducer.remote(left_by, right_by, left_on, right_on,
+                            direction, len(lrefs), *lrefs, *rrefs)])
+    split = ray.remote(num_returns=P)(_split_by_hash)
+    ls = [split.remote(r, left_by, P) for r in lrefs]
+    rs = [split.remote(r, right_by, P) for r in rrefs]
+    out = [reducer.remote(left_by, right_by, left_on, right_on, direction,
+                          len(ls), *[l[p] for l in ls], *[r[p] for r in rs])
+           for p in range(P)]
+    return rd.from_arrow_refs(out)
+
+
 def grouped_shuffle(ds: rd.Dataset, keys: list[str],
                     reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
                     num_partitions: int | None = None) -> rd.Dataset:

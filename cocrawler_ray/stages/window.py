@@ -1,0 +1,81 @@
+"""Event-time windowing — tumbling-window aggregates and gap-based
+sessionization over timestamped tables.
+
+The reference has no event-time semantics (SURVEY §2.9: pull-based, no
+watermarks), but a training-data pipeline over crawl logs needs them; both
+operators here follow the engine's exchange discipline:
+
+- ``tumbling_window_agg``: the window id is a PURE per-row function
+  (``epoch_us // width``), so the whole operator is a per-batch column add
+  followed by the combiner/distributed ``partial_groupby_agg`` — no sort,
+  no range repartition, no watermark state. Window x key cardinality
+  scales with data ⇒ distributed combine.
+- ``sessionize``: sessions are per-entity state, so co-locate each
+  entity's rows with ONE ``grouped_shuffle`` and run the classic
+  vectorized gap-split (sort, diff, cumsum) inside the partition reduce.
+  A session can never span partitions because the entity key is the
+  partition key — the documented partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from cocrawler_ray.stages.agg import partial_groupby_agg
+from cocrawler_ray.stages.exchange import grouped_shuffle
+
+
+def _ts_us(col: pd.Series | pa.ChunkedArray) -> np.ndarray:
+    """timestamp column -> int64 epoch microseconds."""
+    if isinstance(col, pd.Series):
+        return col.to_numpy().astype("datetime64[us]").view("int64")
+    return col.cast(pa.int64()).to_numpy()
+
+
+def tumbling_window_agg(ds: rd.Dataset, ts_col: str, width_us: int,
+                        keys: list[str], aggs: dict) -> pd.DataFrame:
+    """Aggregate per (tumbling window, *keys). ``aggs`` as in
+    ``partial_groupby_agg``. Output has an int64 ``win`` column =
+    floor(epoch_us / width_us) (epoch is non-negative by contract)."""
+
+    def add_win(t: pa.Table) -> pa.Table:
+        win = _ts_us(t[ts_col]) // np.int64(width_us)
+        return t.append_column("win", pa.array(win, pa.int64()))
+
+    return partial_groupby_agg(
+        ds.map_batches(add_win, batch_format="pyarrow"),
+        ["win"] + keys, aggs, distributed=True)
+
+
+def sessionize(ds: rd.Dataset, by: str, ts_col: str, order_col: str,
+               gap_us: int, value_col: str) -> rd.Dataset:
+    """Gap-based sessions per ``by`` entity: a new session starts when the
+    time since the previous event (ordered by ``ts_col, order_col``)
+    exceeds ``gap_us`` STRICTLY. Returns one row per session:
+    (by, session_start_us:int64, n:int64, sv:float=sum(value_col))."""
+
+    def split_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({by: df[by],
+                                 "session_start_us": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "sv": pd.Series([], dtype=np.float64)})
+        df = df.sort_values([by, ts_col, order_col], kind="stable")
+        ts = _ts_us(df[ts_col])
+        ent = df[by].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (ent[1:] != ent[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sess = np.cumsum(new)
+        g = df.assign(__ts_us=ts, __s=sess).groupby([by, "__s"], sort=False)
+        out = g.agg(session_start_us=("__ts_us", "min"), n=("__ts_us", "size"),
+                    sv=(value_col, "sum")).reset_index().drop(columns="__s")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return grouped_shuffle(
+        ds.select_columns([by, ts_col, order_col, value_col]),
+        [by], split_sessions)

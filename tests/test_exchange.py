@@ -130,3 +130,54 @@ def test_hash_join_no_matches(ray_session):
     got = exchange.hash_join(rd.from_pandas(left), rd.from_pandas(right),
                              on=["id"], how="inner").to_pandas()
     assert len(got) == 0
+
+
+def test_asof_join_matches_global_merge_asof(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 500).astype(np.int64),
+        "t": rng.integers(0, 10_000, 500).astype(np.int64),
+        "eid": np.arange(500, dtype=np.int64)})
+    right = (pd.DataFrame({
+        "rk": rng.integers(0, 50, 300).astype(np.int64),
+        "rt": rng.integers(0, 10_000, 300).astype(np.int64),
+        "v": np.arange(300, dtype=np.int64)})
+        .drop_duplicates(["rk", "rt"]))  # unique (by, on): deterministic ties
+    got = exchange.asof_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(4),
+        ["k"], ["rk"], "t", "rt").to_pandas()
+    want = pd.merge_asof(left.sort_values("t", kind="stable"),
+                         right.sort_values("rt", kind="stable"),
+                         left_on="t", right_on="rt", left_by="k",
+                         right_by="rk", direction="backward")
+    want = want[want["rt"].notna()]
+    cols = ["eid", "k", "t", "rt", "v"]
+    pd.testing.assert_frame_equal(
+        _norm(got[cols], ["eid"]), _norm(want[cols], ["eid"]),
+        check_dtype=False)
+
+
+def test_asof_join_empty_right(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                         "t": np.arange(5, dtype=np.int64)})
+    right = pd.DataFrame({"rk": pd.Series([], dtype=np.int64),
+                          "rt": pd.Series([], dtype=np.int64),
+                          "v": pd.Series([], dtype=np.int64)})
+    got = exchange.asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], ["rk"], "t", "rt").to_pandas()
+    assert len(got) == 0
+
+
+def test_popcount64():
+    from cocrawler_ray.stages.dedup import popcount64
+
+    rng = np.random.default_rng(9)
+    xs = rng.integers(-2**63, 2**63 - 1, 200, dtype=np.int64)
+    xs = np.concatenate([xs, np.array([0, -1, 1, 2**62], dtype=np.int64)])
+    want = np.array([bin(int(x) & (2**64 - 1)).count("1") for x in xs])
+    np.testing.assert_array_equal(popcount64(xs), want)
