@@ -1115,3 +1115,104 @@ def q_phash_hamming(sf_dir: str):
     ds = read(sf_dir, "embeddings").map_batches(ph, batch_format="pyarrow")
     return dedup.phash_hamming_pairs(ds, "vec_id", "ph",
                                      bits=32, bands=4, max_dist=6)
+
+
+@_q("q_heavy_hitters", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+HAVING count(*) > 0.008 * (SELECT count(*) FROM events)
+""")
+def q_heavy_hitters(sf_dir: str):
+    # exact phi-frequent users (count > phi*N) via two bounded-memory
+    # passes: mergeable Misra-Gries candidate summaries + broadcast-verify
+    # (stages/agg.py::heavy_hitters) — the per-key count table never
+    # shuffles in full.
+    from cocrawler_ray.stages.agg import heavy_hitters
+    return heavy_hitters(lambda: read(sf_dir, "events", ["user_id"]),
+                         ["user_id"], 0.008)
+
+
+@_q("q_top_orders", """
+WITH r AS (
+  SELECT l_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l_orderkey, o_orderdate)
+SELECT * FROM r ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q_top_orders(sf_dir: str):
+    # TPC-H Q3 shape: two large-large hash-exchange joins composed with a
+    # per-block combiner on the fact table and a per-partition top-k in the
+    # final grouped shuffle — the driver only ever merges P x 10 rows.
+    import datetime
+    split = datetime.datetime(1998, 6, 1)
+    split64 = np.datetime64("1998-06-01", "us")
+
+    def building(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                .select(["c_custkey"]))
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(split)))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy().astype("datetime64[us]") > split64]
+        rev = df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                              "rev": rev})
+                .groupby("l_orderkey", sort=False)["rev"].sum().reset_index())
+
+    cust = (read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(building, batch_format="pyarrow"))
+    orders = (read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(open_orders, batch_format="pyarrow"))
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+          .map_batches(li_partial, batch_format="pandas"))
+    bo = exchange.hash_join(orders, cust, on=["o_custkey"],
+                            right_on=["c_custkey"])
+    j = exchange.hash_join(li, bo, on=["l_orderkey"], right_on=["o_orderkey"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_orderkey", "o_orderdate"], sort=False)["rev"]
+             .sum().reset_index())
+        g["revenue"] = g["rev"].round(2)
+        g = g.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True], kind="stable").head(10)
+        return g[["l_orderkey", "o_orderdate", "revenue"]]
+
+    out = exchange.grouped_shuffle(j, ["l_orderkey"], topk).to_pandas()
+    out = (out.sort_values(["revenue", "l_orderkey"],
+                           ascending=[False, True], kind="stable").head(10)
+           .reset_index(drop=True))
+    return pd.DataFrame({
+        "l_orderkey": out["l_orderkey"].to_numpy(),
+        "o_date_us": out["o_orderdate"].to_numpy()
+                       .astype("datetime64[us]").view("int64"),
+        "revenue": out["revenue"].to_numpy()})
+
+
+@_q("q_range_join", """
+SELECT e.event_id, e.value, s.s_suppkey, s.s_acctbal
+FROM events e JOIN supplier s
+  ON e.value >= s.s_acctbal AND e.value <= s.s_acctbal + 200
+""")
+def q_range_join(sf_dir: str):
+    # interval join: events whose value falls inside a supplier's
+    # [acctbal, acctbal+200] band — exchange.range_join (bucket-replicated
+    # hash exchange + two-searchsorted containment scan per partition).
+    def add_hi(t: pa.Table) -> pa.Table:
+        return t.append_column("__hi", pc.add(t.column("s_acctbal"), 200.0))
+
+    sup = (read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+           .map_batches(add_hi, batch_format="pyarrow"))
+    ev = read(sf_dir, "events", ["event_id", "value"])
+    out = exchange.range_join(ev, sup, "value", "s_acctbal", "__hi",
+                              bucket_width=200.0)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "value", "s_suppkey", "s_acctbal"]),
+        batch_format="pyarrow")

@@ -108,3 +108,80 @@ def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
         if kind == "count":
             res[out_col] = res[out_col].astype(np.int64)
     return res
+
+
+def heavy_hitters(make_ds, keys: list[str], phi: float) -> pd.DataFrame:
+    """EXACT phi-frequent keys (count > phi*N) in two bounded-memory passes
+    — the scale-correct form of the crawl loop's hot-host detection
+    (SURVEY §2.5 A2 / hot-host splitting), usable when even the per-key
+    count table is too big to shuffle in full.
+
+    Pass 1 (candidates): each block reduces to a Misra-Gries summary of
+    capacity k = ceil(2/phi) — exact block counts minus the (k+1)-th
+    largest, positives kept. MG summaries are mergeable by summing stored
+    counts; the summed underestimate is < N/(k+1) <= phi*N/2, so every
+    phi-heavy key survives the candidate filter
+    ``stored_sum > N*(phi - 1/(k+1))`` and the candidate set is bounded by
+    ~2/phi keys regardless of data size. The merge is a grouped_shuffle of
+    the tiny summaries.
+
+    Pass 2 (verify): broadcast the candidate keys, exact-count ONLY them
+    (per-block combiner -> driver combine over <= 2/phi rows), keep
+    count > phi*N.
+
+    ``make_ds``: zero-arg callable returning the input Dataset — the
+    operator scans twice, so the input must be re-buildable (a read_parquet
+    lineage re-executes; pass ``lambda: ds`` only for cached datasets).
+    Returns (keys..., n:int64) for the exact heavy keys."""
+    k = int(np.ceil(2.0 / phi))
+
+    def mg_summary(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(keys, sort=False, observed=True).size()
+        if len(c) > k:
+            t = np.partition(c.to_numpy(), len(c) - k - 1)[len(c) - k - 1]
+            kept = c - t
+            kept = kept[kept > 0]
+            if not len(kept):  # all counts tied at t: keep one zero-info
+                kept = (c - t).iloc[:1]  # row so the block-size marker and
+            c = kept                     # N survive (0 can't pass the
+        out = c.rename("__mg").reset_index()  # positive candidate filter)
+        n = np.zeros(len(out), dtype=np.int64)
+        if len(n):  # block size rides on exactly ONE row (N = sum of __n)
+            n[0] = len(df)
+        out["__n"] = n
+        return out
+
+    summaries = make_ds().map_batches(mg_summary, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(keys, sort=False, observed=True)
+                .agg(__mg=("__mg", "sum"), __n=("__n", "sum")).reset_index())
+
+    merged = grouped_shuffle(summaries, keys, merge).to_pandas()
+    n_total = int(merged["__n"].sum()) if len(merged) else 0
+    if n_total == 0:
+        return pd.DataFrame({**{c: pd.Series([], dtype=object) for c in keys},
+                             "n": pd.Series([], dtype=np.int64)})
+    cand = merged[merged["__mg"].to_numpy()
+                  > n_total * (phi - 1.0 / (k + 1))][keys]
+    if not len(cand):
+        out = merged[keys].iloc[:0].reset_index(drop=True)
+        out["n"] = pd.Series([], dtype=np.int64)
+        return out
+    cand_sets = {c: set(cand[c].tolist()) for c in keys}
+
+    def count_cands(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.ones(len(df), dtype=bool)
+        for c in keys:  # per-column prefilter, then exact tuple match
+            m &= df[c].isin(cand_sets[c]).to_numpy()
+        sub = df[m]
+        if len(keys) > 1 and len(sub):
+            sub = sub.merge(cand, on=keys)
+        return (sub.groupby(keys, sort=False, observed=True).size()
+                .rename("n").reset_index())
+
+    counts = make_ds().map_batches(count_cands, batch_format="pandas").to_pandas()
+    out = counts.groupby(keys, sort=False, observed=True)["n"].sum().reset_index()
+    out = out[out["n"].to_numpy() > phi * n_total].reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out

@@ -197,3 +197,109 @@ def grouped_shuffle(ds: rd.Dataset, keys: list[str],
     out = [reduce_t.remote(reduce_fn, *[s[p] for s in subs])
            for p in range(P)]
     return rd.from_arrow_refs(out)
+
+
+def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [start, start+count) index ranges, vectorized."""
+    cts = counts.astype(np.int64)
+    total = int(cts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offs = np.repeat(np.cumsum(cts) - cts, cts)
+    within = np.arange(total, dtype=np.int64) - offs
+    return np.repeat(starts.astype(np.int64), cts) + within
+
+
+def _range_reduce(val_col: str, lo_col: str, hi_col: str, width: float,
+                  n_left: int, *tables: pa.Table) -> pa.Table:
+    lts, rts = tables[:n_left], tables[n_left:]
+    left = pa.concat_tables([t for t in lts if t.num_rows] or lts[:1]).to_pandas()
+    right = pa.concat_tables([t for t in rts if t.num_rows] or rts[:1]).to_pandas()
+    lcols = [c for c in left.columns if c != "__bkt"]
+    rcols = [c for c in right.columns if c not in ("__bkt", "__lo_c")]
+    if not len(left) or not len(right):
+        return pa.Table.from_pandas(
+            pd.concat([left[lcols].iloc[:0], right[rcols].iloc[:0]], axis=1),
+            preserve_index=False)
+    # __lo_c values of bucket b lie in [b*W, (b+1)*W): one global sort by
+    # __lo_c IS bucket-major order, so per-row candidate ranges are two
+    # vectorized searchsorteds — no per-bucket loop.
+    right = right.sort_values("__lo_c", kind="stable").reset_index(drop=True)
+    lo_c = right["__lo_c"].to_numpy()
+    hi = right[hi_col].to_numpy()
+    x = left[val_col].to_numpy()
+    bkt = left["__bkt"].to_numpy()
+    starts = np.searchsorted(lo_c, bkt * width, side="left")
+    ends = np.searchsorted(lo_c, x, side="right")
+    counts = np.maximum(ends - starts, 0)
+    ridx = _expand_ranges(starts, counts)
+    lidx = np.repeat(np.arange(len(left), dtype=np.int64), counts)
+    keep = hi[ridx] >= x[lidx]
+    out = pd.concat([left[lcols].iloc[lidx[keep]].reset_index(drop=True),
+                     right[rcols].iloc[ridx[keep]].reset_index(drop=True)],
+                    axis=1)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def range_join(left: rd.Dataset, right: rd.Dataset, val_col: str,
+               lo_col: str, hi_col: str, bucket_width: float,
+               num_partitions: int | None = None) -> rd.Dataset:
+    """Interval (range) join — inner join of left rows whose ``val_col``
+    falls in [``lo_col``, ``hi_col``] of a right row (both ends inclusive);
+    another operator Ray Data lacks.
+
+    Plan: left rows key to bucket floor(x/W); right intervals REPLICATE to
+    every bucket they cover, each copy carrying a clipped start
+    ``__lo_c = max(lo, bucket*W)``; one hash exchange on the bucket
+    co-locates probes with every interval that can contain them (exact for
+    ANY ``bucket_width`` — an interval covering x always covers x's
+    bucket). In the partition reduce the containment scan is two
+    searchsorteds + a vectorized range expansion.
+
+    ``bucket_width`` tunes cost, not correctness: replication factor is
+    ~1 + interval_width/W, while probe-side candidate count grows with W —
+    set W near the typical interval width. Values must be numeric."""
+    W = float(bucket_width)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        x = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "__bkt", pa.array(np.floor(x / W), pa.float64()))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lo = df[lo_col].to_numpy().astype(np.float64)
+        hi = df[hi_col].to_numpy().astype(np.float64)
+        blo = np.floor(lo / W).astype(np.int64)
+        counts = (np.floor(hi / W).astype(np.int64) - blo + 1)
+        idx = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        bkt = _expand_ranges(blo, counts).astype(np.float64)
+        out = df.iloc[idx].reset_index(drop=True)
+        out["__bkt"] = bkt
+        out["__lo_c"] = np.maximum(lo[idx], bkt * W)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    lrefs = left.map_batches(add_bucket, batch_format="pyarrow").to_arrow_refs()
+    rrefs = right.map_batches(replicate, batch_format="pyarrow").to_arrow_refs()
+    if not lrefs:
+        return left
+    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    reducer = ray.remote(_range_reduce)
+    if not rrefs:  # schema-bearing empty right block so the reduce runs
+        sch = right.schema()
+        pa_sch = getattr(sch, "base_schema", None) \
+            or pa.schema(list(zip(sch.names, sch.types)))
+        pa_sch = pa_sch.append(pa.field("__bkt", pa.float64()))
+        pa_sch = pa_sch.append(pa.field("__lo_c", pa.float64()))
+        rrefs = [ray.put(pa_sch.empty_table())]
+    if P == 1:
+        return rd.from_arrow_refs(
+            [reducer.remote(val_col, lo_col, hi_col, W,
+                            len(lrefs), *lrefs, *rrefs)])
+    split = ray.remote(num_returns=P)(_split_by_hash)
+    ls = [split.remote(r, ["__bkt"], P) for r in lrefs]
+    rs = [split.remote(r, ["__bkt"], P) for r in rrefs]
+    out = [reducer.remote(val_col, lo_col, hi_col, W, len(ls),
+                          *[l[p] for l in ls], *[r[p] for r in rs])
+           for p in range(P)]
+    return rd.from_arrow_refs(out)

@@ -181,3 +181,93 @@ def test_popcount64():
     xs = np.concatenate([xs, np.array([0, -1, 1, 2**62], dtype=np.int64)])
     want = np.array([bin(int(x) & (2**64 - 1)).count("1") for x in xs])
     np.testing.assert_array_equal(popcount64(xs), want)
+
+
+def test_heavy_hitters_exact(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.agg import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # hot keys 0..2 spread across many blocks + a long uniform tail
+    key = np.concatenate([np.repeat([0, 1, 2], [4000, 2500, 1200]),
+                          rng.integers(10, 5000, 12000)]).astype(np.int64)
+    rng.shuffle(key)
+    df = pd.DataFrame({"k": key})
+    phi = 0.05
+    got = heavy_hitters(lambda: rd.from_pandas(df).repartition(13),
+                        ["k"], phi).sort_values("k").reset_index(drop=True)
+    vc = df["k"].value_counts()
+    want = (vc[vc > phi * len(df)].rename("n").rename_axis("k")
+            .reset_index().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_heavy_hitters_no_heavy_keys(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.agg import heavy_hitters
+
+    # uniform: nobody exceeds phi*N; tied block counts hit the zero-info
+    # carrier-row path (every key appears once per block)
+    df = pd.DataFrame({"k": np.arange(400, dtype=np.int64) % 100})
+    got = heavy_hitters(lambda: rd.from_pandas(df).repartition(4),
+                        ["k"], 0.05)
+    assert len(got) == 0
+
+
+def test_heavy_hitters_multikey(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.agg import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": np.concatenate([np.zeros(3000, np.int64),
+                             rng.integers(0, 50, 7000)]),
+        "b": np.concatenate([np.full(3000, 7, np.int64),
+                             rng.integers(0, 50, 7000)])})
+    phi = 0.1
+    got = (heavy_hitters(lambda: rd.from_pandas(df).repartition(8),
+                         ["a", "b"], phi)
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    vc = df.groupby(["a", "b"]).size().rename("n").reset_index()
+    want = (vc[vc["n"] > phi * len(df)]
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({"x": rng.uniform(-500, 1500, 800),
+                         "lid": np.arange(800, dtype=np.int64)})
+    lo = rng.uniform(-600, 1400, 120)
+    right = pd.DataFrame({"lo": lo, "hi": lo + rng.uniform(0, 350, 120),
+                          "rid": np.arange(120, dtype=np.int64)})
+    got = exchange.range_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        "x", "lo", "hi", bucket_width=100.0).to_pandas()
+    lx = left["x"].to_numpy()[:, None]
+    m = (lx >= right["lo"].to_numpy()[None, :]) \
+        & (lx <= right["hi"].to_numpy()[None, :])
+    li, ri = np.nonzero(m)
+    want = pd.DataFrame({"x": left["x"].to_numpy()[li],
+                         "lid": left["lid"].to_numpy()[li],
+                         "lo": right["lo"].to_numpy()[ri],
+                         "hi": right["hi"].to_numpy()[ri],
+                         "rid": right["rid"].to_numpy()[ri]})
+    cols = ["lid", "rid", "x", "lo", "hi"]
+    pd.testing.assert_frame_equal(
+        _norm(got[cols], ["lid", "rid"]), _norm(want[cols], ["lid", "rid"]),
+        check_dtype=False)
+
+
+def test_range_join_empty_right(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"x": np.arange(5, dtype=np.float64)})
+    right = pd.DataFrame({"lo": pd.Series([], dtype=np.float64),
+                          "hi": pd.Series([], dtype=np.float64)})
+    got = exchange.range_join(rd.from_pandas(left), rd.from_pandas(right),
+                              "x", "lo", "hi", 10.0).to_pandas()
+    assert len(got) == 0
