@@ -525,3 +525,18 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        CAST(win_idx AS INTEGER) AS win_idx, feat
 FROM feats
 """
+
+
+def stratified_sample_sql(n: int, cols: str, key: str, src_sql: str) -> str:
+    """Rank-within-stratum sample: row_number() over (PARTITION BY key
+    ORDER BY splitmix64(doc_id), doc_id) <= n — the SQL restatement of
+    stages/sample.py::stratified_sample."""
+    sm, fin = splitmix_ctes("src", cols, "doc_id::HUGEINT", "smx", "ss")
+    return f"""
+WITH src AS ({src_sql}),
+{sm}
+SELECT {cols} FROM (
+  SELECT {cols}, row_number() OVER (PARTITION BY {key} ORDER BY smx, doc_id) AS rn
+  FROM {fin})
+WHERE rn <= {n}
+"""

@@ -1216,3 +1216,43 @@ def q_range_join(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["event_id", "value", "s_suppkey", "s_acctbal"]),
         batch_format="pyarrow")
+
+
+@_q("q_stratified_sample", oracles.stratified_sample_sql(
+    15, "doc_id, source", "source", "SELECT doc_id, source FROM documents"))
+def q_stratified_sample(sf_dir: str):
+    # deterministic hash-random 15-docs-per-source cap
+    # (stages/sample.py::stratified_sample; SQL mirror ranks by the same
+    # splitmix64 restated over HUGEINT)
+    from cocrawler_ray.stages.sample import stratified_sample
+    return stratified_sample(read(sf_dir, "documents", ["doc_id", "source"]),
+                             ["source"], 15, "doc_id")
+
+
+@_q("q_curate_corpus", oracles.stratified_sample_sql(
+    10, "doc_id, source, n_tokens", "source", """
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, source, text FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+  WHERE n_tokens BETWEEN 20 AND 90"""))
+def q_curate_corpus(sf_dir: str):
+    # end-to-end curation pipeline a training-data user runs before export:
+    # exact-dedup (first-wins by content digest) -> token-count gate
+    # -> per-source stratified cap. Every stage is the engine's real
+    # operator; the whole composition streams (combiner dedup -> one digest
+    # exchange -> batch token filter -> one stratum exchange).
+    from cocrawler_ray.stages.sample import stratified_sample
+    ds = read(sf_dir, "documents", ["doc_id", "source", "text"])
+    ded = dedup.exact_dedup(ds, "doc_id", "text")
+
+    def tok_gate(t: pa.Table) -> pa.Table:
+        t = textops.token_count_batch(t)
+        m = pc.and_(pc.greater_equal(t["n_tokens"], 20),
+                    pc.less_equal(t["n_tokens"], 90))
+        return t.filter(m).select(["doc_id", "source", "n_tokens"])
+
+    gated = ded.map_batches(tok_gate, batch_format="pyarrow")
+    return stratified_sample(gated, ["source"], 10, "doc_id")

@@ -271,3 +271,23 @@ def test_range_join_empty_right(ray_session):
     got = exchange.range_join(rd.from_pandas(left), rd.from_pandas(right),
                               "x", "lo", "hi", 10.0).to_pandas()
     assert len(got) == 0
+
+
+def test_stratified_sample_partition_invariant(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.sample import stratified_sample
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"id": np.arange(2000, dtype=np.int64),
+                       "s": rng.integers(0, 12, 2000).astype(np.int64)})
+    outs = []
+    for parts in (3, 11):
+        got = (stratified_sample(rd.from_pandas(df).repartition(parts),
+                                 ["s"], 7, "id").to_pandas()
+               .sort_values(["s", "id"]).reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    sizes = outs[0].groupby("s").size()
+    assert (sizes == 7).all()  # every stratum has >7 rows here
+    # hash-random, not first-n: the sample is not simply the smallest ids
+    assert not outs[0].groupby("s")["id"].max().le(200).all()
