@@ -540,3 +540,30 @@ SELECT {cols} FROM (
   FROM {fin})
 WHERE rn <= {n}
 """
+
+
+def pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank over the constructed doc link
+    graph (doc d -> (7d+1) % N and (13d+3) % N) — SQL restatement of
+    stages/graph.py::pagerank."""
+    base = f"{1.0 - damping} / (SELECT N FROM nn)"
+    ctes = [
+        "nn AS (SELECT count(*) AS N FROM documents)",
+        """edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT N FROM nn) FROM documents)""",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT doc_id AS node, 1.0 / (SELECT N FROM nn) AS r FROM documents)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""i{i} AS (
+  SELECT d.doc_id AS node, {base} + {damping} * COALESCE(c.s, 0) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / g.outdeg) AS s
+    FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) c ON c.node = d.doc_id)""")
+        prev = f"i{i}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(r, 6) AS pr FROM {prev}")

@@ -1256,3 +1256,31 @@ def q_curate_corpus(sf_dir: str):
 
     gated = ded.map_batches(tok_gate, batch_format="pyarrow")
     return stratified_sample(gated, ["source"], 10, "doc_id")
+
+
+@_q("q_pagerank", oracles.pagerank_sql(3, 0.85))
+def q_pagerank(sf_dir: str):
+    # 3-iteration PageRank over the constructed doc link graph
+    # (stages/graph.py::pagerank — per-iteration hash-join + contribution
+    # exchange; ranks never leave the object store). The SQL oracle unrolls
+    # the same three synchronous iterations.
+    from cocrawler_ray.stages.graph import pagerank
+    nodes = (read(sf_dir, "documents", ["doc_id"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow"))
+    n_total = nodes.count()
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([(d * 7 + 1) % n_total,
+                                            (d * 13 + 3) % n_total]),
+                            pa.int64())})
+
+    edges = nodes.map_batches(make_edges, batch_format="pyarrow")
+    out = pagerank(nodes, edges, iters=3, damping=0.85)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "pr": df["r"].round(6).to_numpy()}),
+        batch_format="pandas")

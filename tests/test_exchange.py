@@ -291,3 +291,28 @@ def test_stratified_sample_partition_invariant(ray_session):
     assert (sizes == 7).all()  # every stratum has >7 rows here
     # hash-random, not first-n: the sample is not simply the smallest ids
     assert not outs[0].groupby("s")["id"].max().le(200).all()
+
+
+def test_pagerank_matches_dense_iteration(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(41)
+    N, E = 60, 300
+    src = rng.integers(0, N, E).astype(np.int64)  # node 59 likely dangling
+    dst = rng.integers(0, N, E).astype(np.int64)
+    src = src[src != 59]; dst = dst[:len(src)]
+    nodes = pd.DataFrame({"node": np.arange(N, dtype=np.int64)})
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    got = (pagerank(rd.from_pandas(nodes).repartition(4),
+                    rd.from_pandas(edges).repartition(3),
+                    iters=3, damping=0.85).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    # dense reference: contributions / outdeg, dangling mass dropped
+    deg = np.bincount(src, minlength=N).astype(float)
+    r = np.full(N, 1.0 / N)
+    for _ in range(3):
+        contrib = np.zeros(N)
+        np.add.at(contrib, dst, 0.85 * r[src] / deg[src])
+        r = 0.15 / N + contrib
+    np.testing.assert_allclose(got["r"].to_numpy(), r, rtol=0, atol=1e-12)
