@@ -1082,8 +1082,9 @@ def q_asof_join(sf_dir: str):
     return joined.map_batches(project, batch_format="pandas")
 
 
-@_q("q_phash_hamming", """
-WITH p AS (
+# CTE chain producing pr(vec_a, vec_b) phash near-dup pairs — shared by
+# q_phash_hamming and the cluster query built on top of it
+_PHASH_PAIR_CTES = """p AS (
   SELECT vec_id,
          CAST(list_sum(list_transform(generate_series(0, 31),
               j -> CASE WHEN embedding[j + 1] > 0 THEN 1 << j ELSE 0 END))
@@ -1094,27 +1095,66 @@ b AS (
   FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) g),
 c AS (
   SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b, a.ph AS pha, x.ph AS phb
-  FROM b a JOIN b x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id)
+  FROM b a JOIN b x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id)"""
+
+
+def _phash32(t: pa.Table) -> pa.Table:
+    """32-bit phash from embedding sign bits (the real crawl tables carry a
+    phash column; the driver tables derive one deterministically)."""
+    E = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in t.column("embedding").to_pylist()])
+    bits = (E[:, :32] > 0).astype(np.int64)
+    val = (bits << np.arange(32, dtype=np.int64)).sum(axis=1)
+    return pa.table({"vec_id": t.column("vec_id"),
+                     "ph": pa.array(val, pa.int64())})
+
+
+@_q("q_phash_hamming", f"""
+WITH {_PHASH_PAIR_CTES}
 SELECT vec_a, vec_b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
 FROM c WHERE bit_count(xor(pha, phb)) <= 6
 """)
 def q_phash_hamming(sf_dir: str):
-    # image near-dup by perceptual-hash Hamming distance: a 32-bit phash
-    # from embedding sign bits (the real crawl tables carry a phash column;
-    # the driver tables derive one deterministically), 4x8-bit exact-match
-    # LSH bands, popcount(xor) <= 6 verify — all inside one hash exchange
-    # (stages/dedup.py::phash_hamming_pairs).
-    def ph(t: pa.Table) -> pa.Table:
-        E = np.stack([np.asarray(v, dtype=np.float32)
-                      for v in t.column("embedding").to_pylist()])
-        bits = (E[:, :32] > 0).astype(np.int64)
-        val = (bits << np.arange(32, dtype=np.int64)).sum(axis=1)
-        return pa.table({"vec_id": t.column("vec_id"),
-                         "ph": pa.array(val, pa.int64())})
-
-    ds = read(sf_dir, "embeddings").map_batches(ph, batch_format="pyarrow")
+    # image near-dup by perceptual-hash Hamming distance: 4x8-bit
+    # exact-match LSH bands, popcount(xor) <= 6 verify — all inside one
+    # hash exchange (stages/dedup.py::phash_hamming_pairs).
+    ds = read(sf_dir, "embeddings").map_batches(_phash32,
+                                                batch_format="pyarrow")
     return dedup.phash_hamming_pairs(ds, "vec_id", "ph",
                                      bits=32, bands=4, max_dist=6)
+
+
+@_q("q_image_clusters", f"""
+WITH {_PHASH_PAIR_CTES},
+pr AS (SELECT vec_a, vec_b FROM c WHERE bit_count(xor(pha, phb)) <= 6),
+und AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+        UNION ALL SELECT vec_b, vec_a FROM pr),
+l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings),
+{", ".join(f'''l{i + 1} AS (
+  SELECT l.node, least(l.label, COALESCE(m.ml, l.label)) AS label
+  FROM l{i} l LEFT JOIN (
+    SELECT e.dst AS node, min(p.label) AS ml
+    FROM und e JOIN l{i} p ON p.node = e.src GROUP BY e.dst) m
+  ON m.node = l.node)''' for i in range(8))}
+SELECT node, label FROM l8
+""")
+def q_image_clusters(sf_dir: str):
+    # near-dup image CLUSTERS: the phash pair scan feeds 8 rounds of
+    # min-label propagation (stages/graph.py::min_label_components) — the
+    # standard pairs -> components -> representative step of corpus dedup.
+    # The SQL oracle unrolls the same 8 synchronous rounds.
+    from cocrawler_ray.stages.graph import min_label_components
+    emb = read(sf_dir, "embeddings").map_batches(_phash32,
+                                                 batch_format="pyarrow")
+    pairs = dedup.phash_hamming_pairs(emb, "vec_id", "ph",
+                                      bits=32, bands=4, max_dist=6)
+    nodes = (read(sf_dir, "embeddings", ["vec_id"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow"))
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": pairs["vec_a"].to_numpy(),
+        "dst": pairs["vec_b"].to_numpy()}))
+    return min_label_components(nodes, edges, iters=8)
 
 
 @_q("q_heavy_hitters", """

@@ -68,3 +68,50 @@ def pagerank(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 3,
                          "r": base + df["c"].fillna(0.0).to_numpy()}),
                      batch_format="pandas"))
     return ranks
+
+
+def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
+                         iters: int = 8) -> rd.Dataset:
+    """Connected components by ``iters`` rounds of synchronous min-label
+    propagation — the clustering step after a near-dup pair scan (pairs ->
+    components -> keep one representative per cluster). ``nodes``:
+    (node:int64); ``edges``: (src, dst) undirected pairs (one direction is
+    enough — both are propagated). Returns (node, label) where label is the
+    minimum node id reachable within ``iters`` hops: fixed-depth semantics,
+    identical on both oracle sides whether or not labels converged; size
+    ``iters`` >= graph diameter for full components.
+
+    Same two-exchange BSP shape as :func:`pagerank`; label state stays in
+    object-store Datasets."""
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow")
+    labels = nodes.map_batches(
+        lambda t: t.append_column("label", t.column("node")),
+        batch_format="pyarrow")
+    for _ in range(iters):
+        prop = (hash_join(und, labels, on=["src"], right_on=["node"])
+                .map_batches(lambda df: pd.DataFrame({
+                    "node": df["dst"].to_numpy(),
+                    "nl": df["label"].to_numpy()}), batch_format="pandas"))
+        mins = grouped_shuffle(
+            prop, ["node"],
+            lambda df: df.groupby("node", sort=False)["nl"].min().reset_index())
+        def take_min(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df["label"].to_numpy().copy()
+            nl = df["nl"].to_numpy()
+            # unmatched left-outer rows are NaN (and float64 would overflow
+            # an int64 cast) — only matched rows take the neighbor min
+            ok = ~np.isnan(nl) if nl.dtype.kind == "f" \
+                else np.ones(len(nl), dtype=bool)
+            lab[ok] = np.minimum(lab[ok], nl[ok].astype(np.int64))
+            return pd.DataFrame({"node": df["node"].to_numpy(), "label": lab})
+
+        labels = (hash_join(labels, mins, on=["node"], how="left outer")
+                  .map_batches(take_min, batch_format="pandas"))
+    return labels

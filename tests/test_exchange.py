@@ -316,3 +316,24 @@ def test_pagerank_matches_dense_iteration(ray_session):
         np.add.at(contrib, dst, 0.85 * r[src] / deg[src])
         r = 0.15 / N + contrib
     np.testing.assert_allclose(got["r"].to_numpy(), r, rtol=0, atol=1e-12)
+
+
+def test_min_label_components_exact(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import min_label_components
+
+    # two chains + a triangle + isolated nodes; diameter 4 < iters
+    edges = pd.DataFrame({"src": np.array([1, 2, 3, 4, 10, 11, 20, 21, 22],
+                                          dtype=np.int64),
+                          "dst": np.array([2, 3, 4, 5, 11, 12, 21, 22, 20],
+                                          dtype=np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(30, dtype=np.int64)})
+    got = (min_label_components(rd.from_pandas(nodes).repartition(3),
+                                rd.from_pandas(edges).repartition(2),
+                                iters=6).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    want = nodes["node"].to_numpy().copy()
+    want[[1, 2, 3, 4, 5]] = 1
+    want[[10, 11, 12]] = 10
+    want[[20, 21, 22]] = 20
+    np.testing.assert_array_equal(got["label"].to_numpy(), want)
