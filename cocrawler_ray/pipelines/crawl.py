@@ -55,6 +55,7 @@ from cocrawler_ray import seeds as seeds_mod
 from cocrawler_ray.config import CrawlConfig
 from cocrawler_ray.hashing import hash64, host_partition, surt_partition
 from cocrawler_ray.state.shard import ShardHost
+from cocrawler_ray import storage as storage_mod
 from cocrawler_ray.storage import Storage
 
 
@@ -472,9 +473,9 @@ class CrawlJob:
         files = self.storage.table_files("fetched")
         if files:
             crawllog_dir = str(self.storage.root / "crawllog")
-            (rd.read_parquet(files,
-                             columns=["url", "host", "status", "gen",
-                                      "fetch_ms", "digest"])
+            (storage_mod.read_ray_dataset(
+                    files, columns=["url", "host", "status", "gen",
+                                    "fetch_ms", "digest"])
                .write_json(crawllog_dir))
             out["crawllog"] = crawllog_dir
             # facetlog: re-join 200 rows to their HTML (broadcast table)
@@ -505,14 +506,15 @@ class CrawlJob:
                                  "k": pa.array(ks, pa.string()),
                                  "v": pa.array(vs, pa.string())})
 
-            (rd.read_parquet(files, columns=["url", "image_id", "status", "gen"])
+            (storage_mod.read_ray_dataset(
+                    files, columns=["url", "image_id", "status", "gen"])
                .map_batches(facets, batch_format="pyarrow")
                .write_json(facet_dir))
             out["facetlog"] = facet_dir
         reject_files = self.storage.table_files("rejectlog")
         if reject_files:
             reject_dir = str(self.storage.root / "rejectlog_json")
-            rd.read_parquet(reject_files).write_json(reject_dir)
+            storage_mod.read_ray_dataset(reject_files).write_json(reject_dir)
             out["rejectlog"] = reject_dir
         robots_counts = ray.get([s.robots_stats.remote() for s in self.shards])
         if self.wave_robots["fetches"] or self.wave_robots["hits"]:
