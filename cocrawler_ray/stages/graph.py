@@ -1,20 +1,31 @@
-"""Link-graph analytics — fixed-iteration PageRank over (src, dst) edges.
+"""Link-graph analytics — fixed-iteration PageRank and connected
+components over (src, dst) edges.
 
 The reference prioritizes fetches by a static per-URL score
 (`cocrawler/urls.py` priority semantics per SURVEY §2.2 M8); a corpus-scale
 crawl wants link-structure scores, which means iterative distributed
-computation the reference never does. Classic bulk-synchronous shape, each
-iteration two exchanges:
+computation the reference never does.
 
-1. join current ranks onto edges by src (``hash_join``) and emit
-   (dst, damping * rank / outdeg) contribution rows — streaming batch map;
-2. sum contributions per dst (``grouped_shuffle``) and left-join back onto
-   the node list so sinks/no-inbound nodes get the teleport base.
+Execution is a Pregel-style BSP loop built on the engine's hash-exchange
+primitives, designed so the STATIC data never moves twice:
 
-Out-degrees are computed ONCE before iterating. All state lives in
-object-store-backed Datasets keyed by node — the driver never holds a rank
-vector, so node count scales with cluster memory, not driver memory.
-Deterministic: no RNG, float sums vary only by partition summation order.
+- edges are split by ``hash(src) % P`` ONCE before iterating; nodes (and
+  the per-node state rows that evolve with them) are split by
+  ``hash(node) % P`` ONCE. Both use the same hash, so the per-partition
+  join of edges with current state is local — no per-iteration re-split of
+  the (dominant) edge table.
+- each superstep ships ONLY contribution rows: a per-partition task joins
+  its edge block with its state block, emits (dst, value) messages already
+  split by ``hash(dst) % P``, and a second per-partition task folds the
+  incoming messages into the node state. One all-to-all of message rows
+  per iteration — the information-theoretic minimum for synchronous
+  propagation.
+- all blocks live in the object store as Arrow tables; the driver holds
+  only ObjectRefs, so node count scales with cluster memory.
+
+P adapts to state size (``rows / 100k`` capped at cluster CPUs) so small
+graphs don't pay wide-exchange fixed costs while 10^10-edge graphs use the
+full cluster.
 """
 
 from __future__ import annotations
@@ -23,55 +34,143 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
-from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
+from cocrawler_ray.stages.exchange import _split_by_hash
+
+
+def _pick_p(n_rows: int, num_partitions: int | None) -> int:
+    if num_partitions:
+        return num_partitions
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cpus, n_rows // 100_000 + 1))
+
+
+def _merge(*tables: pa.Table) -> pa.Table:
+    return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
+
+
+def _presplit(ds: rd.Dataset, keys: list[str], P: int) -> list:
+    """Hash-split a Dataset's blocks and merge to ONE table ref per
+    partition (done once; reused every iteration)."""
+    refs = ds.to_arrow_refs()
+    split = ray.remote(num_returns=P)(_split_by_hash)
+    merge = ray.remote(_merge)
+    if P == 1:
+        return [merge.remote(*refs)]
+    subs = [split.remote(r, keys, P) for r in refs]
+    return [merge.remote(*[s[p] for s in subs]) for p in range(P)]
+
+
+def _contrib_split(mode: str, damping: float, P: int, E: pa.Table,
+                   S: pa.Table) -> list[pa.Table]:
+    """Superstep send half: join the partition's edges with its node state
+    (both hashed here by the SAME key hash) and emit (node, c) messages
+    pre-split by destination hash."""
+    e = E.to_pandas()
+    s = S.to_pandas()
+    j = e.merge(s, left_on="src", right_on="node", how="inner")
+    if mode == "sum":
+        c = damping * j["r"].to_numpy() / j["outdeg"].to_numpy()
+    else:  # min-label: the message is the sender's current label
+        c = j["label"].to_numpy()
+    msgs = pa.table({"node": pa.array(j["dst"].to_numpy(), pa.int64()),
+                     "c": pa.array(c)})
+    return _split_by_hash(msgs, ["node"], P)
+
+
+def _fold(mode: str, base: float, S: pa.Table, *subs: pa.Table) -> pa.Table:
+    """Superstep receive half: fold incoming messages into this
+    partition's node state (messages were split by the same node hash, so
+    every message for these nodes is here)."""
+    s = S.to_pandas()
+    m = _merge(*subs).to_pandas() if subs else pd.DataFrame(
+        {"node": [], "c": []})
+    if mode == "sum":
+        agg = m.groupby("node", sort=False)["c"].sum() if len(m) else None
+        r = np.full(len(s), base)
+        if agg is not None:
+            pos = s.set_index("node").index.get_indexer(agg.index)
+            r[pos[pos >= 0]] += agg.to_numpy()[pos >= 0]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"node": s["node"].to_numpy(), "r": r}),
+            preserve_index=False)
+    lab = s["label"].to_numpy().copy()
+    if len(m):
+        agg = m.groupby("node", sort=False)["c"].min()
+        pos = s.set_index("node").index.get_indexer(agg.index)
+        ok = pos >= 0
+        lab[pos[ok]] = np.minimum(lab[pos[ok]],
+                                  agg.to_numpy()[ok].astype(np.int64))
+    return pa.Table.from_pandas(
+        pd.DataFrame({"node": s["node"].to_numpy(), "label": lab}),
+        preserve_index=False)
+
+
+def _bsp(nodes_parts: list, edges_parts: list, mode: str, iters: int,
+         damping: float, base: float, P: int) -> rd.Dataset:
+    send = ray.remote(num_returns=P)(_contrib_split)
+    fold = ray.remote(_fold)
+    state = nodes_parts
+    for _ in range(iters):
+        outs = [send.remote(mode, damping, P, edges_parts[p], state[p])
+                for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        state = [fold.remote(mode, base, state[p],
+                             *[outs[q][p] for q in range(P)])
+                 for p in range(P)]
+    return rd.from_arrow_refs(state)
 
 
 def pagerank(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 3,
-             damping: float = 0.85) -> rd.Dataset:
+             damping: float = 0.85,
+             num_partitions: int | None = None) -> rd.Dataset:
     """``nodes``: (node:int64) — every vertex, exactly once. ``edges``:
     (src, dst) int64 rows, parallel edges allowed (each contributes).
-    Returns (node, pr:float64) after ``iters`` synchronous iterations from
+    Returns (node, r:float64) after ``iters`` synchronous iterations from
     a uniform start; dangling mass is dropped (teleport base only), the
     convention of the unrolled SQL oracle."""
     n_total = nodes.count()
     base = (1.0 - damping) / n_total
+    P = _pick_p(n_total, num_partitions)
 
-    def deg(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby("src", sort=False).size().astype(np.float64)
-                .rename("outdeg").reset_index())
-
-    edges_w = hash_join(edges, grouped_shuffle(edges, ["src"], deg),
-                        on=["src"])
+    # per-edge out-degree: per-block combiner partials -> one small
+    # exchange -> joined onto edges ONCE before the pre-split
+    from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
+    deg_ds = rd.from_arrow_refs(
+        [ray.remote(_degree_table).remote(r) for r in edges.to_arrow_refs()])
+    deg_full = grouped_shuffle(
+        deg_ds, ["src"],
+        lambda df: (df.groupby("src", sort=False)["outdeg"].sum()
+                    .astype(np.float64).reset_index()),
+        num_partitions=P)
+    edges_w = hash_join(edges, deg_full, on=["src"], num_partitions=P)
 
     def init(t: pa.Table) -> pa.Table:
         return t.append_column(
             "r", pa.array(np.full(t.num_rows, 1.0 / n_total), pa.float64()))
 
-    ranks = nodes.map_batches(init, batch_format="pyarrow")
-    for _ in range(iters):
-        contrib = (hash_join(edges_w, ranks, on=["src"], right_on=["node"])
-                   .map_batches(
-                       lambda df: pd.DataFrame({
-                           "node": df["dst"].to_numpy(),
-                           "c": damping * df["r"].to_numpy()
-                                / df["outdeg"].to_numpy()}),
-                       batch_format="pandas"))
-        sums = grouped_shuffle(
-            contrib, ["node"],
-            lambda df: df.groupby("node", sort=False)["c"].sum().reset_index())
-        ranks = (hash_join(nodes, sums, on=["node"], how="left outer")
-                 .map_batches(
-                     lambda df: pd.DataFrame({
-                         "node": df["node"].to_numpy(),
-                         "r": base + df["c"].fillna(0.0).to_numpy()}),
-                     batch_format="pandas"))
-    return ranks
+    state0 = nodes.map_batches(init, batch_format="pyarrow")
+    out = _bsp(_presplit(state0, ["node"], P),
+               _presplit(edges_w, ["src"], P),
+               "sum", iters, damping, base, P)
+    return out.map_batches(lambda t: t.select(["node", "r"]),
+                           batch_format="pyarrow")
+
+
+def _degree_table(t: pa.Table) -> pa.Table:
+    """Per-block partial out-degree counts (combiner before the exchange)."""
+    df = t.to_pandas()
+    g = (df.groupby("src", sort=False).size().astype(np.float64)
+         .rename("outdeg").reset_index())
+    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
-                         iters: int = 8) -> rd.Dataset:
+                         iters: int = 8,
+                         num_partitions: int | None = None) -> rd.Dataset:
     """Connected components by ``iters`` rounds of synchronous min-label
     propagation — the clustering step after a near-dup pair scan (pairs ->
     components -> keep one representative per cluster). ``nodes``:
@@ -79,10 +178,9 @@ def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
     enough — both are propagated). Returns (node, label) where label is the
     minimum node id reachable within ``iters`` hops: fixed-depth semantics,
     identical on both oracle sides whether or not labels converged; size
-    ``iters`` >= graph diameter for full components.
-
-    Same two-exchange BSP shape as :func:`pagerank`; label state stays in
-    object-store Datasets."""
+    ``iters`` >= graph diameter for full components."""
+    n_total = nodes.count()
+    P = _pick_p(n_total, num_partitions)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy(zero_copy_only=False)
@@ -94,24 +192,5 @@ def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
     labels = nodes.map_batches(
         lambda t: t.append_column("label", t.column("node")),
         batch_format="pyarrow")
-    for _ in range(iters):
-        prop = (hash_join(und, labels, on=["src"], right_on=["node"])
-                .map_batches(lambda df: pd.DataFrame({
-                    "node": df["dst"].to_numpy(),
-                    "nl": df["label"].to_numpy()}), batch_format="pandas"))
-        mins = grouped_shuffle(
-            prop, ["node"],
-            lambda df: df.groupby("node", sort=False)["nl"].min().reset_index())
-        def take_min(df: pd.DataFrame) -> pd.DataFrame:
-            lab = df["label"].to_numpy().copy()
-            nl = df["nl"].to_numpy()
-            # unmatched left-outer rows are NaN (and float64 would overflow
-            # an int64 cast) — only matched rows take the neighbor min
-            ok = ~np.isnan(nl) if nl.dtype.kind == "f" \
-                else np.ones(len(nl), dtype=bool)
-            lab[ok] = np.minimum(lab[ok], nl[ok].astype(np.int64))
-            return pd.DataFrame({"node": df["node"].to_numpy(), "label": lab})
-
-        labels = (hash_join(labels, mins, on=["node"], how="left outer")
-                  .map_batches(take_min, batch_format="pandas"))
-    return labels
+    return _bsp(_presplit(labels, ["node"], P), _presplit(und, ["src"], P),
+                "min", iters, 0.0, 0.0, P)
