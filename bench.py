@@ -87,6 +87,17 @@ BENCH_QUERIES = [
     "q_topk_hosts",        # groupby-count + topk
 ]
 
+# round-2 additions (kept separate so `queries13` stays comparable with
+# the round-1/round-2-early BASELINE.md numbers for the original suite)
+BENCH_QUERIES_R2 = [
+    "q_asof_join",         # as-of join (hash exchange + merge_asof)
+    "q_sessionize",        # gap sessionization (grouped shuffle)
+    "q_range_join",        # interval join (bucket-replicated exchange)
+    "q_top_orders",        # TPC-H Q3-shaped multi-way join
+    "q_pagerank",          # iterative BSP graph (3 supersteps)
+    "q_image_clusters",    # phash pairs + min-label components
+]
+
 
 def init_ray(num_cpus: int) -> None:
     import ray
@@ -205,7 +216,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     from cocrawler_ray.queries import QUERIES
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + BENCH_QUERIES_R2:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         consume(fn(sf_dir))
@@ -242,10 +253,12 @@ def main() -> None:
         warm_workers(num_cpus)
     queries = {} if args.crawl_only else run_queries(sf_dir)
     total = crawl["wall_s"] + sum(queries.values())
+    q13 = sum(v for k, v in queries.items() if k in BENCH_QUERIES)
     print(json.dumps({
         "metric": "crawl pages/s + frontier appends/s + operator suite wall time",
         "value": round(total, 3),
         "unit": "sec",
+        "queries13_wall_s": round(q13, 3),
         "queries": queries,
         "sf": sf,
         "num_cpus": num_cpus,
