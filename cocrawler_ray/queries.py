@@ -1253,6 +1253,13 @@ def q_range_join(sf_dir: str):
     ev = read(sf_dir, "events", ["event_id", "value"])
     out = exchange.range_join(ev, sup, "value", "s_acctbal", "__hi",
                               bucket_width=200.0)
+    if out.count() == 0:  # Ray Data drops empty blocks (schema and all) in
+        # map_batches/to_pandas, so hand back a schema-bearing empty table;
+        # count() over the exchange's already-computed refs is metadata-only
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64()),
+                         "s_suppkey": pa.array([], pa.int64()),
+                         "s_acctbal": pa.array([], pa.float64())})
     return out.map_batches(
         lambda t: t.select(["event_id", "value", "s_suppkey", "s_acctbal"]),
         batch_format="pyarrow")
