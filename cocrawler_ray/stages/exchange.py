@@ -303,3 +303,37 @@ def range_join(left: rd.Dataset, right: rd.Dataset, val_col: str,
                           *[l[p] for l in ls], *[r[p] for r in rs])
            for p in range(P)]
     return rd.from_arrow_refs(out)
+
+
+def grouped_shuffle_hierarchical(ds: rd.Dataset, keys: list[str],
+                                 reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                                 group_size: int = 64,
+                                 num_partitions: int | None = None) -> rd.Dataset:
+    """Two-round :func:`grouped_shuffle` for block counts where a flat
+    exchange's N x P sub-object fan-out would swamp the driver/scheduler
+    (the module docstring's 10^6-block case: ~10^9 refs at P=10^3).
+
+    Round 1 exchanges WITHIN groups of ``group_size`` blocks (fan-out
+    group_size x P per group, scheduled independently); round 2 exchanges
+    the per-group reduced partials (n_groups x P). Total refs
+    ~ N x P / group_size + n_groups x P — tunable orders of magnitude below
+    the flat exchange.
+
+    Correctness requirement (documented per the custom-operator contract):
+    ``reduce_fn`` must be REAPPLICABLE — a semigroup on its own output
+    (true for groupby aggregations of sum/count/min/max, winner-per-key
+    dedup, drop_duplicates), since each key's rows are reduced once per
+    round. count-style reduces must therefore be expressed as sums of
+    partial counts, exactly the ``partial_groupby_agg`` combiner shape."""
+    refs = ds.to_arrow_refs()
+    if len(refs) <= group_size:
+        return grouped_shuffle(ds, keys, reduce_fn, num_partitions)
+    P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    split = ray.remote(num_returns=P)(_split_by_hash)
+    reduce_t = ray.remote(_reduce)
+    partials = []
+    for g in range(0, len(refs), group_size):
+        subs = [split.remote(r, keys, P) for r in refs[g:g + group_size]]
+        partials.extend(reduce_t.remote(reduce_fn, *[s[p] for s in subs])
+                        for p in range(P))
+    return grouped_shuffle(rd.from_arrow_refs(partials), keys, reduce_fn, P)

@@ -337,3 +337,27 @@ def test_min_label_components_exact(ray_session):
     want[[10, 11, 12]] = 10
     want[[20, 21, 22]] = 20
     np.testing.assert_array_equal(got["label"].to_numpy(), want)
+
+
+def test_hierarchical_shuffle_matches_flat(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"k": rng.integers(0, 200, 5000).astype(np.int64),
+                       "v": rng.normal(size=5000)})
+
+    # reapplicable reduce (schema-stable semigroup), per the operator's
+    # documented contract
+    def red(d: pd.DataFrame) -> pd.DataFrame:
+        return (d.groupby("k", sort=False)
+                .agg(v=("v", "sum"), mx=("mx", "max")).reset_index())
+
+    df["mx"] = df["v"]
+
+    ds = rd.from_pandas(df).repartition(24)
+    flat = (exchange.grouped_shuffle(ds, ["k"], red).to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    hier = (exchange.grouped_shuffle_hierarchical(
+                rd.from_pandas(df).repartition(24), ["k"], red, group_size=5)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(_norm(flat, ["k"]), _norm(hier, ["k"]))
