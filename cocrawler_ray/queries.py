@@ -1331,3 +1331,48 @@ def q_pagerank(sf_dir: str):
         lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
                                  "pr": df["r"].round(6).to_numpy()}),
         batch_format="pandas")
+
+
+@_q("q_topk_per_group", """
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) <= 3
+""")
+def q_topk_per_group(sf_dir: str):
+    # grouped top-k (top 3 docs per source by length): one stratum
+    # exchange, vectorized sort + groupby head in the partition reduce —
+    # same shape as stratified_sample with a value order instead of a
+    # hash order.
+    def head3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("source", sort=False, observed=True).head(3)
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "documents", ["source", "doc_id", "n_chars"]),
+        ["source"], head3)
+
+
+@_q("q_distinct_per_group", """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""")
+def q_distinct_per_group(sf_dir: str):
+    # exact per-group count-distinct: per-block (type, user) drop_duplicates
+    # combiner -> one exchange deduping + counting survivors. Only distinct
+    # pairs cross the wire, never raw events.
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    pairs = (read(sf_dir, "events", ["event_type", "user_id"])
+             .map_batches(local_pairs, batch_format="pandas"))
+
+    def count_unique(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["event_type", "user_id"])
+             .groupby("event_type", sort=False, observed=True).size()
+             .rename("n_users").astype(np.int64).reset_index())
+        return g
+
+    # partition by event_type so each group's survivors co-locate; the
+    # bounded type domain makes the final frame tiny
+    return exchange.grouped_shuffle(pairs, ["event_type"], count_unique)
