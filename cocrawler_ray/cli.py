@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="export fetched rows as WARC/1.0 request+response pairs")
     ap.add_argument("--write-logs", action="store_true",
                     help="export crawllog/robotslog after the crawl")
+    ap.add_argument("--audit", action="store_true",
+                    help="distributed post-crawl audit: every fetched 200 "
+                         "row must decode pixel-equal to the reference "
+                         "(PSNR>=40dB vs source) with caption equality")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="CPUs for a standalone local session (ignored when "
                          "attached to a cluster)")
@@ -120,8 +124,13 @@ def main(argv: list[str] | None = None) -> int:
         summary["logs"] = job.write_logs()
     if args.write_warc:
         summary["warc"] = job.write_warcs()
+    if args.audit:
+        from cocrawler_ray.stages.verify import audit_fetched
+        vio = audit_fetched(job.storage.table_files("fetched"), web)
+        summary["audit"] = {"violations": int(len(vio)),
+                            "sample": vio.head(5).to_dict("records")}
     print(json.dumps(summary))
-    return 0
+    return 0 if not (args.audit and len(vio)) else 2
 
 
 if __name__ == "__main__":

@@ -333,3 +333,35 @@ def test_resume_matches_uninterrupted(ray_session, corpus, tmp_path):
     assert np.array_equal(j2.final_seen_surt_hashes(), ref_seen)
     resumed = j2.fetched_table()
     assert engine_ordering(resumed) == engine_ordering(ref_fetched)
+
+
+def test_audit_clean_and_detects_corruption(ray_session, corpus, tmp_path):
+    """Distributed audit (stages/verify.py): a healthy crawl has zero
+    violations; a corrupted fetched cell is flagged with the right rows."""
+    import pyarrow.parquet as pq
+
+    from cocrawler_ray.stages.verify import audit_fetched
+
+    web = corpus[0]
+    job = run_engine(corpus, tmp_path, budget=3, max_depth=3)
+    files = job.storage.table_files("fetched")
+    assert files
+    vio = audit_fetched(files, web, concurrency=2)
+    assert len(vio) == 0
+
+    # corrupt one cell: flip a 200 row's caption and zero another's payload
+    t = pq.read_table(files[0])
+    n200 = int(pa.compute.sum(
+        pa.compute.equal(t.column("status"), 200).cast(pa.int64())).as_py())
+    if n200 == 0:
+        t = pq.read_table(files[-1])
+    df = t.to_pandas()
+    hit = df.index[df["status"] == 200][:2]
+    df.loc[hit[0], "caption"] = "corrupted caption"
+    if len(hit) > 1:
+        df.loc[hit[1], "bytes"] = b"\x00\x01garbage"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), files[0])
+
+    vio2 = audit_fetched(files, web, concurrency=2)
+    assert len(vio2) >= 1
+    assert "caption mismatch" in set(vio2["reason"])
