@@ -1376,3 +1376,75 @@ def q_distinct_per_group(sf_dir: str):
     # partition by event_type so each group's survivors co-locate; the
     # bounded type domain makes the final frame tiny
     return exchange.grouped_shuffle(pairs, ["event_type"], count_unique)
+
+
+@_q("q_quantile_per_group", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50
+FROM events GROUP BY event_type
+""")
+def q_quantile_per_group(sf_dir: str):
+    # exact per-group quantiles (p50/p95 of value per event type): one
+    # stratum exchange; pandas linear interpolation == SQL quantile_cont.
+    def qtile(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False, observed=True)["value"]
+        out = pd.DataFrame({"p95": g.quantile(0.95).round(6),
+                            "p50": g.quantile(0.5).round(6)})
+        return out.reset_index()
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"], qtile)
+
+
+@_q("q_mode_per_group", """
+SELECT source, lang AS top_lang, CAST(n AS BIGINT) AS n FROM (
+  SELECT source, lang, count(*) AS n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY count(*) DESC, lang) AS rn
+  FROM documents GROUP BY source, lang)
+WHERE rn = 1
+""")
+def q_mode_per_group(sf_dir: str):
+    # dominant language per source (argmax with deterministic tie-break):
+    # per-block (source, lang) count combiner -> one exchange -> winner row
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "lang"], sort=False, observed=True)
+                .size().rename("n").reset_index())
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "lang"], sort=False, observed=True)["n"]
+             .sum().reset_index())
+        g = g.sort_values(["source", "n", "lang"],
+                          ascending=[True, False, True], kind="stable")
+        w = g.groupby("source", sort=False, observed=True).head(1)
+        return pd.DataFrame({"source": w["source"].to_numpy(),
+                             "top_lang": w["lang"].to_numpy(),
+                             "n": w["n"].to_numpy().astype(np.int64)})
+
+    counts = (read(sf_dir, "documents", ["source", "lang"])
+              .map_batches(local_counts, batch_format="pandas"))
+    return exchange.grouped_shuffle(counts, ["source"], winner)
+
+
+@_q("q_lag_value", """
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_value
+FROM events QUALIFY prev_value IS NOT NULL
+""")
+def q_lag_value(sf_dir: str):
+    # windowed offset (previous value per user in event-time order): one
+    # entity exchange, vectorized shift inside the partition reduce — the
+    # same partitioning contract as sessionize.
+    def lag1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = df.groupby("user_id", sort=False, observed=True)["value"].shift(1)
+        out = df.assign(prev_value=prev)
+        out = out[out["prev_value"].notna()]
+        return out[["event_id", "user_id", "value", "prev_value"]]
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"], lag1)
