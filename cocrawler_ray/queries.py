@@ -1448,3 +1448,39 @@ def q_lag_value(sf_dir: str):
     return exchange.grouped_shuffle(
         read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
         ["user_id"], lag1)
+
+
+@_q("q_json_extract", """
+SELECT event_type,
+       CAST(count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+            AS BIGINT) AS n_hi,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk
+FROM events GROUP BY event_type
+""")
+def q_json_extract(sf_dir: str):
+    # JSON scalar extraction (SURVEY §2.8) + combiner aggregate: pull the
+    # int field out of the props JSON column (regex fast path, json.loads
+    # fallback — stages/text.py::json_extract_int_batch), then per-type
+    # counts/sums via the combiner.
+    def extract(t: pa.Table) -> pa.Table:
+        t = textops.json_extract_int_batch(t, "props", "k", "k")
+        return t.select(["event_type", "k"])
+
+    ds = (read(sf_dir, "events", ["event_type", "props"])
+          .map_batches(extract, batch_format="pyarrow"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hi=(df["k"] > 50).astype(np.int64))
+        return (df.groupby("event_type", sort=False, observed=True)
+                .agg(n_hi=("hi", "sum"), sk=("k", "sum")).reset_index())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("event_type", sort=False, observed=True)
+                .agg(n_hi=("n_hi", "sum"), sk=("sk", "sum")).reset_index())
+
+    out = exchange.grouped_shuffle(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"], combine).to_pandas()
+    out["n_hi"] = out["n_hi"].astype(np.int64)
+    out["sk"] = out["sk"].astype(np.int64)
+    return out

@@ -118,3 +118,35 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 5,
             np.concatenate(([True], wd[1:] != wd[:-1])))
         out[wd[doc_starts]] = np.bitwise_xor.reduceat(splitmix64(wm), doc_starts)
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
+
+
+_JSON_INT_RES: dict = {}
+
+
+def json_extract_int_batch(batch: pa.Table, col: str, key: str,
+                           out_col: str) -> pa.Table:
+    """Extract an integer field from a JSON-string column. Fast path: one
+    compiled regex over the batch (covers the flat `{"key": 123}` shapes
+    crawl-log props actually take); rows the regex misses fall back to a
+    real ``json.loads`` so nested/escaped documents stay correct."""
+    import json as _json
+    import re
+    rx = _JSON_INT_RES.get(key)
+    if rx is None:
+        rx = _JSON_INT_RES[key] = re.compile(
+            r'"%s"\s*:\s*(-?\d+)(?=\s*[,}])' % re.escape(key))
+    vals = batch.column(col).to_pylist()
+    out = np.empty(len(vals), dtype=np.float64)
+    for i, s in enumerate(vals):  # regex search per row; no JSON parse
+        m = rx.search(s) if s else None
+        if m is not None:
+            out[i] = float(m.group(1))
+        elif s:
+            v = _json.loads(s).get(key)
+            out[i] = float(v) if isinstance(v, int) else np.nan
+        else:
+            out[i] = np.nan
+    mask = np.isnan(out)
+    arr = pa.array(out.astype(np.int64), pa.int64(),
+                   mask=mask if mask.any() else None)
+    return batch.append_column(out_col, arr)
