@@ -137,8 +137,12 @@ def json_extract_int_batch(batch: pa.Table, col: str, key: str,
             r'"%s"\s*:\s*(-?\d+)(?=\s*[,}])' % re.escape(key))
     vals = batch.column(col).to_pylist()
     out = np.empty(len(vals), dtype=np.float64)
-    for i, s in enumerate(vals):  # regex search per row; no JSON parse
-        m = rx.search(s) if s else None
+    for i, s in enumerate(vals):
+        # the regex is only trusted on FLAT, escape-free documents — a
+        # nested object could carry the key below the top level, where
+        # $.key semantics say null
+        m = (rx.search(s) if s and s.count("{") == 1 and "\\" not in s
+             else None)
         if m is not None:
             out[i] = float(m.group(1))
         elif s:

@@ -236,3 +236,20 @@ def test_content_gate_charsets_and_truncation():
     assert res["text"][0] == "caf\xe9 bod"         # latin-1 decode + 8-byte cap
     assert bool(res["truncated"][0]) and bool(res["truncated"][4])
     assert not res["truncated"][3]
+
+
+def test_json_extract_int_batch_paths():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.text import json_extract_int_batch
+
+    rows = ['{"k": 42}',                  # regex fast path
+            '{"a": 1, "k": -7}',          # fast path, mid-object, negative
+            '{"nested": {"k": 5}, "x": 1}',   # nested: $.k is null
+            '{"kk": 9}',                  # fallback: key absent -> null
+            '{"k": "notint"}',            # fallback: non-int -> null
+            '']                           # empty -> null
+    t = pa.table({"props": pa.array(rows, pa.string())})
+    out = json_extract_int_batch(t, "props", "k", "k")
+    got = out.column("k").to_pylist()
+    assert got == [42, -7, None, None, None, None]
