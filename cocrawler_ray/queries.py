@@ -1484,3 +1484,44 @@ def q_json_extract(sf_dir: str):
     out["n_hi"] = out["n_hi"].astype(np.int64)
     out["sk"] = out["sk"].astype(np.int64)
     return out
+
+
+@_q("q_date_rollup", """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n, ROUND(sum(o_totalprice), 2) AS rev
+FROM orders GROUP BY y, m
+""")
+def q_date_rollup(sf_dir: str):
+    # date-part scalar functions (SURVEY §2.8) + combiner rollup: year and
+    # month come from vectorized datetime64 arithmetic, no Python datetimes
+    def parts(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.timestamp("us")).to_numpy()
+        months = d.astype("datetime64[M]").view("int64")  # months since epoch
+        return pa.table({"y": pa.array(1970 + months // 12, pa.int64()),
+                         "m": pa.array(months % 12 + 1, pa.int64()),
+                         "o_totalprice": t.column("o_totalprice")})
+
+    out = partial_groupby_agg(
+        read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(parts, batch_format="pyarrow"),
+        ["y", "m"], {"n": (None, "count"), "rev": ("o_totalprice", "sum")})
+    out["rev"] = out["rev"].round(2)
+    return out
+
+
+@_q("q_vector_norms", """
+SELECT vec_id, ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS l2
+FROM embeddings
+""")
+def q_vector_norms(sf_dir: str):
+    # array scalar function (SURVEY §2.8): per-row L2 norm of the embedding
+    # list column — one numpy matvec per batch, no per-row loop
+    def norms(t: pa.Table) -> pa.Table:
+        E = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "l2": pa.array(np.sqrt((E * E).sum(axis=1)).round(6))})
+
+    return read(sf_dir, "embeddings").map_batches(norms, batch_format="pyarrow")
