@@ -1525,3 +1525,59 @@ def q_vector_norms(sf_dir: str):
                          "l2": pa.array(np.sqrt((E * E).sum(axis=1)).round(6))})
 
     return read(sf_dir, "embeddings").map_batches(norms, batch_format="pyarrow")
+
+
+@_q("q_pivot_events", """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+""")
+def q_pivot_events(sf_dir: str):
+    # pivot (long -> wide): the bounded event_type domain becomes one-hot
+    # int columns inside each block, then the per-user sums ride the
+    # distributed combiner — the pivot itself never shuffles rows.
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def onehot(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": df["user_id"].to_numpy()}
+        et = df["event_type"].to_numpy()
+        for t in types:
+            cols[f"n_{t}"] = (et == t).astype(np.int64)
+        return pd.DataFrame(cols)
+
+    out = partial_groupby_agg(
+        read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(onehot, batch_format="pandas"),
+        ["user_id"], {f"n_{t}": (f"n_{t}", "sum") for t in types},
+        distributed=True)
+    for t in types:
+        out[f"n_{t}"] = out[f"n_{t}"].astype(np.int64)
+    return out
+
+
+@_q("q_moving_avg", """
+SELECT event_id, user_id,
+       ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+           AS ma3
+FROM events
+""")
+def q_moving_avg(sf_dir: str):
+    # rolling window (3-event moving average per user in event-time
+    # order): one entity exchange, cython-rolling inside the partition
+    # reduce — the sessionize/lag partitioning contract.
+    def ma(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        r = (df.groupby("user_id", sort=False, observed=True)["value"]
+             .rolling(3, min_periods=1).mean().reset_index(drop=True))
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "ma3": r.to_numpy().round(6)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"], ma)
