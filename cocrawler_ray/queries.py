@@ -1581,3 +1581,24 @@ def q_moving_avg(sf_dir: str):
     return exchange.grouped_shuffle(
         read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
         ["user_id"], ma)
+
+
+@_q("q_except_users", """
+SELECT c_custkey FROM customer
+EXCEPT SELECT user_id FROM events
+""")
+def q_except_users(sf_dir: str):
+    # set difference with DISTINCT semantics (SURVEY §2.7): customers who
+    # never produced an event. Per-block distinct combiner -> one exchange
+    # dedupe on the big side, broadcast anti-join against the distinct
+    # event-user set — D3's seen-difference pattern on query tables.
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["c_custkey"])
+
+    cust = exchange.grouped_shuffle(
+        read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(local_distinct, batch_format="pandas"),
+        ["c_custkey"], local_distinct)
+    users = (read(sf_dir, "events", ["user_id"])
+             .unique("user_id"))
+    return joins.broadcast_anti(cust, np.asarray(users), "c_custkey")
