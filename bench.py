@@ -96,6 +96,9 @@ BENCH_QUERIES_R2 = [
     "q_top_orders",        # TPC-H Q3-shaped multi-way join
     "q_pagerank",          # iterative BSP graph (3 supersteps)
     "q_image_clusters",    # phash pairs + min-label components
+    "q_window_agg",        # tumbling event-time windows
+    "q_heavy_hitters",     # exact Misra-Gries two-pass
+    "q_curate_corpus",     # dedup -> token gate -> per-source cap
 ]
 
 

@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="export fetched rows as WARC/1.0 request+response pairs")
     ap.add_argument("--write-logs", action="store_true",
                     help="export crawllog/robotslog after the crawl")
+    ap.add_argument("--export-shards", metavar="DIR",
+                    help="post-crawl training export: curated (status-200, "
+                         "captioned, digest-deduped) rows written as "
+                         "hash-bucketed shard parquets under DIR; resumable "
+                         "(existing shard files are skipped)")
     ap.add_argument("--audit", action="store_true",
                     help="distributed post-crawl audit: every fetched 200 "
                          "row must decode pixel-equal to the reference "
@@ -124,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
         summary["logs"] = job.write_logs()
     if args.write_warc:
         summary["warc"] = job.write_warcs()
+    if args.export_shards:
+        from cocrawler_ray.pipelines.export import export_training_shards
+        manifest = export_training_shards(
+            job.storage.table_files("fetched"), args.export_shards)
+        summary["export"] = {"shards": int(len(manifest)),
+                             "rows": int(manifest["rows"].sum()),
+                             "skipped": int(manifest["skipped"].sum()),
+                             "dir": args.export_shards}
     if args.audit:
         from cocrawler_ray.stages.verify import audit_fetched
         vio = audit_fetched(job.storage.table_files("fetched"), web)

@@ -52,6 +52,19 @@ def test_cli_crawl_and_resume(cli_inputs, capsys):
     assert s2["fetched"] == s1["fetched"]  # nothing new: frontier was drained
 
 
+def test_cli_export_shards(cli_inputs, tmp_path, capsys):
+    d = cli_inputs
+    shards = tmp_path / "shards"
+    s = _run(["--seeds", str(d / "seeds.txt"), "--web-dir", str(d / "corpus"),
+              "--robots", str(d / "robots.parquet"),
+              "--out", str(tmp_path / "out"), "--config", "num_parts:4",
+              "--export-shards", str(shards)], capsys)
+    exp = s["export"]
+    assert exp["shards"] > 0 and exp["rows"] > 0 and exp["skipped"] == 0
+    total = sum(pq.read_table(p).num_rows for p in shards.glob("*.parquet"))
+    assert total == exp["rows"] <= s["fetched"]
+
+
 def test_cli_gen_corpus(tmp_path, ray_session, capsys):
     rc = cli.main(["--gen-corpus", "4", "40", str(tmp_path / "c")])
     assert rc == 0
