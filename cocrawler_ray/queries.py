@@ -1602,3 +1602,207 @@ def q_except_users(sf_dir: str):
     users = (read(sf_dir, "events", ["user_id"])
              .unique("user_id"))
     return joins.broadcast_anti(cust, np.asarray(users), "c_custkey")
+
+
+@_q("q_corr_stats", """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS r,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS cov,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_corr_stats(sf_dir: str):
+    # bivariate statistical aggregates (corr / covariance) via combiner
+    # decomposition: the per-block partials are plain sums of x, y, xy, xx,
+    # yy — one streaming pass, no shuffle (returnflag domain is O(1)) —
+    # and the driver finishes with the closed-form Pearson formula (the
+    # sample/population distinction cancels in r).
+    def prods(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy()
+        y = df["l_extendedprice"].to_numpy()
+        return pd.DataFrame({"l_returnflag": df["l_returnflag"].to_numpy(),
+                             "x": x, "y": y, "xy": x * y,
+                             "xx": x * x, "yy": y * y})
+
+    out = partial_groupby_agg(
+        read(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(prods, batch_format="pandas"),
+        ["l_returnflag"],
+        {"sx": ("x", "sum"), "sy": ("y", "sum"), "sxy": ("xy", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"),
+         "n": (None, "count")})
+    n = out["n"].to_numpy().astype(np.float64)
+    cx = out["sxy"] - out["sx"] * out["sy"] / n          # n * cov_pop
+    vx = out["sxx"] - out["sx"] ** 2 / n
+    vy = out["syy"] - out["sy"] ** 2 / n
+    return pd.DataFrame({"l_returnflag": out["l_returnflag"],
+                         "r": (cx / np.sqrt(vx * vy)).round(6),
+                         "cov": (cx / n).round(4),
+                         "n": out["n"].astype(np.int64)})
+
+
+@_q("q_histogram", """
+SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+""")
+def q_histogram(sf_dir: str):
+    # fixed-width histogram (bucketized numeric distribution): the bucket
+    # id is a vectorized Arrow kernel, the counts ride the combiner — the
+    # canonical shape for payload-size / latency histograms over fetched
+    # cells at 100 TB (bucket domain is bounded, so the driver combine is
+    # O(buckets)).
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["o_totalprice"], 25000.0)),
+                    pa.int64())
+        return pa.table({"bucket": b, "o_totalprice": t["o_totalprice"]})
+
+    out = partial_groupby_agg(
+        read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], {"n": (None, "count"), "total": ("o_totalprice", "sum")})
+    out["total"] = out["total"].round(2)
+    return out
+
+
+@_q("q_cumsum", """
+SELECT event_id, user_id,
+       ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running
+FROM events
+""")
+def q_cumsum(sf_dir: str):
+    # cumulative (running-total) window: one entity exchange co-locates
+    # each user's events, the partition reduce sorts once and cumsums
+    # vectorized — same partitioning contract as sessionize/lag/moving-avg.
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        r = (df.groupby("user_id", sort=False, observed=True)["value"]
+             .cumsum())
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "running": r.to_numpy().round(6)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"], running)
+
+
+@_q("q_rollup_revenue", """
+SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""")
+def q_rollup_revenue(sf_dir: str):
+    # hierarchical ROLLUP aggregate (region > nation > grand total): the
+    # dimension chain supplier->nation->region is composed driver-side
+    # (small by contract) and broadcast into the fact scan; the fact table
+    # reduces through the combiner at the FINEST level only, and the
+    # coarser rollup levels are derived from the (O(nations)) result — the
+    # rollup itself never rescans or reshuffles the fact table.
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read(sf_dir, "nation",
+               ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+           .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+           [["s_suppkey", "n_name", "r_name"]])
+
+    def disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev_raw": rev})
+
+    fact = (read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+            .map_batches(disc, batch_format="pyarrow"))
+    joined = joins.broadcast_join(fact, dim, "l_suppkey", "s_suppkey")
+    fine = partial_groupby_agg(joined, ["r_name", "n_name"],
+                               {"rev_raw": ("rev_raw", "sum"),
+                                "n": (None, "count")})
+    region = (fine.groupby("r_name", as_index=False)
+              .agg(rev_raw=("rev_raw", "sum"), n=("n", "sum")))
+    region["n_name"] = "ALL"
+    total = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                          "rev_raw": [fine["rev_raw"].sum()],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, region, total], ignore_index=True)
+    return pd.DataFrame({"r_name": out["r_name"], "n_name": out["n_name"],
+                         "rev": out["rev_raw"].round(2),
+                         "n": out["n"].astype(np.int64)})
+
+
+@_q("q_intersect_users", """
+SELECT c_custkey FROM customer
+INTERSECT SELECT user_id FROM events
+""")
+def q_intersect_users(sf_dir: str):
+    # set intersection with DISTINCT semantics (dual of q_except_users):
+    # distinct combiner + exchange dedupe on the big side, broadcast SEMI
+    # join against the distinct event-user set.
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["c_custkey"])
+
+    cust = exchange.grouped_shuffle(
+        read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(local_distinct, batch_format="pandas"),
+        ["c_custkey"], local_distinct)
+    users = (read(sf_dir, "events", ["user_id"])
+             .unique("user_id"))
+    return joins.broadcast_semi(cust, np.asarray(users), "c_custkey")
+
+
+@_q("q_zscore", """
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_extendedprice
+              - avg(l_extendedprice) OVER (PARTITION BY l_returnflag))
+             / stddev_pop(l_extendedprice) OVER (PARTITION BY l_returnflag),
+             6) AS z
+FROM lineitem
+""")
+def q_zscore(sf_dir: str):
+    # per-group normalization (z-score): pass 1 reduces each group to
+    # (n, sum, sumsq) via the combiner; the O(groups) moment table is
+    # broadcast into pass 2, which standardizes every row vectorized —
+    # two streaming scans, zero shuffles, the standard feature-scaling
+    # shape for training-data pipelines.
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy()
+        return pd.DataFrame({"l_returnflag": df["l_returnflag"].to_numpy(),
+                             "x": x, "xx": x * x})
+
+    m = partial_groupby_agg(
+        read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(sq, batch_format="pandas"),
+        ["l_returnflag"],
+        {"sx": ("x", "sum"), "sxx": ("xx", "sum"), "n": (None, "count")})
+    n = m["n"].to_numpy().astype(np.float64)
+    mean = m["sx"].to_numpy() / n
+    std = np.sqrt(m["sxx"].to_numpy() / n - mean * mean)
+    mom = {f: (mu, sd) for f, mu, sd in zip(m["l_returnflag"], mean, std)}
+    mom_ref = ray.put(mom)
+
+    def standardize(df: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mom_ref)
+        flags = df["l_returnflag"].to_numpy()
+        # vectorized per-flag lookup: map flag -> index into moment arrays
+        uf = pd.unique(flags)
+        idx = pd.Series(np.arange(len(uf)), index=uf)[flags].to_numpy()
+        mus = np.array([mm[f][0] for f in uf])[idx]
+        sds = np.array([mm[f][1] for f in uf])[idx]
+        z = (df["l_extendedprice"].to_numpy() - mus) / sds
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                             "l_linenumber": df["l_linenumber"].to_numpy(),
+                             "z": z.round(6)})
+
+    return (read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"])
+            .map_batches(standardize, batch_format="pandas"))
