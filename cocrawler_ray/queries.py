@@ -1806,3 +1806,142 @@ def q_zscore(sf_dir: str):
                  ["l_orderkey", "l_linenumber", "l_returnflag",
                   "l_extendedprice"])
             .map_batches(standardize, batch_format="pandas"))
+
+
+def _doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, term, tf) rows — each doc is one input row, so per-doc
+    term frequency needs no shuffle at all (the per-doc np.unique loop is
+    the langid-style measured choice: rows are whole documents)."""
+    ids, terms, tfs = [], [], []
+    for d, txt in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+        toks = txt.split()
+        if not toks:
+            continue
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        ids.append(np.full(len(u), d, dtype=np.int64))
+        terms.append(u)
+        tfs.append(c)
+    if not ids:
+        return pd.DataFrame({"doc_id": np.array([], np.int64),
+                             "term": np.array([], object),
+                             "tf": np.array([], np.int64)})
+    return pd.DataFrame({"doc_id": np.concatenate(ids),
+                         "term": np.concatenate(terms),
+                         "tf": np.concatenate(tfs).astype(np.int64)})
+
+
+@_q("q_word_count", """
+SELECT w AS term, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> '')
+GROUP BY w
+""")
+def q_word_count(sf_dir: str):
+    # the canonical distributed word count: per-doc term counts are
+    # computed inside the scan (no shuffle — docs are rows), and the
+    # global counts ride the combiner (driver combine is O(vocabulary)).
+    return partial_groupby_agg(
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_doc_terms, batch_format="pandas"),
+        ["term"], {"n": ("tf", "sum")})
+
+
+@_q("q_inverted_index", """
+SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs,
+       CAST(count(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, term FROM
+      (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       FROM documents WHERE trim(text) <> ''))
+GROUP BY term
+""")
+def q_inverted_index(sf_dir: str):
+    # inverted index (term -> sorted posting list): the (doc_id, term)
+    # pairs hash-exchange by term so each posting list is assembled whole
+    # inside its owning partition — at 10^10 docs the postings never
+    # gather on the driver; they stream out partitioned by term.
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"], kind="stable")
+        g = df.groupby("term", sort=False, observed=True)["doc_id"]
+        docs = g.agg(lambda s: ",".join(map(str, s)))
+        return pd.DataFrame({"term": docs.index.to_numpy(),
+                             "docs": docs.to_numpy(),
+                             "df": g.size().to_numpy().astype(np.int64)})
+
+    pairs = (read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(_doc_terms, batch_format="pandas")
+             .map_batches(lambda df: df[["doc_id", "term"]],
+                          batch_format="pandas"))
+    return exchange.grouped_shuffle(pairs, ["term"], build)
+
+
+@_q("q_tfidf", """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       ROUND(tf.tf * ln(CAST(nd.n AS DOUBLE) / dft.df), 6) AS tfidf
+FROM tf, dft, nd WHERE tf.term = dft.term
+""")
+def q_tfidf(sf_dir: str):
+    # TF-IDF: pass 1 reduces the (doc, term, tf) scan to an O(vocabulary)
+    # document-frequency table via the combiner; the idf map is broadcast
+    # (ray.put once) into pass 2 which scores every (doc, term) row
+    # vectorized — two streaming scans, zero shuffles, the standard
+    # feature-weighting shape for corpus curation.
+    tfds = (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_doc_terms, batch_format="pandas"))
+    dft = partial_groupby_agg(tfds, ["term"], {"df": (None, "count")})
+    n_docs = read(sf_dir, "documents", ["doc_id"]).count()
+    idf = np.log(float(n_docs) / dft["df"].to_numpy().astype(np.float64))
+    idf_ref = ray.put(dict(zip(dft["term"], idf)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(idf_ref)
+        w = df["term"].map(m).to_numpy()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "term": df["term"].to_numpy(),
+                             "tf": df["tf"].to_numpy(),
+                             "tfidf": (df["tf"].to_numpy() * w).round(6)})
+
+    return tfds.map_batches(score, batch_format="pandas")
+
+
+@_q("q_bigrams", """
+WITH l AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+           FROM documents WHERE trim(text) <> ''),
+b AS (SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM l)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+""")
+def q_bigrams(sf_dir: str):
+    # top-k bigrams: adjacent-token pairs form via one vectorized
+    # np.char.add per doc, per-batch np.unique pre-counts, combiner sum —
+    # the final deterministic (n DESC, bigram) top-20 runs on the
+    # O(vocabulary^2)-bounded combined table.
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        chunks = []
+        for txt in df["text"].to_numpy():
+            toks = txt.split()
+            if len(toks) > 1:
+                a = np.asarray(toks[:-1])
+                chunks.append(np.char.add(np.char.add(a, " "),
+                                          np.asarray(toks[1:])))
+        if not chunks:
+            return pd.DataFrame({"bigram": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        u, c = np.unique(np.concatenate(chunks), return_counts=True)
+        return pd.DataFrame({"bigram": u.astype(object),
+                             "n": c.astype(np.int64)})
+
+    out = partial_groupby_agg(
+        read(sf_dir, "documents", ["text"])
+        .map_batches(grams, batch_format="pandas"),
+        ["bigram"], {"n": ("n", "sum")})
+    return (out.sort_values(["n", "bigram"], ascending=[False, True],
+                            kind="stable")
+            .head(20).reset_index(drop=True))
