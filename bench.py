@@ -99,6 +99,8 @@ BENCH_QUERIES_R2 = [
     "q_window_agg",        # tumbling event-time windows
     "q_heavy_hitters",     # exact Misra-Gries two-pass
     "q_curate_corpus",     # dedup -> token gate -> per-source cap
+    "q_tfidf",             # TF-IDF (combiner df -> broadcast idf -> score)
+    "q_zscore",            # per-group normalization (moments -> standardize)
 ]
 
 

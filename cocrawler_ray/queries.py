@@ -1945,3 +1945,86 @@ def q_bigrams(sf_dir: str):
     return (out.sort_values(["n", "bigram"], ascending=[False, True],
                             kind="stable")
             .head(20).reset_index(drop=True))
+
+
+@_q("q_left_join", """
+SELECT o_orderkey, o_custkey, c.c_name
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+ON o.o_custkey = c.c_custkey
+""")
+def q_left_join(sf_dir: str):
+    # LEFT OUTER broadcast join: unmatched fact rows survive with nulls —
+    # the enrich-with-optional-dimension shape (e.g. fetched rows LEFT
+    # JOIN a partial metadata table). The filtered dimension guarantees
+    # genuinely unmatched rows so the null path is exercised.
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_acctbal"]).to_pandas()
+    dim = cust.loc[cust["c_acctbal"] > 5000.0, ["c_custkey", "c_name"]]
+    return joins.broadcast_join(
+        read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        dim, "o_custkey", "c_custkey", join_type="left outer")
+
+
+@_q("q_revenue_share", """
+WITH r AS (
+  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS raw
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, ROUND(raw, 2) AS rev,
+       ROUND(ROUND(raw, 2) / sum(ROUND(raw, 2)) OVER (), 6) AS share
+FROM r
+""")
+def q_revenue_share(sf_dir: str):
+    # ratio-to-total (percent-of-total window): the fact table reduces
+    # through the combiner at nation grain; the share divides within the
+    # O(nations) driver table — the global total never needs a second scan.
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]]
+
+    def disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "raw": rev})
+
+    fine = partial_groupby_agg(
+        joins.broadcast_join(
+            read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+            .map_batches(disc, batch_format="pyarrow"),
+            dim, "l_suppkey", "s_suppkey"),
+        ["n_name"], {"raw": ("raw", "sum")})
+    rev = fine["raw"].round(2)
+    return pd.DataFrame({"n_name": fine["n_name"], "rev": rev,
+                         "share": (rev / rev.sum()).round(6)})
+
+
+@_q("q_dense_rank", """
+SELECT o_orderkey, o_orderpriority,
+       CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                               ORDER BY floor(o_totalprice / 10000) DESC)
+            AS BIGINT) AS rnk
+FROM orders
+""")
+def q_dense_rank(sf_dir: str):
+    # dense_rank window (tie-aware ranking): one entity exchange co-locates
+    # each priority class, the partition reduce ranks vectorized — the
+    # bucketed order key guarantees real ties so dense (not row-number)
+    # semantics are exercised.
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["o_totalprice"].to_numpy() / 10000.0)
+        r = (pd.Series(b).groupby(df["o_orderpriority"].to_numpy())
+             .rank(method="dense", ascending=False))
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "rnk": r.to_numpy().astype(np.int64)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "orders",
+             ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        ["o_orderpriority"], rank)

@@ -25,21 +25,25 @@ import ray.data as rd
 
 
 def broadcast_join(ds: rd.Dataset, small, left_key: str,
-                   right_key: str) -> rd.Dataset:
-    """Inner join against a broadcast small side (J2 pattern).
+                   right_key: str,
+                   join_type: str = "inner") -> rd.Dataset:
+    """Join against a broadcast small side (J2 pattern).
 
     Arrow-native end to end: the small side ships once as a single-chunk
     Arrow table (``ray.put``), every batch joins zero-copy via
     ``pa.Table.join`` (Acero hash join in C++) — no per-batch
     Arrow->pandas->Arrow round-trip. The right key column is dropped from
-    the output (it equals the left key on every surviving row)."""
+    the output (it equals the left key on every surviving row).
+    ``join_type`` is Acero's: "inner" (default) or "left outer" — a
+    broadcast LEFT join is safe because each left row matches at most the
+    broadcast side; unmatched rows carry nulls."""
     tbl = (pa.Table.from_pandas(small, preserve_index=False)
            if isinstance(small, pd.DataFrame) else small)
     ref = ray.put(tbl.combine_chunks())
 
     def join_batch(batch: pa.Table) -> pa.Table:
         return batch.join(ray.get(ref), keys=[left_key],
-                          right_keys=[right_key], join_type="inner")
+                          right_keys=[right_key], join_type=join_type)
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
 

@@ -1,0 +1,70 @@
+"""Every queries() entry vs its DuckDB oracle at sf0.001 — the same
+row-count + column-set + order-insensitive value comparison the driver
+runs at sf0.01, folded into `pytest -x -q` so the conformance gate is
+self-contained (north rule: "validated ... checked by python -m pytest").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: v.hex()
+                              if isinstance(v, (bytes, bytearray)) else str(v))
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _query_names():
+    from cocrawler_ray.queries import ORACLE, QUERIES
+    assert set(ORACLE) == set(QUERIES), "every query must carry an oracle"
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(name, ray_session, duck):
+    from cocrawler_ray.queries import ORACLE, QUERIES
+    got = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
+    want = _normalize(duck.execute(ORACLE[name]).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            assert np.allclose(got[c], want[c], rtol=0, atol=0,
+                               equal_nan=True), f"column {c} differs"
+        else:
+            assert got[c].equals(want[c]), f"column {c} differs"
