@@ -85,6 +85,82 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+class CountMinSketch:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005): d rows
+    of w counters; estimates are EXACT-or-OVERESTIMATE, with
+    err <= e/w * total_count at probability 1 - (1/e)^d. Merge is
+    elementwise ADD (counts are linear), so per-block sketches combine
+    like any other combiner partial. One-pass approximate companion to
+    ``stages.agg.heavy_hitters`` (exact two-pass Misra-Gries): the sketch
+    answers point frequency queries without the second scan.
+
+    Row hashes derive from one ``hashing.hash64`` via the
+    Kirsch-Mitzenmacher double-hashing trick (h1 + i*h2), vectorized
+    across the whole batch."""
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        self.w, self.d = int(w), int(d)
+        self.table = np.zeros((self.d, self.w), dtype=np.int64)
+
+    def _indices(self, values) -> np.ndarray:
+        vals = np.asarray(values)
+        if vals.dtype.kind != "U" and vals.dtype != object:
+            vals = vals.astype(str)
+        h = hash64(list(vals))
+        h1 = h >> np.uint64(32)
+        h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)  # odd, never 0
+        i = np.arange(self.d, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % np.uint64(self.w)).astype(np.int64)
+
+    def add(self, values, counts=None) -> None:
+        idx = self._indices(values)
+        c = (np.ones(idx.shape[1], np.int64) if counts is None
+             else np.asarray(counts, np.int64))
+        for r in range(self.d):
+            np.add.at(self.table[r], idx[r], c)
+
+    def query(self, values) -> np.ndarray:
+        """Min over rows — vectorized point estimates (>= true count)."""
+        idx = self._indices(values)
+        return np.min(self.table[np.arange(self.d)[:, None], idx], axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.w, self.d) != (other.w, other.d):
+            raise ValueError("merging sketches of different shape")
+        out = CountMinSketch(self.w, self.d)
+        out.table = self.table + other.table
+        return out
+
+
+def approx_topk(ds: rd.Dataset, col: str, k: int,
+                w: int = 2048, d: int = 4) -> pd.DataFrame:
+    """One-pass approximate top-k: each block emits a CMS + its local
+    candidate keys; the driver merges the KB-sized sketches and ranks the
+    (bounded) candidate union by sketched count. Any key in the true
+    top-k is some block's local candidate, so recall is structural —
+    counts may overestimate per the CMS bound."""
+    def sketch_block(df: pd.DataFrame) -> pd.DataFrame:
+        cms = CountMinSketch(w, d)
+        u, c = np.unique(df[col].astype(str).to_numpy(), return_counts=True)
+        cms.add(u, c)
+        local = u[np.argsort(-c, kind="stable")][:k]
+        return pd.DataFrame({"table": [cms.table.tobytes()],
+                             "cand": [",".join(local)]})
+
+    merged, cands = CountMinSketch(w, d), set()
+    for row in (ds.map_batches(sketch_block, batch_format="pandas")
+                .iter_rows()):
+        part = CountMinSketch(w, d)
+        part.table = np.frombuffer(row["table"], np.int64).reshape(d, w)
+        merged = merged.merge(part)
+        cands.update(row["cand"].split(","))
+    cand = np.asarray(sorted(cands))
+    est = merged.query(cand)
+    order = np.lexsort((cand, -est))[:k]
+    return pd.DataFrame({col: cand[order], "est": est[order]})
+
+
 def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     """Approximate count-distinct of ``ds[col]``: per-block sketches built
     inside ``map_batches`` (one streaming pass), merged on the driver —

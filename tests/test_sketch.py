@@ -58,6 +58,41 @@ def test_idempotent_and_order_insensitive():
     assert (a == b).all()
 
 
+def test_cms_never_underestimates():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 500, size=20_000).astype(str)
+    cms = sketch.CountMinSketch(w=2048, d=4)
+    cms.add(keys)
+    u, true = np.unique(keys, return_counts=True)
+    est = cms.query(u)
+    assert (est >= true).all()                      # structural guarantee
+    assert (est - true).mean() < 0.01 * len(keys)   # e/w bound with slack
+
+
+def test_cms_merge_is_additive():
+    a, b = sketch.CountMinSketch(64, 3), sketch.CountMinSketch(64, 3)
+    a.add(["x", "y", "x"])
+    b.add(["x", "z"])
+    m = a.merge(b)
+    assert m.query(np.array(["x"]))[0] >= 3
+    one = sketch.CountMinSketch(64, 3)
+    one.add(["x", "y", "x", "x", "z"])
+    assert (m.table == one.table).all()             # counts are linear
+
+
+def test_approx_topk_stage(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    # zipf-ish: key i appears (200 - i) times
+    keys = np.repeat([f"k{i:03d}" for i in range(200)],
+                     np.arange(200, 0, -1))
+    ds = rd.from_pandas(pd.DataFrame({"h": keys})).repartition(6)
+    top = sketch.approx_topk(ds, "h", k=5, w=4096, d=4)
+    assert list(top["h"]) == [f"k{i:03d}" for i in range(5)]
+    assert (top["est"].to_numpy() >= np.arange(200, 195, -1)).all()
+
+
 def test_approx_distinct_stage(ray_session):
     import pandas as pd
     import ray.data as rd
