@@ -1589,19 +1589,28 @@ EXCEPT SELECT user_id FROM events
 """)
 def q_except_users(sf_dir: str):
     # set difference with DISTINCT semantics (SURVEY §2.7): customers who
-    # never produced an event. Per-block distinct combiner -> one exchange
-    # dedupe on the big side, broadcast anti-join against the distinct
-    # event-user set — D3's seen-difference pattern on query tables.
-    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["c_custkey"])
+    # never produced an event — D3's seen-difference pattern. Fully
+    # distributed: per-block local distinct shrinks both sides, ONE hash
+    # exchange anti-joins them (semi/anti ignore right-side duplicates),
+    # and the final distinct runs per exchange partition — globally
+    # correct because equal keys co-locate. Neither side's distinct set
+    # ever materializes on the driver (both scale with the data).
+    return _distinct_set_op(sf_dir, "left anti")
 
-    cust = exchange.grouped_shuffle(
-        read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(local_distinct, batch_format="pandas"),
-        ["c_custkey"], local_distinct)
-    users = (read(sf_dir, "events", ["user_id"])
-             .unique("user_id"))
-    return joins.broadcast_anti(cust, np.asarray(users), "c_custkey")
+
+def _distinct_set_op(sf_dir: str, how: str) -> rd.Dataset:
+    cust = (read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(lambda df: df.drop_duplicates(["c_custkey"]),
+                         batch_format="pandas"))
+    ev = (read(sf_dir, "events", ["user_id"])
+          .map_batches(lambda df: df.drop_duplicates(["user_id"]),
+                       batch_format="pandas"))
+    out = exchange.hash_join(cust, ev, on=["c_custkey"],
+                             right_on=["user_id"], how=how)
+    # batch_size=None = whole exchange partition per call, so this
+    # per-batch distinct is the global distinct
+    return out.map_batches(lambda df: df.drop_duplicates(["c_custkey"]),
+                           batch_format="pandas", batch_size=None)
 
 
 @_q("q_corr_stats", """
@@ -1745,18 +1754,8 @@ INTERSECT SELECT user_id FROM events
 """)
 def q_intersect_users(sf_dir: str):
     # set intersection with DISTINCT semantics (dual of q_except_users):
-    # distinct combiner + exchange dedupe on the big side, broadcast SEMI
-    # join against the distinct event-user set.
-    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["c_custkey"])
-
-    cust = exchange.grouped_shuffle(
-        read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(local_distinct, batch_format="pandas"),
-        ["c_custkey"], local_distinct)
-    users = (read(sf_dir, "events", ["user_id"])
-             .unique("user_id"))
-    return joins.broadcast_semi(cust, np.asarray(users), "c_custkey")
+    # same single-exchange shape with Acero's "left semi".
+    return _distinct_set_op(sf_dir, "left semi")
 
 
 @_q("q_zscore", """
