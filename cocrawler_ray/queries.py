@@ -1251,8 +1251,13 @@ def q_range_join(sf_dir: str):
     sup = (read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
            .map_batches(add_hi, batch_format="pyarrow"))
     ev = read(sf_dir, "events", ["event_id", "value"])
+    # num_partitions=8: at this input size the exchange fan-out
+    # (n_blocks x P sub-objects) dominates the trivial per-partition
+    # compute — measured best-of at sf0.1/32cpu: P=8 1.5s vs P=32 3.8s
+    # (same shape as q_fetch_join's np=8). At real scale P should track
+    # cluster CPUs; bucket_width and P are the operator's two tunables.
     out = exchange.range_join(ev, sup, "value", "s_acctbal", "__hi",
-                              bucket_width=200.0)
+                              bucket_width=200.0, num_partitions=8)
     if out.count() == 0:  # Ray Data drops empty blocks (schema and all) in
         # map_batches/to_pandas, so hand back a schema-bearing empty table;
         # count() over the exchange's already-computed refs is metadata-only
