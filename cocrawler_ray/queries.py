@@ -1214,8 +1214,9 @@ def q_top_orders(sf_dir: str):
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
           .map_batches(li_partial, batch_format="pandas"))
     bo = exchange.hash_join(orders, cust, on=["o_custkey"],
-                            right_on=["c_custkey"])
-    j = exchange.hash_join(li, bo, on=["l_orderkey"], right_on=["o_orderkey"])
+                            right_on=["c_custkey"], num_partitions=8)
+    j = exchange.hash_join(li, bo, on=["l_orderkey"], right_on=["o_orderkey"],
+                           num_partitions=8)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["l_orderkey", "o_orderdate"], sort=False)["rev"]
@@ -1225,7 +1226,13 @@ def q_top_orders(sf_dir: str):
                           ascending=[False, True], kind="stable").head(10)
         return g[["l_orderkey", "o_orderdate", "revenue"]]
 
-    out = exchange.grouped_shuffle(j, ["l_orderkey"], topk).to_pandas()
+    # the second join already co-located rows by hash(l_orderkey) — one
+    # output block per partition — so the per-group top-k runs directly
+    # per join partition (batch_size=None = whole block); no third
+    # exchange. num_partitions=8 per the measured fan-out-vs-compute
+    # balance at this scale (see q_range_join / q_fetch_join).
+    out = (j.map_batches(topk, batch_format="pandas", batch_size=None)
+           .to_pandas())
     out = (out.sort_values(["revenue", "l_orderkey"],
                            ascending=[False, True], kind="stable").head(10)
            .reset_index(drop=True))
