@@ -2039,3 +2039,166 @@ def q_dense_rank(sf_dir: str):
         read(sf_dir, "orders",
              ["o_orderkey", "o_orderpriority", "o_totalprice"]),
         ["o_orderpriority"], rank)
+
+# ===========================================================================
+# Training-data curation addendum II: decontamination, repetition gates,
+# normalization, quantile gating, semantic clustering, link-graph anchors
+# ===========================================================================
+
+@_q("q_decontaminate", r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents WHERE trim(text) <> ''),
+tri AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM tok),
+bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 50 = 0)
+SELECT d.doc_id, CAST(count(DISTINCT d.g) AS BIGINT) AS n_hits
+FROM tri d JOIN bench b ON d.g = b.g
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.doc_id
+""")
+def q_decontaminate(sf_dir: str):
+    # benchmark decontamination: pass 1 collects the held-out docs'
+    # distinct word-3-grams (the benchmark is small BY CONTRACT — eval
+    # suites, not the corpus), broadcast once via ray.put; pass 2 streams
+    # the corpus through the ContaminationCheck actor pool, which sorts
+    # the set once per actor and reports per-doc distinct-shingle hits.
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        keep = t.column("doc_id").to_numpy() % 50 == 0
+        sub = t.filter(pa.array(keep))
+        _, grams = textops._distinct_ngrams(sub.column("text").to_pylist(), 3)
+        return pa.table({"g": pa.array(np.unique(grams), pa.string())})
+
+    bench = np.unique(
+        ds.map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["g"].to_numpy())
+    bref = ray.put(bench)
+
+    corpus = ds.map_batches(
+        lambda t: t.filter(pa.array(t.column("doc_id").to_numpy() % 50 != 0)),
+        batch_format="pyarrow")
+    return corpus.map_batches(
+        textops.ContaminationCheck, fn_constructor_kwargs=dict(bench_ref=bref),
+        concurrency=2, batch_format="pyarrow")
+
+
+@_q("q_repetition", r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents WHERE trim(text) <> ''),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+              count(*) AS n_distinct, max(c) AS top_c
+       FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tok,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+       ROUND(CAST(top_c AS DOUBLE) / n_tok, 6) AS top_tok_frac,
+       CAST((CAST(n_distinct AS DOUBLE) / n_tok >= 0.3
+             AND CAST(top_c AS DOUBLE) / n_tok <= 0.2) AS BIGINT) AS keep_doc
+FROM st
+""")
+def q_repetition(sf_dir: str):
+    # Gopher-style repetition quality gate — per-doc signals compute
+    # entirely inside the scan (docs are rows; no shuffle), the classic
+    # pre-training corpus filter.
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(textops.repetition_stats_batch,
+                         batch_format="pandas"))
+
+
+@_q("q_normalize_text", """
+SELECT doc_id, text AS norm, CAST(length(text) AS BIGINT) AS norm_len
+FROM documents
+""")
+def q_normalize_text(sf_dir: str):
+    # text normalization (lowercase, punctuation strip, whitespace
+    # collapse): the Ray side first CONSTRUCTS a deterministically messy
+    # variant (uppercase, '/'-separated, decorated), runs the REAL
+    # normalizer, and the SQL states the analytic fixed point — the
+    # original clean text (q_canonicalize-style two-implementation check).
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def messy(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        m = ["\t " + s.upper().replace(" ", " / ") + " !!" for s in texts]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(m, pa.string())})
+
+    out = (ds.map_batches(messy, batch_format="pyarrow")
+           .map_batches(textops.normalize_text_batch, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "norm", "norm_len"])
+
+
+@_q("q_quality_gate", """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
+""")
+def q_quality_gate(sf_dir: str):
+    # global-quantile gating (keep the top quartile by a quality signal):
+    # pass 1 reduces the scan to a value-count histogram (driver holds
+    # O(value domain)), the EXACT interpolated quantile reads off the
+    # cumulative counts, and pass 2 streams the corpus through the
+    # broadcast threshold — the standard curation two-pass at any scale.
+    from cocrawler_ray.stages.agg import exact_quantile_cont
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    thr = exact_quantile_cont(ds, "n_chars", 0.75)
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.cast(t.column("n_chars"), pa.float64()), pa.scalar(thr))),
+        batch_format="pyarrow")
+
+
+@_q("q_kmeans_assign", oracles.kmeans_assign_sql(stride=37))
+def q_kmeans_assign(sf_dir: str):
+    # semantic clustering (one k-means assignment step, integer-exact —
+    # similarity.kmeans_assign_seeded doc): the primitive behind
+    # cluster-balanced corpus sampling; centroids broadcast once, the
+    # scan streams, per-row (vec_id, cid, d2) out.
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.kmeans_assign_seeded(ds, stride=37)
+
+
+@_q("q_anchor_agg", """
+WITH links AS (
+  SELECT doc_id AS src,
+         'http://docs.test/hub' || CAST(doc_id % 23 AS VARCHAR) AS dst_url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'http://docs.test/d' || CAST(doc_id AS VARCHAR)
+  FROM documents)
+SELECT dst_url, CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(min(src) AS BIGINT) AS min_src,
+       string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS srcs
+FROM links GROUP BY dst_url
+""")
+def q_anchor_agg(sf_dir: str):
+    # inbound-link (anchor) aggregation: REAL link extraction +
+    # canonicalization builds the edge list in the scan, then one hash
+    # exchange by target URL assembles each inlink posting whole inside
+    # its owning partition (q_inverted_index contract) — per-target
+    # inlink counts and sorted source lists never gather on the driver.
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        htmls = [f'<a href="/hub{d % 23}">x</a><a href="/d{d}">y</a>'
+                 for d in doc_id]
+        page_urls = [f"http://docs.test/page{d}" for d in doc_id]
+        ex = parse.extract_links_batch(htmls, page_urls)
+        res = urls.canonicalize_batch(ex["raw"], ex["base"])
+        keep = res["valid"]
+        return pa.table({"src": pa.array(doc_id[ex["src_idx"][keep]]),
+                         "dst_url": pa.array(res["url"][keep], pa.string())})
+
+    def agg_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dst_url", "src"], kind="stable")
+        g = df.groupby("dst_url", sort=False, observed=True)["src"]
+        return pd.DataFrame({
+            "dst_url": g.size().index.to_numpy(),
+            "n_inlinks": g.size().to_numpy().astype(np.int64),
+            "min_src": g.min().to_numpy().astype(np.int64),
+            "srcs": g.agg(lambda s: ",".join(map(str, s))).to_numpy()})
+
+    return exchange.grouped_shuffle(
+        ds.map_batches(edges, batch_format="pyarrow"), ["dst_url"], agg_fn)

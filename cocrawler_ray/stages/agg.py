@@ -110,6 +110,28 @@ def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
     return res
 
 
+def exact_quantile_cont(ds: rd.Dataset, col: str, q: float) -> float:
+    """EXACT linear-interpolation quantile (SQL ``quantile_cont`` / numpy
+    'linear') of a numeric column, without sorting the data: a value-count
+    combiner reduces the scan to a (value, count) histogram — the driver
+    holds O(distinct values), bounded by the value DOMAIN (lengths,
+    scores, status codes), not the row count — and the quantile reads off
+    the cumulative counts. The compute-threshold -> broadcast -> gate
+    two-pass is the standard corpus-curation shape."""
+    hist = partial_groupby_agg(ds.select_columns([col]), [col],
+                               {"cnt": (None, "count")})
+    hist = hist.sort_values(col)
+    vals = hist[col].to_numpy().astype(np.float64)
+    cum = hist["cnt"].to_numpy().astype(np.int64).cumsum()
+    n = int(cum[-1])
+    h = (n - 1) * q
+    lo = int(np.floor(h))
+    hi = int(np.ceil(h))
+    v_lo = vals[np.searchsorted(cum, lo + 1)]  # (lo+1)-th smallest
+    v_hi = vals[np.searchsorted(cum, hi + 1)]
+    return float(v_lo + (h - lo) * (v_hi - v_lo))
+
+
 def heavy_hitters(make_ds, keys: list[str], phi: float) -> pd.DataFrame:
     """EXACT phi-frequent keys (count > phi*N) in two bounded-memory passes
     — the scale-correct form of the crawl loop's hot-host detection

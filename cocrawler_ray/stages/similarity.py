@@ -133,6 +133,47 @@ def ivf_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def kmeans_assign_seeded(ds: rd.Dataset, stride: int = 37,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> rd.Dataset:
+    """Nearest-centroid (one k-means assignment step) over an embedding
+    column — the semantic-clustering primitive behind cluster-balanced
+    corpus sampling and IVF cell builds.
+
+    Centroids are the rows with ``id % stride == 1`` (deterministic, no
+    Lloyd iterations — swap in ``train_centroids`` when balance matters);
+    assignment is argmin integer squared-L2 over floor(v*1000+0.5)-
+    quantized vectors, ties to the smallest centroid id, so the clustering
+    is exactly reproducible anywhere (incl. the DuckDB mirror,
+    oracles.kmeans_assign_sql). Centroids broadcast once via ray.put; the
+    scan streams — per-row output (id, cid, d2), no shuffle.
+    """
+    from cocrawler_ray.oracles import quantize_vecs
+
+    cent_tab = (ds.map_batches(
+        lambda t: t.filter(pa.array(t.column(id_col).to_numpy() % stride == 1)),
+        batch_format="pyarrow").to_pandas())
+    cent_tab = cent_tab.sort_values(id_col)
+    cids = cent_tab[id_col].to_numpy().astype(np.int64)
+    C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                for v in cent_tab[vec_col]]))
+    bref = ray.put((cids, C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cid_arr, cents = ray.get(bref)
+        X = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in t.column(vec_col).to_pylist()]))
+        dd = ((X * X).sum(axis=1)[:, None] - 2 * (X @ cents.T)
+              + (cents * cents).sum(axis=1)[None, :])
+        j = np.argmin(dd, axis=1)  # first min == smallest cid (sorted)
+        return pa.table({
+            id_col: t.column(id_col),
+            "cid": pa.array(cid_arr[j]),
+            "d2": pa.array(dd[np.arange(len(j)), j].astype(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
                     stride: int = 37, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding"

@@ -175,3 +175,72 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
                 .iter_rows()):
         merged = hll_merge(merged, np.frombuffer(row["regs"], np.uint8))
     return hll_estimate(merged)
+
+
+class BloomFilter:
+    """Mergeable Bloom filter — the probabilistic membership gate for
+    10^10-URL seen-checks when even the cuckoo table's memory is too dear
+    (state/seen.py holds the engine's primary exact-shadowed cuckoo set;
+    the Bloom is the cheaper one-bit-per-slot variant with NO deletion and
+    NO false negatives). k hash probes per key via Kirsch-Mitzenmacher
+    double hashing off one ``hashing.hash64`` call, vectorized across the
+    batch; union-merge is bitwise OR, so per-block filters combine like
+    any combiner partial.
+
+    (Bloom 1970; Kirsch & Mitzenmacher 2006 — public algorithms.)
+    """
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 7):
+        if n_bits & 7:
+            raise ValueError("n_bits must be a multiple of 8")
+        self.n_bits, self.k = int(n_bits), int(k)
+        self.bits = np.zeros(self.n_bits >> 3, dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        vals = np.asarray(values)
+        if vals.dtype.kind != "U" and vals.dtype != object:
+            vals = vals.astype(str)
+        h = hash64(list(vals))
+        h1 = h >> np.uint64(32)
+        h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add(self, values) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def contains(self, values) -> np.ndarray:
+        """Vectorized membership: True may be a false positive, False is
+        definite."""
+        pos = self._positions(values)
+        got = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return got.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.n_bits, self.k) != (other.n_bits, other.k):
+            raise ValueError("merging filters of different shape")
+        out = BloomFilter(self.n_bits, self.k)
+        out.bits = self.bits | other.bits
+        return out
+
+
+def bloom_from_dataset(ds: rd.Dataset, col: str, n_bits: int = 1 << 20,
+                       k: int = 7) -> BloomFilter:
+    """Build a Bloom filter over a column in one streaming pass: per-block
+    filters inside ``map_batches``, OR-merged on the driver (n_blocks x
+    n_bits/8 bytes cross the wire, independent of row count)."""
+    def sketch_block(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits, k)
+        bf.add(df[col].to_numpy())
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    merged = BloomFilter(n_bits, k)
+    for row in (ds.map_batches(sketch_block, batch_format="pandas")
+                .iter_rows()):
+        part = BloomFilter(n_bits, k)
+        part.bits = np.frombuffer(row["bits"], np.uint8).copy()
+        merged = merged.merge(part)
+    return merged

@@ -120,6 +120,122 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 5,
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
 
 
+def _distinct_ngrams(texts: list[str], n: int = 3):
+    """Per-doc DISTINCT word n-grams: (doc_idx int64[], gram unicode[]).
+
+    One np.char.add chain per doc over the token array (the q_bigrams
+    measured shape); docs shorter than n tokens contribute nothing.
+    """
+    idxs, grams = [], []
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        if len(toks) < n:
+            continue
+        a = np.asarray(toks)
+        g = a[: len(toks) - n + 1]
+        for j in range(1, n):
+            g = np.char.add(np.char.add(g, " "), a[j: len(toks) - n + j + 1])
+        u = np.unique(g)
+        idxs.append(np.full(len(u), i, dtype=np.int64))
+        grams.append(u)
+    if not idxs:
+        return np.array([], np.int64), np.array([], dtype="U1")
+    return np.concatenate(idxs), np.concatenate(grams)
+
+
+class ContaminationCheck:
+    """Actor-pool decontamination stage: count each document's DISTINCT
+    word n-grams that appear in a broadcast benchmark shingle set (the
+    standard eval-set-decontamination gate for training corpora).
+
+    The benchmark set is small by contract (held-out eval suites, not the
+    corpus); it is fetched from plasma and sorted ONCE per actor here in
+    ``__init__`` — per batch, membership is a vectorized searchsorted
+    against the sorted array. Emits (id_col, n_hits) for hit docs only,
+    so clean documents never leave the scan.
+    """
+
+    def __init__(self, bench_ref, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+        self._bench = np.sort(np.asarray(ray.get(bench_ref)))
+        self._n = n
+        self._id_col = id_col
+        self._text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self._id_col).to_numpy()
+        texts = batch.column(self._text_col).to_pylist()
+        di, grams = _distinct_ngrams(texts, self._n)
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        if len(grams) and len(self._bench):
+            pos = np.searchsorted(self._bench, grams)
+            pos = np.minimum(pos, len(self._bench) - 1)
+            hit = self._bench[pos] == grams
+            np.add.at(n_hits, di[hit], 1)
+        keep = n_hits > 0
+        return pa.table({self._id_col: pa.array(ids[keep]),
+                         "n_hits": pa.array(n_hits[keep])})
+
+
+def repetition_stats_batch(df, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Gopher-style repetition signals per document: token count, distinct
+    -token ratio, and the fraction of tokens taken by the single most
+    frequent token; ``keep_doc`` applies the classic repetition gate
+    (distinct_ratio >= 0.3 AND top_tok_frac <= 0.2).
+
+    Vectorized: all docs' tokens concatenate into one (doc, token) frame,
+    counted with two C-path pandas groupbys — no per-token Python.
+    (Rae et al., "Scaling Language Models: ... Gopher", 2021 — public
+    repetition-filter heuristics.)
+    """
+    import pandas as pd
+    ids = df[id_col].to_numpy()
+    toks_per_doc = [t.split() for t in df[text_col].to_numpy()]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return pd.DataFrame({id_col: np.array([], np.int64),
+                             "n_tok": np.array([], np.int64),
+                             "distinct_ratio": np.array([], np.float64),
+                             "top_tok_frac": np.array([], np.float64),
+                             "keep_doc": np.array([], np.int64)})
+    di = np.repeat(ids, lens)
+    words = np.concatenate([np.asarray(t, dtype=object)
+                            for t in toks_per_doc if t])
+    cnt = (pd.DataFrame({"d": di, "w": words})
+           .groupby(["d", "w"], sort=False, observed=True).size()
+           .rename("c").reset_index())
+    st = cnt.groupby("d", sort=False, observed=True)["c"].agg(
+        n_tok="sum", n_distinct="count", top_c="max").reset_index()
+    n_tok = st["n_tok"].to_numpy().astype(np.int64)
+    dr = st["n_distinct"].to_numpy() / n_tok
+    tf = st["top_c"].to_numpy() / n_tok
+    return pd.DataFrame({
+        id_col: st["d"].to_numpy().astype(np.int64),
+        "n_tok": n_tok,
+        "distinct_ratio": np.round(dr, 6),
+        "top_tok_frac": np.round(tf, 6),
+        "keep_doc": ((dr >= 0.3) & (tf <= 0.2)).astype(np.int64)})
+
+
+_NON_ALNUM = re.compile(r"[^a-z0-9\s]")
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm") -> pa.Table:
+    """Canonical text normalization for dedup/tokenization pre-passes:
+    lowercase, strip non-alphanumerics to spaces, collapse all whitespace
+    runs to single spaces, trim. Appends ``out_col`` and ``norm_len``."""
+    texts = batch.column(text_col).to_pylist()
+    norm = [" ".join(_NON_ALNUM.sub(" ", t.lower()).split()) if t else ""
+            for t in texts]
+    lens = np.array([len(s) for s in norm], dtype=np.int64)
+    return (batch.append_column(out_col, pa.array(norm, pa.string()))
+            .append_column("norm_len", pa.array(lens)))
+
+
 _JSON_INT_RES: dict = {}
 
 

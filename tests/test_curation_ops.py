@@ -1,0 +1,147 @@
+"""Unit tests for the curation addendum: Bloom filter, decontamination,
+repetition gate, text normalization, exact quantile, k-means assignment.
+(The query-vs-oracle conformance for each lives in
+test_queries_conformance.py; these pin the stage semantics directly.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cocrawler_ray.stages import sketch, text as textops
+from cocrawler_ray.stages.agg import exact_quantile_cont
+
+
+# ---------------------------------------------------------------- Bloom
+
+def _keys(n: int, prefix: str = "k") -> list[str]:
+    return [f"{prefix}{i:07d}" for i in range(n)]
+
+
+def test_bloom_no_false_negatives():
+    bf = sketch.BloomFilter(1 << 16, k=7)
+    keys = _keys(3000)
+    bf.add(keys)
+    assert bf.contains(keys).all()
+
+
+def test_bloom_fpr_within_bound():
+    # m=2^16 bits, n=3000, k=7 -> theoretical FPR ~ (1-e^{-kn/m})^k ~ 0.4%
+    bf = sketch.BloomFilter(1 << 16, k=7)
+    bf.add(_keys(3000))
+    fresh = _keys(20000, prefix="x")
+    fpr = bf.contains(fresh).mean()
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_merge_equals_single_pass():
+    a, b = sketch.BloomFilter(1 << 12, 5), sketch.BloomFilter(1 << 12, 5)
+    one = sketch.BloomFilter(1 << 12, 5)
+    a.add(_keys(100, "a"))
+    b.add(_keys(100, "b"))
+    one.add(_keys(100, "a"))
+    one.add(_keys(100, "b"))
+    assert (a.merge(b).bits == one.bits).all()
+
+
+def test_bloom_from_dataset(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"u": _keys(500)})
+    bf = sketch.bloom_from_dataset(
+        rd.from_pandas(df).repartition(4), "u", n_bits=1 << 14, k=5)
+    assert bf.contains(np.asarray(_keys(500), object)).all()
+    assert bf.contains(np.asarray(_keys(200, "z"), object)).mean() < 0.05
+
+
+# ----------------------------------------------------- decontamination
+
+def test_distinct_ngrams_small_docs():
+    di, grams = textops._distinct_ngrams(["a b", "a b c d", ""], 3)
+    # doc 0 (<3 toks) and doc 2 (empty) contribute nothing
+    assert (di == 1).all()
+    assert sorted(grams) == ["a b c", "b c d"]
+
+
+def test_contamination_check_counts_distinct_hits(ray_session):
+    import ray
+    bench = np.asarray(["b c d", "x y z"], object)
+    ref = ray.put(bench)
+    chk = textops.ContaminationCheck(ref, n=3)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e b c d",   # 'b c d' appears twice -> 1 DISTINCT hit
+            "x y z w x y z",     # 'x y z' twice -> 1
+            "p q r s"])})        # clean -> dropped
+    out = chk(batch).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_hits"].tolist() == [1, 1]
+
+
+# ---------------------------------------------------- repetition stats
+
+def test_repetition_stats_values():
+    df = pd.DataFrame({
+        "doc_id": [7, 8],
+        "text": ["a a a a b",        # 5 toks, 2 distinct, top 4/5
+                 "a b c d e f g h i j"]})
+    out = textops.repetition_stats_batch(df).set_index("doc_id")
+    assert out.loc[7, "n_tok"] == 5
+    assert out.loc[7, "distinct_ratio"] == pytest.approx(0.4)
+    assert out.loc[7, "top_tok_frac"] == pytest.approx(0.8)
+    assert out.loc[7, "keep_doc"] == 0          # top_tok_frac > 0.2
+    assert out.loc[8, "keep_doc"] == 1
+    # empty docs vanish
+    assert textops.repetition_stats_batch(
+        pd.DataFrame({"doc_id": [1], "text": [" "]})).empty
+
+
+# ------------------------------------------------------- normalization
+
+def test_normalize_text_batch():
+    t = pa.table({"text": pa.array(
+        ["  Hello,   WORLD!! ", "a\tb\nc", "", "..."])})
+    out = textops.normalize_text_batch(t).to_pandas()
+    assert out["norm"].tolist() == ["hello world", "a b c", "", ""]
+    assert out["norm_len"].tolist() == [11, 5, 0, 0]
+
+
+# ------------------------------------------------------ exact quantile
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.75, 0.9, 1.0])
+def test_exact_quantile_matches_numpy(ray_session, q):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 300, size=5000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    got = exact_quantile_cont(ds, "v", q)
+    assert got == pytest.approx(np.quantile(vals, q, method="linear"))
+
+
+# ------------------------------------------------- k-means assignment
+
+def test_kmeans_assign_matches_numpy(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.oracles import quantize_vecs
+    from cocrawler_ray.stages.similarity import kmeans_assign_seeded
+    rng = np.random.default_rng(3)
+    n, d, stride = 120, 16, 11
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [list(map(float, r)) for r in M]})).repartition(4)
+    out = (kmeans_assign_seeded(ds, stride=stride).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    X = quantize_vecs(M.astype(np.float64))
+    cids = np.arange(n)[np.arange(n) % stride == 1]
+    C = X[cids]
+    dd = ((X * X).sum(1)[:, None] - 2 * (X @ C.T) + (C * C).sum(1)[None, :])
+    j = np.argmin(dd, axis=1)
+    assert (out["cid"].to_numpy() == cids[j]).all()
+    assert (out["d2"].to_numpy() == dd[np.arange(n), j]).all()
+    # every centroid assigns to itself at distance 0
+    self_rows = out.set_index("vec_id").loc[cids]
+    assert (self_rows["cid"].to_numpy() == cids).all()
+    assert (self_rows["d2"] == 0).all()
