@@ -101,6 +101,9 @@ BENCH_QUERIES_R2 = [
     "q_curate_corpus",     # dedup -> token gate -> per-source cap
     "q_tfidf",             # TF-IDF (combiner df -> broadcast idf -> score)
     "q_zscore",            # per-group normalization (moments -> standardize)
+    "q_decontaminate",     # benchmark-shingle decontamination (actor pool)
+    "q_kmeans_assign",     # semantic clustering assignment (broadcast centroids)
+    "q_quality_gate",      # exact-quantile threshold gate (two-pass)
 ]
 
 

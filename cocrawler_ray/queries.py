@@ -2202,3 +2202,125 @@ def q_anchor_agg(sf_dir: str):
 
     return exchange.grouped_shuffle(
         ds.map_batches(edges, batch_format="pyarrow"), ["dst_url"], agg_fn)
+
+
+@_q("q_full_outer_join", """
+WITH ev AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+            FROM events WHERE user_id % 2 = 0 GROUP BY user_id),
+c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0)
+SELECT COALESCE(ev.user_id, c.c_custkey) AS user_id, ev.n_ev, c.c_acctbal
+FROM ev FULL JOIN c ON ev.user_id = c.c_custkey
+""")
+def q_full_outer_join(sf_dir: str):
+    # FULL OUTER hash join (null-producing on BOTH sides): the reconcile-
+    # two-partial-datasets shape (e.g. fetch results vs expected manifest).
+    # Both sides co-partition through the hash exchange; Acero joins each
+    # partition with coalesced keys, and the %2/%3 side filters guarantee
+    # genuinely unmatched rows in each direction.
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[df["user_id"] % 2 == 0]
+                .groupby("user_id", sort=False, observed=True).size()
+                .rename("n_ev").reset_index())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("user_id", sort=False, observed=True)["n_ev"]
+               .sum().reset_index())
+        out["n_ev"] = out["n_ev"].astype(np.int64)
+        return out
+
+    ev_ds = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id"])
+        .map_batches(local_counts, batch_format="pandas"),
+        ["user_id"], combine)
+    cust = read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("c_custkey").to_numpy() % 3 == 0)),
+        batch_format="pyarrow")
+    return exchange.hash_join(ev_ds, cust, on=["user_id"],
+                              right_on=["c_custkey"], how="full outer",
+                              num_partitions=8)
+
+
+@_q("q_dim_stats", f"""
+WITH x AS (SELECT generate_subscripts(q, 1) AS dim, unnest(q) AS val
+           FROM (SELECT {oracles._quant_sql('embedding')} AS q
+                 FROM embeddings))
+SELECT CAST(dim AS BIGINT) AS dim, ROUND(avg(val), 6) AS mean_q,
+       CAST(min(val) AS BIGINT) AS min_q, CAST(max(val) AS BIGINT) AS max_q
+FROM x GROUP BY dim
+""")
+def q_dim_stats(sf_dir: str):
+    # per-dimension embedding statistics (the feature-normalization /
+    # whitening pre-pass): each block reduces its vectors to ONE row per
+    # dimension (sum/count/min/max over quantized ints — exact, so the
+    # block combine order can't move the mean), the combiner merges
+    # O(dims) rows, and the mean divides on the driver's O(dims) table.
+    # The embedding matrix itself never shuffles.
+    from cocrawler_ray.oracles import quantize_vecs
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        X = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in t.column("embedding").to_pylist()]))
+        d = X.shape[1]
+        return pd.DataFrame({"dim": np.arange(1, d + 1, dtype=np.int64),
+                             "s": X.sum(axis=0),
+                             "n": np.full(d, len(X), dtype=np.int64),
+                             "mn": X.min(axis=0), "mx": X.max(axis=0)})
+
+    parts = partial_groupby_agg(
+        read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["dim"], {"s": ("s", "sum"), "n": ("n", "sum"),
+                  "min_q": ("mn", "min"), "max_q": ("mx", "max")})
+    return pd.DataFrame({
+        "dim": parts["dim"].to_numpy().astype(np.int64),
+        "mean_q": np.round(parts["s"].to_numpy()
+                           / parts["n"].to_numpy(), 6),
+        "min_q": parts["min_q"].to_numpy().astype(np.int64),
+        "max_q": parts["max_q"].to_numpy().astype(np.int64)})
+
+
+@_q("q_edit_distance", """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+            AS BIGINT) AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 20 = 0
+""")
+def q_edit_distance(sf_dir: str):
+    # string-similarity verify kernel (Levenshtein over candidate pairs):
+    # the same distributed pair shape as q_ngram_jaccard — pairs co-locate
+    # through one exchange, each partition runs the row-vectorized DP
+    # (stages/text.py::levenshtein) on its own pairs, no driver loop.
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        is_a = d % 20 == 0
+        is_b = d % 20 == 1
+        keep = is_a | is_b
+        pair = np.where(is_a[keep], d[keep], d[keep] - 1).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        return pa.table({"pair_id": pa.array(pair),
+                         "doc_id": pa.array(d[keep]),
+                         "head": pa.array([texts[i][:40] for i in
+                                           np.flatnonzero(keep)],
+                                          pa.string())})
+
+    def dist_partition(df: pd.DataFrame) -> pd.DataFrame:
+        das, dbs, dists = [], [], []
+        for _, g in df.groupby("pair_id", sort=False):
+            if len(g) != 2:
+                continue
+            g = g.sort_values("doc_id")
+            das.append(g["doc_id"].iloc[0])
+            dbs.append(g["doc_id"].iloc[1])
+            dists.append(textops.levenshtein(g["head"].iloc[0],
+                                             g["head"].iloc[1]))
+        return pd.DataFrame({"doc_a": np.array(das, dtype=np.int64),
+                             "doc_b": np.array(dbs, dtype=np.int64),
+                             "dist": np.array(dists, dtype=np.int64)})
+
+    return exchange.grouped_shuffle(
+        ds.map_batches(key, batch_format="pyarrow"), ["pair_id"],
+        dist_partition)

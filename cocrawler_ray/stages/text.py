@@ -236,6 +236,31 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
             .append_column("norm_len", pa.array(lens)))
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance with a row-vectorized DP: the column-wise dependency
+    ``cur[j] = min(..., cur[j-1]+1)`` folds into one
+    ``np.minimum.accumulate`` over ``base[j] - j`` (min over k<=j of
+    base[k] + (j-k) == j + running-min of base[k]-k), so each DP row is
+    pure numpy — no per-cell Python."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    m = len(bv)
+    j = np.arange(m + 1, dtype=np.int64)
+    prev = j.copy()
+    for i, ca in enumerate(a, 1):
+        cost = (bv != np.uint32(ord(ca))).astype(np.int64)
+        base = np.concatenate((
+            [np.int64(i)],
+            np.minimum(prev[1:] + 1, prev[:-1] + cost)))
+        prev = np.minimum.accumulate(base - j) + j
+    return int(prev[-1])
+
+
 _JSON_INT_RES: dict = {}
 
 

@@ -108,6 +108,38 @@ def test_normalize_text_batch():
     assert out["norm_len"].tolist() == [11, 5, 0, 0]
 
 
+# ------------------------------------------------------- edit distance
+
+def _lev_ref(a: str, b: str) -> int:
+    # textbook O(nm) reference
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_matches_reference():
+    cases = [("", ""), ("a", ""), ("", "abc"), ("kitten", "sitting"),
+             ("flaw", "lawn"), ("abc", "abc"), ("abc", "cba"),
+             ("intention", "execution"), ("aaaa", "aa"),
+             ("the fast key", "the fats key")]
+    for a, b in cases:
+        assert textops.levenshtein(a, b) == _lev_ref(a, b), (a, b)
+
+
+def test_levenshtein_random_agreement():
+    rng = np.random.default_rng(5)
+    alpha = list("abcd ")
+    for _ in range(50):
+        a = "".join(rng.choice(alpha, rng.integers(0, 15)))
+        b = "".join(rng.choice(alpha, rng.integers(0, 15)))
+        assert textops.levenshtein(a, b) == _lev_ref(a, b), (a, b)
+
+
 # ------------------------------------------------------ exact quantile
 
 @pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.75, 0.9, 1.0])
