@@ -16,11 +16,23 @@ MAX_ROBOTS_SIZE = 512 * 1024
 class RobotsRules:
     """Parsed rules for one host. `groups`: lower-ua -> [(allow, path), ...]."""
 
-    __slots__ = ("groups", "truncated")
+    __slots__ = ("groups", "truncated", "delays")
 
-    def __init__(self, groups: dict[str, list[tuple[bool, str]]], truncated: bool = False):
+    def __init__(self, groups: dict[str, list[tuple[bool, str]]], truncated: bool = False,
+                 delays: dict[str, float] | None = None):
         self.groups = groups
         self.truncated = truncated
+        self.delays = delays or {}
+
+    def crawl_delay(self, user_agent: str = "cocrawler") -> float | None:
+        """Declared Crawl-delay seconds for this UA (specific-UA section
+        first, else '*'), None when absent — mirrors the reference's
+        robots.py crawl-delay read that scheduler.py's burrow honors."""
+        ua = user_agent.lower()
+        for token, d in self.delays.items():
+            if token != "*" and token in ua:
+                return d
+        return self.delays.get("*")
 
     def allowed(self, path: str, user_agent: str = "cocrawler") -> bool:
         if self.truncated:
@@ -68,6 +80,7 @@ def parse_robots(body: str | None) -> RobotsRules:
     if len(body) > MAX_ROBOTS_SIZE:
         return RobotsRules({}, truncated=True)
     groups: dict[str, list[tuple[bool, str]]] = {}
+    delays: dict[str, float] = {}
     current: list[str] = []
     last_was_rule = True
     for line in body.splitlines():
@@ -93,6 +106,15 @@ def parse_robots(body: str | None) -> RobotsRules:
                 continue  # empty Disallow = allow all (no rule)
             for ua in current:
                 groups.setdefault(ua, []).append((key == "allow", val))
+        elif key == "crawl-delay":
+            last_was_rule = True
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d > 0:
+                for ua in current:
+                    delays.setdefault(ua, d)
         else:
-            last_was_rule = True  # crawl-delay, sitemap etc. end a UA run
-    return RobotsRules(groups)
+            last_was_rule = True  # sitemap etc. end a UA run
+    return RobotsRules(groups, delays=delays)

@@ -107,11 +107,13 @@ class FrontierPartition:
 
     # -- get_work (generation drain, politeness-gated) ----------------------
 
-    def drain(self, gen: int, budget_per_host: int, max_rows: int | None = None
-              ) -> pa.Table:
+    def drain(self, gen: int, budget_per_host: int, max_rows: int | None = None,
+              host_budgets: dict[str, int] | None = None) -> pa.Table:
         """Take up to `budget_per_host` best rows per host (deterministic
         (priority, rand, surt) order within each host); remainder stays
-        burrowed. Output rows are host-grouped (hosts ascending)."""
+        burrowed. Output rows are host-grouped (hosts ascending).
+        ``host_budgets`` overrides the budget for specific hosts (the
+        Crawl-delay image — see module doc / ShardHost._host_delays)."""
         t = self._pending_sorted()
         n = t.num_rows
         if n == 0:
@@ -121,7 +123,15 @@ class FrontierPartition:
         starts = np.flatnonzero(np.concatenate((
             [True], np.asarray(pc.not_equal(hosts.slice(1), hosts.slice(0, n - 1))))))
         ends = np.concatenate((starts[1:], [n]))
-        take_counts = np.minimum(ends - starts, budget_per_host)
+        budgets = budget_per_host
+        if host_budgets:
+            import pandas as pd
+            head_hosts = pd.Series(np.asarray(hosts.take(
+                pa.array(starts, pa.int64()))).astype(object))
+            budgets = (head_hosts.map(host_budgets)
+                       .fillna(budget_per_host).to_numpy()
+                       .astype(np.int64))
+        take_counts = np.minimum(ends - starts, budgets)
         idx = _ranges(starts, take_counts)
         out = t.take(pa.array(idx, pa.int64()))
         if max_rows is not None and out.num_rows > max_rows:

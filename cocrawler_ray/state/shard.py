@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from cocrawler_ray.hashing import hash64, host_partition, surt_partition
+from cocrawler_ray.robots import parse_robots
 from cocrawler_ray.stages.fetch import FetcherPartition
 from cocrawler_ray.state.frontier import FrontierPartition
 from cocrawler_ray.state.robots_actor import RobotsPartition
@@ -62,6 +63,19 @@ class ShardHost:
         self.seen = {p: SeenPartition(p, seen_capacity, exact_seen)
                      for p in my_parts}
         self.robots = RobotsPartition(actor_id, robots_bodies, 10, user_agent)
+        # per-host Crawl-delay -> per-generation budget scale. One generation
+        # is the politeness epoch of `budget_per_host` reference-seconds
+        # (budget fetches at the default 1 req/s), so a delay-d host fits
+        # floor(budget/d) fetches per gen, floored at 1 (frontier.py module
+        # doc maps the reference's wall-clock burrow to gen budgets). Bodies
+        # are static per job, so parse the few delay-bearing ones ONCE here;
+        # the cheap substring scan skips the rest.
+        self._host_delays: dict[str, float] = {}
+        for h, body in robots_bodies.items():
+            if body and "rawl-delay" in body:
+                d = parse_robots(body).crawl_delay(user_agent)
+                if d and d > 1.0:
+                    self._host_delays[h] = d
         self.fetcher = FetcherPartition(actor_id, web, web_html, transient_every)
         self.peers: list | None = None
         self._outbox: dict[int, list] = {}  # target actor -> candidate bufs
@@ -77,7 +91,11 @@ class ShardHost:
 
     def drain_all(self, gen: int, budget_per_host: int,
                   max_rows_per_part: int | None = None) -> pa.Table:
-        tabs = [self.frontier[p].drain(gen, budget_per_host, max_rows_per_part)
+        hb = ({h: max(1, int(budget_per_host // d))
+               for h, d in self._host_delays.items()}
+              if self._host_delays else None)
+        tabs = [self.frontier[p].drain(gen, budget_per_host,
+                                       max_rows_per_part, host_budgets=hb)
                 for p in sorted(self.frontier)]
         return pa.concat_tables(tabs)
 

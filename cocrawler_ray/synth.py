@@ -151,9 +151,11 @@ def gen_web_tables(num_hosts: int = 20, num_pages: int = 500, seed: int = 42,
     return web, web_html
 
 
-def gen_robots_table(num_hosts: int) -> pa.Table:
+def gen_robots_table(num_hosts: int, with_delays: bool = False) -> pa.Table:
     """Per-host robots bodies (F4): every 5th host disallows a page-prefix,
-    every 11th denies all, every 7th has a UA-specific section."""
+    every 11th denies all, every 7th has a UA-specific section. With
+    ``with_delays``, every 13th host declares ``Crawl-delay`` (2s or 4s) —
+    kept off by default so the golden/bench corpora are unchanged."""
     hosts, bodies, ttls = [], [], []
     for h in range(num_hosts):
         name = host_name(h)
@@ -163,6 +165,9 @@ def gen_robots_table(num_hosts: int) -> pa.Table:
             body = f"User-agent: *\nDisallow: /p00000\n"  # blocks pages 0..9
         elif h % 7 == 2:
             body = "User-agent: evilbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+        elif with_delays and h % 13 == 4:
+            d = 2 if h % 2 == 0 else 4
+            body = f"User-agent: *\nCrawl-delay: {d}\nDisallow: /p00002\n"
         else:
             body = ""
         hosts.append(name)

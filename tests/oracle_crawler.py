@@ -33,6 +33,13 @@ class OracleCrawler:
         self.html_by_url = html_by_url
         self.robots = {h: robots_mod.parse_robots(b) for h, b in robots_bodies.items()}
         self.budget = budget_per_host
+        # Crawl-delay image (same mapping as ShardHost._host_delays):
+        # delay-d hosts get max(1, budget // d) per generation
+        self.host_budget = {}
+        for h, rules in self.robots.items():
+            d = rules.crawl_delay(user_agent)
+            if d and d > 1.0:
+                self.host_budget[h] = max(1, int(budget_per_host // d))
         self.max_depth = max_depth
         self.max_gens = max_gens
         self.seed = seed
@@ -95,7 +102,8 @@ class OracleCrawler:
             drained = []
             for host in sorted(self.frontier):
                 heap = self.frontier[host]
-                for _ in range(min(self.budget, len(heap))):
+                for _ in range(min(self.host_budget.get(host, self.budget),
+                                   len(heap))):
                     p, r, surt, url, depth, retries = heapq.heappop(heap)
                     drained.append((p, r, surt, url, depth, retries, host))
                 if not heap:
