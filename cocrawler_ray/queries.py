@@ -2324,3 +2324,46 @@ def q_edit_distance(sf_dir: str):
     return exchange.grouped_shuffle(
         ds.map_batches(key, batch_format="pyarrow"), ["pair_id"],
         dist_partition)
+
+
+@_q("q_image_keep_best", """
+WITH dims AS (SELECT i, i % 16 AS grp,
+                     16 * (1 + i % 2) AS w, 16 * (1 + (i // 2) % 2) AS h
+              FROM range(64) t(i))
+SELECT CAST(grp AS BIGINT) AS grp,
+       'img' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+       CAST(w * h AS BIGINT) AS pixels
+FROM dims
+QUALIFY row_number() OVER (PARTITION BY grp ORDER BY w * h DESC, i) = 1
+""")
+def q_image_keep_best(sf_dir: str):
+    # keep-best image dedup policy: each near-dup cluster keeps its
+    # highest-DECODED-resolution member (ties -> smallest id). The REAL
+    # codec decode (actor pool) supplies the dimensions; the SQL mirror
+    # restates them from the formula corpus (oracles.image_dims). The
+    # grouped argmax runs per-partition after one exchange — the same
+    # winner-per-group shape as q_mode_per_group.
+    from cocrawler_ray.stages.multimodal import ImageDims
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        d = np.array([int(s[3:]) for s in t.column("image_id").to_pylist()],
+                     dtype=np.int64)
+        return t.append_column("grp", pa.array(d % 16))
+
+    def keep_best(df: pd.DataFrame) -> pd.DataFrame:
+        px = (df["dec_w"].to_numpy().astype(np.int64)
+              * df["dec_h"].to_numpy().astype(np.int64))
+        d = df["image_id"].str[3:].astype(np.int64)
+        df = df.assign(pixels=px, _d=d).sort_values(
+            ["grp", "pixels", "_d"], ascending=[True, False, True],
+            kind="stable")
+        w = df.groupby("grp", sort=False, observed=True).head(1)
+        return pd.DataFrame({"grp": w["grp"].to_numpy().astype(np.int64),
+                             "image_id": w["image_id"].to_numpy(),
+                             "pixels": w["pixels"].to_numpy()})
+
+    dims = (rd.from_arrow(oracles.conformance_images())
+            .map_batches(ImageDims, batch_format="pyarrow", batch_size=16,
+                         concurrency=2)
+            .map_batches(add_grp, batch_format="pyarrow"))
+    return exchange.grouped_shuffle(dims, ["grp"], keep_best)

@@ -64,6 +64,30 @@ class ImageDecodeStats:
         return out.append_column("phash_decoded", pa.array(ph))
 
 
+class ImageDims:
+    """Decode payloads and report the DECODED pixel dimensions (not the
+    metadata columns) — the trust-the-bytes half of keep-best dedup
+    policies, where the cluster representative is chosen by actual
+    decoded resolution."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+        dw = np.zeros(n, dtype=np.int32)
+        dh = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            dh[i], dw[i] = img.shape[0], img.shape[1]
+        return pa.table({"image_id": batch.column("image_id"),
+                         "dec_w": pa.array(dw), "dec_h": pa.array(dh)})
+
+
 class ImageResize:
     """Block-mean resize to (out_w, out_h), re-encoded as raw16."""
 
