@@ -2081,7 +2081,7 @@ def q_decontaminate(sf_dir: str):
         batch_format="pyarrow")
     return corpus.map_batches(
         textops.ContaminationCheck, fn_constructor_kwargs=dict(bench_ref=bref),
-        concurrency=2, batch_format="pyarrow")
+        concurrency=(2, 8), batch_format="pyarrow")
 
 
 @_q("q_repetition", r"""
@@ -2367,3 +2367,45 @@ def q_image_keep_best(sf_dir: str):
                          concurrency=2)
             .map_batches(add_grp, batch_format="pyarrow"))
     return exchange.grouped_shuffle(dims, ["grp"], keep_best)
+
+
+@_q("q_semantic_dedup", f"""
+WITH e AS (SELECT vec_id, {oracles._quant_sql('embedding')} AS q FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % 37 = 1),
+assign AS (
+  SELECT a.vec_id, c.cid,
+         CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))
+              - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+              + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))
+              AS BIGINT) AS d2
+  FROM e a CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2, c.cid) = 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cid) AS nm
+  FROM assign)
+SELECT cid, CAST(d2 AS BIGINT) AS best_d2, CAST(nm AS BIGINT) AS n_members,
+       CAST(vec_id AS BIGINT) AS keep_vec
+FROM ranked WHERE rn = 1
+""")
+def q_semantic_dedup(sf_dir: str):
+    # semantic (cluster-level) dedup: after the k-means assignment each
+    # cluster keeps ONE representative — the member closest to the
+    # centroid (ties -> smallest id) — the SemDeDup-style curation policy.
+    # Composition: streaming assignment scan (broadcast centroids) -> one
+    # exchange by cluster -> per-partition argmin; cluster cardinality
+    # stats ride along.
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = similarity.kmeans_assign_seeded(ds, stride=37)
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cid", "d2", "vec_id"], kind="stable")
+        g = df.groupby("cid", sort=False, observed=True)
+        w = g.head(1)
+        return pd.DataFrame({
+            "cid": w["cid"].to_numpy().astype(np.int64),
+            "best_d2": w["d2"].to_numpy().astype(np.int64),
+            "n_members": g.size().to_numpy().astype(np.int64),
+            "keep_vec": w["vec_id"].to_numpy().astype(np.int64)})
+
+    return exchange.grouped_shuffle(assigned, ["cid"], rep)
