@@ -281,3 +281,59 @@ def test_ranges_matches_naive(pairs):
     got = _ranges(starts, counts)
     exp = [s + j for s, c in pairs for j in range(c)]
     assert got.tolist() == exp
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein: metric axioms + known bounds vs the vectorized DP
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet="abcde ", max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_words, _words)
+def test_levenshtein_metric_axioms(a, b):
+    from cocrawler_ray.stages.text import levenshtein
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)                      # symmetry
+    assert (d == 0) == (a == b)                        # identity
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))  # bounds
+
+
+@settings(max_examples=80, deadline=None)
+@given(_words, _words, _words)
+def test_levenshtein_triangle(a, b, c):
+    from cocrawler_ray.stages.text import levenshtein
+    assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_words, st.text(alphabet="abcde", min_size=1, max_size=3))
+def test_levenshtein_single_append(a, suffix):
+    from cocrawler_ray.stages.text import levenshtein
+    assert levenshtein(a, a + suffix) == len(suffix)
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats: definitional invariants
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "dd"]),
+                         max_size=20), min_size=1, max_size=6))
+def test_repetition_stats_definitions(token_lists):
+    from cocrawler_ray.stages.text import repetition_stats_batch
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(token_lists), dtype=np.int64),
+        "text": [" ".join(t) for t in token_lists]})
+    out = repetition_stats_batch(df).set_index("doc_id")
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            assert i not in out.index  # empty docs vanish
+            continue
+        from collections import Counter
+        c = Counter(toks)
+        assert out.loc[i, "n_tok"] == len(toks)
+        assert out.loc[i, "distinct_ratio"] == round(len(c) / len(toks), 6)
+        assert out.loc[i, "top_tok_frac"] == round(
+            max(c.values()) / len(toks), 6)
