@@ -2409,3 +2409,36 @@ def q_semantic_dedup(sf_dir: str):
             "keep_vec": w["vec_id"].to_numpy().astype(np.int64)})
 
     return exchange.grouped_shuffle(assigned, ["cid"], rep)
+
+
+def _weighted_sample_sql() -> str:
+    sm, fin = oracles.splitmix_ctes(
+        "base", "event_id, event_type, value", "event_id::HUGEINT",
+        "hx", "ws")
+    return f"""
+WITH base AS (SELECT event_id, event_type, value FROM events),
+{sm}
+SELECT event_id, event_type, value FROM {fin}
+WHERE hx % 1000 < least(999, CAST(floor(value * 10) AS BIGINT))
+"""
+
+
+@_q("q_weighted_sample", _weighted_sample_sql())
+def q_weighted_sample(sf_dir: str):
+    # importance sampling by a per-row quality weight: keep a row iff
+    # splitmix64(id) % 1000 < weight (weight ~ value*10, capped) — the
+    # deterministic Bernoulli gate a curation pipeline uses to upsample
+    # high-quality rows. Integer-exact (hash + floor both restated in the
+    # SQL mirror over HUGEINT), embarrassingly parallel, zero shuffles —
+    # the weighted companion to q_stratified_sample's per-stratum cap.
+    from cocrawler_ray.hashing import splitmix64
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy().astype(np.uint64)
+        w = np.minimum(
+            999, np.floor(t.column("value").to_numpy() * 10).astype(np.int64))
+        keep = (splitmix64(ids) % np.uint64(1000)).astype(np.int64) < w
+        return t.filter(pa.array(keep))
+
+    return (read(sf_dir, "events", ["event_id", "event_type", "value"])
+            .map_batches(gate, batch_format="pyarrow"))
