@@ -1250,28 +1250,27 @@ FROM events e JOIN supplier s
 """)
 def q_range_join(sf_dir: str):
     # interval join: events whose value falls inside a supplier's
-    # [acctbal, acctbal+200] band — exchange.range_join (bucket-replicated
-    # hash exchange + two-searchsorted containment scan per partition).
-    def add_hi(t: pa.Table) -> pa.Table:
-        return t.append_column("__hi", pc.add(t.column("s_acctbal"), 200.0))
-
-    sup = (read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
-           .map_batches(add_hi, batch_format="pyarrow"))
+    # [acctbal, acctbal+200] band. Suppliers are a DIMENSION (O(100) rows),
+    # so this uses exchange.range_join_broadcast — intervals sorted once,
+    # ray.put once, two searchsorteds per event batch, zero shuffles
+    # (replaced the bucket-replicated exchange, whose n_blocks x P fan-out
+    # was the whole cost at this shape: 1.5-10 s -> sub-second). The
+    # exchange form (exchange.range_join) remains the large-large path and
+    # keeps its unit tests.
+    sup = (read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+           .assign(__hi=lambda d: d["s_acctbal"] + 200.0))
     ev = read(sf_dir, "events", ["event_id", "value"])
-    # num_partitions=8: at this input size the exchange fan-out
-    # (n_blocks x P sub-objects) dominates the trivial per-partition
-    # compute — measured best-of at sf0.1/32cpu: P=8 1.5s vs P=32 3.8s
-    # (same shape as q_fetch_join's np=8). At real scale P should track
-    # cluster CPUs; bucket_width and P are the operator's two tunables.
-    out = exchange.range_join(ev, sup, "value", "s_acctbal", "__hi",
-                              bucket_width=200.0, num_partitions=8)
-    if out.count() == 0:  # Ray Data drops empty blocks (schema and all) in
-        # map_batches/to_pandas, so hand back a schema-bearing empty table;
-        # count() over the exchange's already-computed refs is metadata-only
+    # empty-INPUT guard (Ray Data drops schema with all-empty blocks; a
+    # parquet-metadata count is free). Non-empty inputs yielding an empty
+    # JOIN are fine: probe ran on real blocks, so its 0-row outputs keep
+    # their schema — no result-side count() (that would execute the
+    # pipeline twice).
+    if len(sup) == 0 or ev.count() == 0:
         return pa.table({"event_id": pa.array([], pa.int64()),
                          "value": pa.array([], pa.float64()),
                          "s_suppkey": pa.array([], pa.int64()),
                          "s_acctbal": pa.array([], pa.float64())})
+    out = exchange.range_join_broadcast(ev, sup, "value", "s_acctbal", "__hi")
     return out.map_batches(
         lambda t: t.select(["event_id", "value", "s_suppkey", "s_acctbal"]),
         batch_format="pyarrow")

@@ -241,6 +241,43 @@ def _range_reduce(val_col: str, lo_col: str, hi_col: str, width: float,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def range_join_broadcast(left: rd.Dataset, right: pd.DataFrame, val_col: str,
+                         lo_col: str, hi_col: str) -> rd.Dataset:
+    """Interval join with a SMALL-BY-CONTRACT right side: the intervals
+    sort once on the driver, broadcast once via ray.put, and every left
+    batch resolves containment with two searchsorteds against the sorted
+    interval starts — zero shuffles, the streaming scan shape. Use this
+    when the interval table is a dimension (rate bands, SLA tiers);
+    ``range_join`` is the large-large exchange path. Semantics identical:
+    inner join on lo <= val <= hi, both ends inclusive.
+
+    Correctness of the scan: with intervals sorted by lo, candidates for x
+    are exactly those with lo <= x (prefix via one searchsorted) whose
+    running-max hi >= x is POSSIBLE — we filter hi >= x exactly after a
+    vectorized prefix expansion, clipping the prefix with searchsorted on
+    (lo, running-min of a monotone envelope) is unnecessary at dimension
+    cardinality."""
+    right = right.sort_values(lo_col, kind="stable").reset_index(drop=True)
+    lo = right[lo_col].to_numpy().astype(np.float64)
+    hi = right[hi_col].to_numpy().astype(np.float64)
+    rref = ray.put((lo, hi, pa.Table.from_pandas(right, preserve_index=False)))
+
+    def probe(t: pa.Table) -> pa.Table:
+        lo_b, hi_b, rtab = ray.get(rref)
+        x = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ends = np.searchsorted(lo_b, x, side="right")
+        ridx = _expand_ranges(np.zeros(len(x), dtype=np.int64), ends)
+        lidx = np.repeat(np.arange(len(x), dtype=np.int64), ends)
+        keep = hi_b[ridx] >= x[lidx]
+        ltab = t.take(pa.array(lidx[keep], pa.int64()))
+        rsel = rtab.take(pa.array(ridx[keep], pa.int64()))
+        for name in rsel.column_names:
+            ltab = ltab.append_column(name, rsel.column(name))
+        return ltab
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def range_join(left: rd.Dataset, right: rd.Dataset, val_col: str,
                lo_col: str, hi_col: str, bucket_width: float,
                num_partitions: int | None = None) -> rd.Dataset:

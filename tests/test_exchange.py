@@ -262,6 +262,27 @@ def test_range_join_matches_bruteforce(ray_session):
         check_dtype=False)
 
 
+def test_range_join_broadcast_matches_exchange(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    left = pd.DataFrame({"x": rng.uniform(-500, 1500, 800),
+                         "lid": np.arange(800, dtype=np.int64)})
+    lo = rng.uniform(-600, 1400, 60)
+    right = pd.DataFrame({"lo": lo, "hi": lo + rng.uniform(0, 350, 60),
+                          "rid": np.arange(60, dtype=np.int64)})
+    got = exchange.range_join_broadcast(
+        rd.from_pandas(left).repartition(5), right,
+        "x", "lo", "hi").to_pandas()
+    want = exchange.range_join(
+        rd.from_pandas(left).repartition(5), rd.from_pandas(right),
+        "x", "lo", "hi", bucket_width=100.0).to_pandas()
+    cols = ["lid", "rid", "x", "lo", "hi"]
+    pd.testing.assert_frame_equal(
+        _norm(got[cols], ["lid", "rid"]), _norm(want[cols], ["lid", "rid"]),
+        check_dtype=False)
+
+
 def test_range_join_empty_right(ray_session):
     import ray.data as rd
 
