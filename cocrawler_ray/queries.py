@@ -1260,20 +1260,22 @@ def q_range_join(sf_dir: str):
     sup = (read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
            .assign(__hi=lambda d: d["s_acctbal"] + 200.0))
     ev = read(sf_dir, "events", ["event_id", "value"])
-    # empty-INPUT guard (Ray Data drops schema with all-empty blocks; a
-    # parquet-metadata count is free). Non-empty inputs yielding an empty
-    # JOIN are fine: probe ran on real blocks, so its 0-row outputs keep
-    # their schema — no result-side count() (that would execute the
-    # pipeline twice).
-    if len(sup) == 0 or ev.count() == 0:
+    out = exchange.range_join_broadcast(
+        ev, sup, "value", "s_acctbal", "__hi").map_batches(
+        lambda t: t.select(["event_id", "value", "s_suppkey", "s_acctbal"]),
+        batch_format="pyarrow")
+    # Ray Data drops schema with all-empty blocks (to_pandas of an empty
+    # result is (0,0)), so a legitimately-empty join needs a schema-bearing
+    # table. materialize() here is the query's TERMINAL result (callers
+    # consume it whole), so the count is metadata-only and to_pandas reuses
+    # the same blocks — one execution, unlike a count() on the lazy plan.
+    out = out.materialize()
+    if out.count() == 0:
         return pa.table({"event_id": pa.array([], pa.int64()),
                          "value": pa.array([], pa.float64()),
                          "s_suppkey": pa.array([], pa.int64()),
                          "s_acctbal": pa.array([], pa.float64())})
-    out = exchange.range_join_broadcast(ev, sup, "value", "s_acctbal", "__hi")
-    return out.map_batches(
-        lambda t: t.select(["event_id", "value", "s_suppkey", "s_acctbal"]),
-        batch_format="pyarrow")
+    return out
 
 
 @_q("q_stratified_sample", oracles.stratified_sample_sql(
