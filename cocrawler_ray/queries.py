@@ -1206,15 +1206,31 @@ def q_top_orders(sf_dir: str):
                               "rev": rev})
                 .groupby("l_orderkey", sort=False)["rev"].sum().reset_index())
 
-    cust = (read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-            .map_batches(building, batch_format="pyarrow"))
-    orders = (read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-              .map_batches(open_orders, batch_format="pyarrow"))
+    # the segment filter is a SEMI-join against a dimension: broadcast the
+    # surviving custkeys (ray.put once) and filter orders in the scan —
+    # this replaced the first hash exchange (150k orders rows never
+    # shuffle); only the genuinely large-large orders x lineitem join pays
+    # an exchange.
+    ckeys = np.sort(
+        read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(building, batch_format="pyarrow")
+        .to_pandas()["c_custkey"].to_numpy())
+    cref = ray.put(ckeys)
+
+    def seg_orders(t: pa.Table) -> pa.Table:
+        t = open_orders(t)
+        keys = ray.get(cref)
+        pos = np.searchsorted(keys, t.column("o_custkey").to_numpy())
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos] == t.column("o_custkey").to_numpy()) \
+            if len(keys) else np.zeros(t.num_rows, bool)
+        return t.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
+
+    bo = (read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+          .map_batches(seg_orders, batch_format="pyarrow"))
     li = (read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
           .map_batches(li_partial, batch_format="pandas"))
-    bo = exchange.hash_join(orders, cust, on=["o_custkey"],
-                            right_on=["c_custkey"], num_partitions=8)
     j = exchange.hash_join(li, bo, on=["l_orderkey"], right_on=["o_orderkey"],
                            num_partitions=8)
 
