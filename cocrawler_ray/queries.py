@@ -30,7 +30,8 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from cocrawler_ray import facet, oracles, parse, seeds, urls
-from cocrawler_ray.stages import dedup, exchange, joins, similarity, text as textops
+from cocrawler_ray.stages import (dedup, exchange, joins, similarity,
+                                  text as textops, window)
 from cocrawler_ray.stages.agg import partial_groupby_agg
 
 QUERIES: dict = {}
@@ -2459,3 +2460,27 @@ def q_weighted_sample(sf_dir: str):
 
     return (read(sf_dir, "events", ["event_id", "event_type", "value"])
             .map_batches(gate, batch_format="pyarrow"))
+
+
+@_q("q_token_pack", r"""
+WITH t AS (SELECT doc_id,
+                  CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                       END AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2000
+            AS BIGINT) AS pack_id
+FROM t
+""")
+def q_token_pack(sf_dir: str):
+    # sequence packing for pre-training shards: docs lay end to end in
+    # doc_id order; each doc joins the 2000-token chunk its first token
+    # lands in. The global running sum is ONE distributed ordered scan
+    # (stages/window.py::ordered_prefix_sum: sort -> O(blocks) driver
+    # offsets -> per-block cumsum) — the SQL mirror is the window cumsum.
+    toks = (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(textops.token_count_batch, batch_format="pyarrow")
+            .map_batches(lambda t: t.select(["doc_id", "n_tokens"]),
+                         batch_format="pyarrow"))
+    return window.token_pack(toks, "doc_id", "n_tokens", budget=2000)

@@ -79,3 +79,66 @@ def sessionize(ds: rd.Dataset, by: str, ts_col: str, order_col: str,
     return grouped_shuffle(
         ds.select_columns([by, ts_col, order_col, value_col]),
         [by], split_sessions)
+
+
+def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
+                       out_col: str = "cum") -> rd.Dataset:
+    """Global running sum of ``val_col`` in ``order_col`` order — the
+    distributed scan primitive behind sequence packing, global ranking and
+    ordered chunking.
+
+    Plan: one ``ds.sort(order_col)`` (range partition; blocks then hold
+    DISJOINT key ranges), a per-block (first_key, block_sum) summary —
+    O(blocks) on the driver — turned into exclusive block offsets, then a
+    second pass over the SAME materialized block refs adds
+    offset + within-block cumsum. The data crosses the cluster once (the
+    sort); the offset table is KB-sized regardless of row count.
+    ``out_col`` is INCLUSIVE (first row's cum == its value)."""
+    import ray
+
+    refs = [r for r in ds.sort(order_col).to_arrow_refs()]
+
+    def summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        import pyarrow.compute as pc
+        s = pc.sum(t.column(val_col)).as_py()
+        return (t.column(order_col)[0].as_py(), int(s or 0))
+
+    infos = ray.get([ray.remote(summary).remote(r) for r in refs])
+    offsets: dict = {}
+    run = 0
+    for first, total in sorted(i for i in infos if i is not None):
+        offsets[first] = run
+        run += total
+    oref = ray.put(offsets)
+
+    def add_cum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        off = ray.get(oref)[t.column(order_col)[0].as_py()]
+        v = t.column(val_col).to_numpy().astype(np.int64)
+        return t.append_column(out_col,
+                               pa.array(np.cumsum(v) + off, pa.int64()))
+
+    packed = [ray.remote(add_cum).remote(r) for r in refs]
+    return rd.from_arrow_refs(packed)
+
+
+def token_pack(ds: rd.Dataset, order_col: str, tok_col: str,
+               budget: int) -> rd.Dataset:
+    """Sequence packing (concat-then-chunk pre-training semantics): lay
+    documents end to end in ``order_col`` order and assign each to the
+    ``budget``-token chunk its FIRST token lands in —
+    pack_id = (running_sum_before_doc) // budget. One distributed ordered
+    prefix sum; packs are reproducible for any partitioning."""
+    cum = ordered_prefix_sum(ds, order_col, tok_col, out_col="__cum")
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = t.column("__cum").to_numpy()
+        v = t.column(tok_col).to_numpy().astype(np.int64)
+        pid = (c - v) // budget
+        return (t.drop_columns(["__cum"])
+                .append_column("pack_id", pa.array(pid, pa.int64())))
+
+    return cum.map_batches(pack, batch_format="pyarrow")

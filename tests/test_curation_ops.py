@@ -177,3 +177,29 @@ def test_kmeans_assign_matches_numpy(ray_session):
     self_rows = out.set_index("vec_id").loc[cids]
     assert (self_rows["cid"].to_numpy() == cids).all()
     assert (self_rows["d2"] == 0).all()
+
+
+# -------------------------------------------------- ordered prefix sum
+
+def test_ordered_prefix_sum_matches_pandas(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.window import ordered_prefix_sum, token_pack
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame({"k": rng.permutation(n).astype(np.int64),
+                       "v": rng.integers(0, 50, n).astype(np.int64)})
+    ds = rd.from_pandas(df).repartition(7)  # shuffled input, many blocks
+    got = (ordered_prefix_sum(ds, "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = df.sort_values("k").reset_index(drop=True)
+    want["cum"] = want["v"].cumsum()
+    pd.testing.assert_frame_equal(got[["k", "v", "cum"]], want,
+                                  check_dtype=False)
+    # packing: pack of a row == chunk index of its first token
+    packed = (token_pack(ds, "k", "v", budget=100).to_pandas()
+              .sort_values("k").reset_index(drop=True))
+    assert (packed["pack_id"].to_numpy()
+            == (want["cum"].to_numpy() - want["v"].to_numpy()) // 100).all()
+    # pack ids are nondecreasing in k order and start at 0
+    assert packed["pack_id"].iloc[0] == 0
+    assert (np.diff(packed["pack_id"].to_numpy()) >= 0).all()
