@@ -104,6 +104,7 @@ BENCH_QUERIES_R2 = [
     "q_decontaminate",     # benchmark-shingle decontamination (actor pool)
     "q_kmeans_assign",     # semantic clustering assignment (broadcast centroids)
     "q_quality_gate",      # exact-quantile threshold gate (two-pass)
+    "q_token_pack",        # sequence packing (global ordered prefix sum)
 ]
 
 
