@@ -2484,3 +2484,26 @@ def q_token_pack(sf_dir: str):
             .map_batches(lambda t: t.select(["doc_id", "n_tokens"]),
                          batch_format="pyarrow"))
     return window.token_pack(toks, "doc_id", "n_tokens", budget=2000)
+
+
+@_q("q_anti_join_orders", """
+SELECT o.o_orderkey, o.o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""")
+def q_anti_join_orders(sf_dir: str):
+    # LARGE-LARGE anti-join (NOT EXISTS) through the hash exchange: both
+    # sides co-partition by order key, Acero's "left anti" runs per
+    # partition. Complements q_anti_join_seen (broadcast anti, small right
+    # side) — this is the shape when the exclusion set scales with the
+    # data (e.g. drop every URL already fetched by ANY previous crawl).
+    def hi_qty(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.greater(t["l_quantity"], 45.0))
+                .select(["l_orderkey"]))
+
+    li = (read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+          .map_batches(hi_qty, batch_format="pyarrow"))
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return exchange.hash_join(orders, li, on=["o_orderkey"],
+                              right_on=["l_orderkey"], how="left anti",
+                              num_partitions=8)
