@@ -112,8 +112,12 @@ def init_ray(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: worker-side Ray Data chatter (e.g. the
+        # harmless "Failed to hash the schemas" notice on parquet metadata)
+        # otherwise interleaves with the one-line JSON this script owns.
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     import logging
 
     from ray.data import DataContext
