@@ -98,3 +98,20 @@ def test_crawl_conformance_with_delays(ray_session, corpus_delay, tmp_path):
     assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
     assert engine_ordering(fetched) == oc.ordering()
     assert fetched.num_rows == len(oc.fetch_log)
+
+
+def test_crawl_conformance_with_delays_ray_data_path(ray_session, corpus_delay,
+                                                     tmp_path):
+    """Same delay corpus forced through the huge-wave Ray Data pipeline
+    (actor_path_max_rows=0): politeness budgets bind in drain_all either
+    way, so engine == oracle on both execution paths."""
+    from tests.test_crawl import run_engine
+    _, _, robots_bodies, seeds, web_urls, html_by_url = corpus_delay
+    oc = OracleCrawler(web_urls, html_by_url, robots_bodies,
+                       budget_per_host=3, max_depth=4, max_gens=20, seed=SEED)
+    oc.add_seeds(seeds)
+    oc.run()
+    job = run_engine(corpus_delay, tmp_path, budget=3,
+                     actor_path_max_rows=0)
+    assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
+    assert engine_ordering(job.fetched_table()) == oc.ordering()
