@@ -47,8 +47,26 @@ def _q(name: str, sql: str | None = None):
     return reg
 
 
+_ROWS_CACHE: dict[str, int] = {}
+
+
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read with a row-count-aware block count.
+
+    Ray's default parallelism over-splits small files into EMPTY
+    zero-column blocks (every downstream stage then pays per-block fixed
+    costs, and an all-empty Dataset loses its schema). One cheap metadata
+    read sizes the split so blocks hold ~32k rows, capped at 2x cluster
+    CPUs — at 100 TB the cap keeps the read wide while tiny dimension
+    tables stay single-block."""
+    path = f"{sf_dir}/{table}.parquet"
+    rows = _ROWS_CACHE.get(path)
+    if rows is None:
+        import pyarrow.parquet as pq
+        rows = _ROWS_CACHE[path] = pq.read_metadata(path).num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks = max(1, min(2 * cpus, rows // 32_000 + 1))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 # ===========================================================================
