@@ -141,4 +141,12 @@ def read_ray_dataset(files: list[str], columns: list[str] | None = None):
         for d in dss[1:]:
             out = out.union(d)
         return out
-    return rd.read_parquet(files, columns=columns)
+    # size the split by actual rows (queries.read doc: Ray's default
+    # parallelism shatters small cell files into near-empty blocks and
+    # every downstream stage pays per-block fixed costs)
+    import pyarrow.parquet as pq
+    import ray
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks = max(len(files), min(2 * cpus, rows // 32_000 + 1))
+    return rd.read_parquet(files, columns=columns, override_num_blocks=blocks)
