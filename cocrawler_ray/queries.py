@@ -2525,3 +2525,44 @@ def q_anti_join_orders(sf_dir: str):
     return exchange.hash_join(orders, li, on=["o_orderkey"],
                               right_on=["l_orderkey"], how="left anti",
                               num_partitions=8)
+
+
+@_q("q_cube_revenue", """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def q_cube_revenue(sf_dir: str):
+    # CUBE aggregate (all four grouping sets of flag x status): same
+    # discipline as q_rollup_revenue — the fact table reduces through the
+    # combiner at the finest grain ONCE; every coarser grouping set
+    # derives from that O(flags x statuses) table without rescanning.
+    def disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"flag": t["l_returnflag"],
+                         "status": t["l_linestatus"], "rev_raw": rev})
+
+    fine = partial_groupby_agg(
+        read(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice",
+              "l_discount"])
+        .map_batches(disc, batch_format="pyarrow"),
+        ["flag", "status"], {"rev_raw": ("rev_raw", "sum"),
+                             "n": (None, "count")})
+    by_flag = (fine.groupby("flag", as_index=False)
+               .agg(rev_raw=("rev_raw", "sum"), n=("n", "sum")))
+    by_flag["status"] = "ALL"
+    by_status = (fine.groupby("status", as_index=False)
+                 .agg(rev_raw=("rev_raw", "sum"), n=("n", "sum")))
+    by_status["flag"] = "ALL"
+    total = pd.DataFrame({"flag": ["ALL"], "status": ["ALL"],
+                          "rev_raw": [fine["rev_raw"].sum()],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    return pd.DataFrame({"flag": out["flag"], "status": out["status"],
+                         "rev": out["rev_raw"].round(2),
+                         "n": out["n"].astype(np.int64)})
