@@ -2566,3 +2566,91 @@ def q_cube_revenue(sf_dir: str):
     return pd.DataFrame({"flag": out["flag"], "status": out["status"],
                          "rev": out["rev_raw"].round(2),
                          "n": out["n"].astype(np.int64)})
+
+
+@_q("q_percentile_disc", """
+SELECT event_type, ROUND(quantile_disc(value, 0.6), 6) AS p60_disc
+FROM events GROUP BY event_type
+""")
+def q_percentile_disc(sf_dir: str):
+    # DISCRETE per-group percentile (an actual element of the group, SQL
+    # quantile_disc = value at 1-based rank ceil(q*n) — q=0.6 picks a rank
+    # where discrete and interpolated/'lower' rules genuinely differ, so
+    # the oracle pins the semantics, not just the happy path). Same single
+    # stratum exchange as q_quantile_per_group.
+    def disc(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_v = [], []
+        for k, g in df.groupby("event_type", sort=False, observed=True):
+            v = np.sort(g["value"].to_numpy())
+            idx = int(np.ceil(0.6 * len(v))) - 1
+            out_k.append(k)
+            out_v.append(round(float(v[idx]), 6))
+        return pd.DataFrame({"event_type": out_k,
+                             "p60_disc": np.array(out_v, np.float64)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"], disc)
+
+
+@_q("q_ntile", """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS bucket
+FROM events
+""")
+def q_ntile(sf_dir: str):
+    # ntile window (equi-depth bucketing per partition — quartile labels
+    # for downstream stratification): one entity exchange; the bucket
+    # boundaries (first n%k buckets one row larger) compute vectorized
+    # inside the partition reduce.
+    def tile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "value", "event_id"],
+                            kind="stable")
+        outs = []
+        for _, g in df.groupby("event_type", sort=False, observed=True):
+            n, k = len(g), 4
+            sizes = np.full(k, n // k, np.int64)
+            sizes[: n % k] += 1
+            outs.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "bucket": np.repeat(np.arange(1, k + 1), sizes)}))
+        if not outs:  # empty hash partition — keep the schema stable
+            return pd.DataFrame({"event_id": np.array([], np.int64),
+                                 "event_type": np.array([], object),
+                                 "bucket": np.array([], np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        ["event_type"], tile)
+
+
+@_q("q_first_last", """
+WITH o AS (SELECT user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+SELECT a.user_id, a.event_type AS first_type, ROUND(b.value, 6) AS last_val
+FROM o a JOIN o b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = b.n
+""")
+def q_first_last(sf_dir: str):
+    # first_value / last_value per entity in event-time order (session
+    # entry/exit features): one entity exchange, vectorized head/tail in
+    # the partition reduce — the sessionize partitioning contract.
+    def fl(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False, observed=True)
+        first = g.head(1)
+        last = g.tail(1)
+        return pd.DataFrame({
+            "user_id": first["user_id"].to_numpy(),
+            "first_type": first["event_type"].to_numpy(),
+            "last_val": last["value"].round(6).to_numpy()})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type",
+                                "value"]),
+        ["user_id"], fl)
