@@ -93,7 +93,11 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
     second pass over the SAME materialized block refs adds
     offset + within-block cumsum. The data crosses the cluster once (the
     sort); the offset table is KB-sized regardless of row count.
-    ``out_col`` is INCLUSIVE (first row's cum == its value)."""
+    ``out_col`` is INCLUSIVE (first row's cum == its value).
+
+    ``order_col`` must be UNIQUE (an id column): offsets key on each
+    block's first value, so a duplicate key straddling a block boundary
+    would alias two blocks (guarded below)."""
     import ray
 
     refs = [r for r in ds.sort(order_col).to_arrow_refs()]
@@ -106,11 +110,15 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, val_col: str,
         return (t.column(order_col)[0].as_py(), int(s or 0))
 
     infos = ray.get([ray.remote(summary).remote(r) for r in refs])
+    live = [i for i in infos if i is not None]
     offsets: dict = {}
     run = 0
-    for first, total in sorted(i for i in infos if i is not None):
+    for first, total in sorted(live):
         offsets[first] = run
         run += total
+    if len(offsets) != len(live):
+        raise ValueError(
+            f"{order_col} values are not unique across block boundaries")
     oref = ray.put(offsets)
 
     def add_cum(t: pa.Table) -> pa.Table:
