@@ -94,6 +94,11 @@ def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
         return res[keys + list(aggs)]
 
     parts = parts_ds.to_pandas()
+    if not len(parts):
+        # an all-empty Dataset loses its columns through to_pandas — hand
+        # back a correctly-shaped (if generically-typed) empty frame
+        return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                             for c in [*keys, *aggs]})
     g = parts.groupby(keys, sort=False, observed=True)
     out = {}
     for out_col, (_, kind) in aggs.items():
@@ -120,6 +125,9 @@ def exact_quantile_cont(ds: rd.Dataset, col: str, q: float) -> float:
     two-pass is the standard corpus-curation shape."""
     hist = partial_groupby_agg(ds.select_columns([col]), [col],
                                {"cnt": (None, "count")})
+    if not len(hist):
+        raise ValueError(
+            f"exact_quantile_cont: empty input (no rows in column {col!r})")
     hist = hist.sort_values(col)
     vals = hist[col].to_numpy().astype(np.float64)
     cum = hist["cnt"].to_numpy().astype(np.int64).cumsum()

@@ -61,6 +61,10 @@ def _split_by_hash(table: pa.Table, keys: list[str], P: int) -> list[pa.Table]:
             for p in range(P)]
 
 
+_FLAT_REF_BUDGET = 32_768  # max N x P sub-objects a flat exchange may create
+_GROUP_SIZE = 64           # default round-1 group width for the 2-round path
+
+
 def _reduce(fn: Callable[[pd.DataFrame], pd.DataFrame],
             *tables: pa.Table) -> pa.Table:
     full = pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
@@ -68,11 +72,65 @@ def _reduce(fn: Callable[[pd.DataFrame], pd.DataFrame],
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _concat_blocks(*tables: pa.Table) -> pa.Table:
+    """Ref-count compaction: concat a partition's sub-tables, no reduce."""
+    return pa.concat_tables(
+        [t for t in tables if t.num_rows] or tables[:1]).combine_chunks()
+
+
+def _schema_empty_refs(ds: rd.Dataset) -> list | None:
+    """One ray.put ref to a schema-bearing empty Arrow table for a
+    zero-block Dataset, or None if the schema is unknowable."""
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:
+        return None
+    pa_sch = getattr(sch, "base_schema", None) \
+        or pa.schema(list(zip(sch.names, sch.types)))
+    return [ray.put(pa_sch.empty_table())]
+
+
+def _repair_null_keys(t: pa.Table, keys: list[str],
+                      other: pa.Table, other_keys: list[str]) -> pa.Table:
+    """An all-empty side may carry null-typed columns (Ray's empty-block
+    schema gotcha); Acero rejects null-typed key AND payload fields, so
+    repair every null column of an empty side: keys borrow the other
+    side's key type, payload columns recover their dtype from the block's
+    pandas schema metadata when present (int64/string as the last resort
+    — output is empty either way, only the type must be joinable)."""
+    if t.num_rows:
+        return t
+    key_src = dict(zip(keys, other_keys))
+    pandas_types: dict[str, str] = {}
+    meta = (t.schema.metadata or {}).get(b"pandas")
+    if meta:  # empty-from_pandas blocks keep the true dtypes here
+        import json
+        pandas_types = {c["name"]: c["numpy_type"]
+                        for c in json.loads(meta).get("columns", [])
+                        if c.get("name")}
+    for i, f in enumerate(t.schema):
+        if not pa.types.is_null(f.type):
+            continue
+        if f.name in key_src:
+            ot = other.schema.field(key_src[f.name]).type
+        else:
+            try:
+                ot = pa.from_numpy_dtype(np.dtype(pandas_types[f.name]))
+            except Exception:
+                ot = pa.string() if pandas_types.get(f.name) == "object" \
+                    else pa.int64()
+        if pa.types.is_null(ot):
+            ot = pa.int64()
+        t = t.set_column(i, f.name, t.column(f.name).cast(ot))
+    return t
+
+
 def _join_reduce(left_keys: list[str], right_keys: list[str], how: str,
                  n_left: int, *tables: pa.Table) -> pa.Table:
     lts, rts = tables[:n_left], tables[n_left:]
     left = pa.concat_tables([t for t in lts if t.num_rows] or lts[:1])
     right = pa.concat_tables([t for t in rts if t.num_rows] or rts[:1])
+    left = _repair_null_keys(left, left_keys, right, right_keys)
+    right = _repair_null_keys(right, right_keys, left, left_keys)
     return left.join(right, keys=left_keys, right_keys=right_keys,
                      join_type=how)
 
@@ -92,7 +150,15 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     lrefs = left.to_arrow_refs()
     rrefs = right.to_arrow_refs()
     if not lrefs or not rrefs:
-        return left if not lrefs else right
+        # A zero-block side must still flow through the reduce so outer /
+        # anti semantics and the combined output schema hold (a bare
+        # "return the other side" would drop left rows from a left-outer
+        # join with an empty right, and lose the other side's columns):
+        # synthesize ONE schema-bearing empty block, as asof_join does.
+        lrefs = lrefs or _schema_empty_refs(left)
+        rrefs = rrefs or _schema_empty_refs(right)
+        if lrefs is None or rrefs is None:  # schema unrecoverable
+            return left if not left.to_arrow_refs() else right
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
     joinr = ray.remote(_join_reduce)
     if P == 1:  # no exchange needed — join all blocks in one task
@@ -189,6 +255,14 @@ def grouped_shuffle(ds: rd.Dataset, keys: list[str],
     if not refs:
         return ds
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    gs = max(_GROUP_SIZE, 2 * P)  # guarantees >=2x block shrink per round
+    if len(refs) * P > _FLAT_REF_BUDGET and len(refs) > gs:
+        # the flat exchange would create N x P sub-objects beyond the
+        # driver/scheduler ref budget — take the two-round path with a
+        # concat-only (semantics-preserving) first round
+        return grouped_shuffle_hierarchical(
+            rd.from_arrow_refs(refs), keys, reduce_fn,
+            group_size=gs, num_partitions=P, reapply=False)
     reduce_t = ray.remote(_reduce)
     if P == 1:  # no exchange needed — reduce all blocks in one task
         return rd.from_arrow_refs([reduce_t.remote(reduce_fn, *refs)])
@@ -345,32 +419,40 @@ def range_join(left: rd.Dataset, right: rd.Dataset, val_col: str,
 def grouped_shuffle_hierarchical(ds: rd.Dataset, keys: list[str],
                                  reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
                                  group_size: int = 64,
-                                 num_partitions: int | None = None) -> rd.Dataset:
+                                 num_partitions: int | None = None,
+                                 reapply: bool = True) -> rd.Dataset:
     """Two-round :func:`grouped_shuffle` for block counts where a flat
     exchange's N x P sub-object fan-out would swamp the driver/scheduler
     (the module docstring's 10^6-block case: ~10^9 refs at P=10^3).
+    ``grouped_shuffle`` engages this path AUTOMATICALLY (with
+    ``reapply=False``) once N x P exceeds ``_FLAT_REF_BUDGET``.
 
     Round 1 exchanges WITHIN groups of ``group_size`` blocks (fan-out
     group_size x P per group, scheduled independently); round 2 exchanges
-    the per-group reduced partials (n_groups x P). Total refs
+    the per-group partials (n_groups x P). Total refs
     ~ N x P / group_size + n_groups x P — tunable orders of magnitude below
     the flat exchange.
 
-    Correctness requirement (documented per the custom-operator contract):
-    ``reduce_fn`` must be REAPPLICABLE — a semigroup on its own output
-    (true for groupby aggregations of sum/count/min/max, winner-per-key
-    dedup, drop_duplicates), since each key's rows are reduced once per
-    round. count-style reduces must therefore be expressed as sums of
-    partial counts, exactly the ``partial_groupby_agg`` combiner shape."""
+    ``reapply=True`` applies ``reduce_fn`` in BOTH rounds — round 1 then
+    shrinks data, but ``reduce_fn`` must be REAPPLICABLE: a semigroup on
+    its own output (true for groupby aggregations of sum/count/min/max,
+    winner-per-key dedup, drop_duplicates), since each key's rows are
+    reduced once per round; count-style reduces must be expressed as sums
+    of partial counts, exactly the ``partial_groupby_agg`` combiner shape.
+    ``reapply=False`` makes round 1 CONCAT-ONLY (pure ref-count
+    compaction, identical semantics to the flat exchange for ANY
+    reduce_fn) and applies ``reduce_fn`` exactly once in round 2."""
     refs = ds.to_arrow_refs()
     if len(refs) <= group_size:
         return grouped_shuffle(ds, keys, reduce_fn, num_partitions)
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
     split = ray.remote(num_returns=P)(_split_by_hash)
-    reduce_t = ray.remote(_reduce)
+    round1 = ray.remote(_reduce) if reapply else ray.remote(_concat_blocks)
     partials = []
     for g in range(0, len(refs), group_size):
         subs = [split.remote(r, keys, P) for r in refs[g:g + group_size]]
-        partials.extend(reduce_t.remote(reduce_fn, *[s[p] for s in subs])
-                        for p in range(P))
+        partials.extend(
+            (round1.remote(reduce_fn, *[s[p] for s in subs]) if reapply
+             else round1.remote(*[s[p] for s in subs]))
+            for p in range(P))
     return grouped_shuffle(rd.from_arrow_refs(partials), keys, reduce_fn, P)

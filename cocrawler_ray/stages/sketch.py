@@ -134,17 +134,22 @@ class CountMinSketch:
 
 
 def approx_topk(ds: rd.Dataset, col: str, k: int,
-                w: int = 2048, d: int = 4) -> pd.DataFrame:
+                w: int = 2048, d: int = 4,
+                cand_factor: int = 8) -> pd.DataFrame:
     """One-pass approximate top-k: each block emits a CMS + its local
     candidate keys; the driver merges the KB-sized sketches and ranks the
-    (bounded) candidate union by sketched count. Any key in the true
-    top-k is some block's local candidate, so recall is structural —
-    counts may overestimate per the CMS bound."""
+    (bounded) candidate union by sketched count. Recall is HEURISTIC, not
+    guaranteed: a key spread evenly across many blocks can be globally
+    top-k without being locally top-k in any block — each block therefore
+    keeps ``cand_factor * k`` local candidates, so missing a true top-k
+    key requires it to fall outside the local top-(c*k) in EVERY block it
+    touches. Counts may overestimate per the CMS bound. For exact
+    phi-heavy keys use :func:`cocrawler_ray.stages.agg.heavy_hitters`."""
     def sketch_block(df: pd.DataFrame) -> pd.DataFrame:
         cms = CountMinSketch(w, d)
         u, c = np.unique(df[col].astype(str).to_numpy(), return_counts=True)
         cms.add(u, c)
-        local = u[np.argsort(-c, kind="stable")][:k]
+        local = u[np.argsort(-c, kind="stable")][:cand_factor * k]
         return pd.DataFrame({"table": [cms.table.tobytes()],
                              "cand": [",".join(local)]})
 

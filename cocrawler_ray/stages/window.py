@@ -33,6 +33,10 @@ def _ts_us(col: pd.Series | pa.ChunkedArray) -> np.ndarray:
     """timestamp column -> int64 epoch microseconds."""
     if isinstance(col, pd.Series):
         return col.to_numpy().astype("datetime64[us]").view("int64")
+    if pa.types.is_timestamp(col.type):
+        # normalize the unit first: a timestamp[ns|s] cast straight to
+        # int64 would yield ns/s epochs and wrong window ids
+        col = col.cast(pa.timestamp("us", col.type.tz))
     return col.cast(pa.int64()).to_numpy()
 
 

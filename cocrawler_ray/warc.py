@@ -152,9 +152,11 @@ def write_warc_from_fetched(fetched_files: list[str], dest_dir: str,
 
     @ray.remote
     def render(path: str) -> int:
-        import pyarrow.parquet as pq
-        return write_batch(pq.read_table(path), dest_dir, Path(path).stem,
-                           max_size, date)
+        # format-agnostic cell read (Parquet shim or Lance dataset dir —
+        # storage.py dispatches the codec), matching write_logs/export
+        from cocrawler_ray.storage import _read_cell_file
+        return write_batch(_read_cell_file(Path(path)), dest_dir,
+                           Path(path).stem, max_size, date)
 
     return sum(ray.get([render.remote(f) for f in fetched_files]))
 

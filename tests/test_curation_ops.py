@@ -203,3 +203,26 @@ def test_ordered_prefix_sum_matches_pandas(ray_session):
     # pack ids are nondecreasing in k order and start at 0
     assert packed["pack_id"].iloc[0] == 0
     assert (np.diff(packed["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_ts_us_normalizes_arrow_units(ray_session):
+    """timestamp[ns]/[s] Arrow columns must yield the same epoch-us as the
+    pandas path — a straight int64 cast would be off by 1000x/1e6x."""
+    import pyarrow as pa
+    from cocrawler_ray.stages.window import _ts_us
+
+    base = pd.to_datetime(["2026-01-01 00:00:01", "2026-01-01 00:02:03"])
+    want = base.to_numpy().astype("datetime64[us]").view("int64")
+    for unit in ("s", "ms", "us", "ns"):
+        arr = pa.chunked_array([base.to_numpy().astype(f"datetime64[{unit}]")])
+        np.testing.assert_array_equal(_ts_us(arr), want)
+
+
+def test_exact_quantile_cont_empty_raises(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.agg import exact_quantile_cont
+
+    ds = (rd.from_pandas(pd.DataFrame({"v": np.arange(5, dtype=np.int64)}))
+          .filter(lambda r: False))
+    with pytest.raises(ValueError, match="empty input"):
+        exact_quantile_cont(ds, "v", 0.5)

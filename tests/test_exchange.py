@@ -382,3 +382,89 @@ def test_hierarchical_shuffle_matches_flat(ray_session):
                 rd.from_pandas(df).repartition(24), ["k"], red, group_size=5)
             .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(_norm(flat, ["k"]), _norm(hier, ["k"]))
+
+
+def test_hierarchical_concat_only_matches_flat(ray_session):
+    """reapply=False round 1 is pure ref compaction — identical output for
+    a reduce_fn that is NOT a semigroup on its own output (a count)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"k": rng.integers(0, 150, 4000).astype(np.int64),
+                       "v": rng.normal(size=4000)})
+
+    def red(d: pd.DataFrame) -> pd.DataFrame:
+        # count-of-rows per key: reapplying this to its own output would
+        # yield 1 per key — only correct if applied exactly once
+        return d.groupby("k", sort=False).size().rename("n").reset_index()
+
+    flat = (exchange.grouped_shuffle(rd.from_pandas(df).repartition(20),
+                                     ["k"], red)
+            .to_pandas())
+    hier = (exchange.grouped_shuffle_hierarchical(
+                rd.from_pandas(df).repartition(20), ["k"], red,
+                group_size=4, reapply=False)
+            .to_pandas())
+    pd.testing.assert_frame_equal(_norm(flat, ["k"]), _norm(hier, ["k"]))
+    truth = df.groupby("k").size().rename("n").reset_index()
+    pd.testing.assert_frame_equal(_norm(flat, ["k"]), _norm(truth, ["k"]))
+
+
+def test_flat_exchange_auto_engages_hierarchical(ray_session, monkeypatch):
+    """Above the ref budget, grouped_shuffle takes the two-round path
+    automatically and still matches the ground truth."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"k": rng.integers(0, 80, 3000).astype(np.int64),
+                       "v": rng.integers(0, 9, 3000).astype(np.int64)})
+
+    def red(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", sort=False).size().rename("n").reset_index()
+
+    calls = []
+    orig = exchange.grouped_shuffle_hierarchical
+
+    def spy(*a, **kw):
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(exchange, "_FLAT_REF_BUDGET", 8)
+    monkeypatch.setattr(exchange, "_GROUP_SIZE", 4)
+    monkeypatch.setattr(exchange, "grouped_shuffle_hierarchical", spy)
+    out = (exchange.grouped_shuffle(rd.from_pandas(df).repartition(24),
+                                    ["k"], red)
+           .to_pandas())
+    assert calls and calls[0].get("reapply") is False
+    truth = df.groupby("k").size().rename("n").reset_index()
+    pd.testing.assert_frame_equal(_norm(out, ["k"]), _norm(truth, ["k"]))
+
+
+def test_hash_join_empty_right_side(ray_session):
+    """Zero-block sides flow through the reduce: left-outer keeps every
+    left row null-extended; inner returns empty WITH both sides' schema."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                         "lv": np.arange(5, dtype=np.int64) * 10})
+    right = pd.DataFrame({"k": np.array([], dtype=np.int64),
+                          "rv": np.array([], dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(2)
+    # filter to zero blocks while keeping the schema
+    rds = rd.from_pandas(right)
+
+    outer = exchange.hash_join(lds, rds, ["k"], how="left outer").to_pandas()
+    assert len(outer) == 5
+    assert set(outer.columns) == {"k", "lv", "rv"}
+    assert outer["rv"].isna().all()
+
+    inner = exchange.hash_join(lds, rds, ["k"], how="inner")
+    assert inner.count() == 0
+    # (all-empty Datasets lose columns through to_pandas — assert on the
+    # block schema, which the reduce tasks preserve)
+    import ray
+    blocks = [ray.get(r) for r in inner.to_arrow_refs()]
+    assert blocks and set(blocks[0].schema.names) == {"k", "lv", "rv"}
+
+    anti = exchange.hash_join(lds, rds, ["k"], how="left anti").to_pandas()
+    assert sorted(anti["k"]) == [0, 1, 2, 3, 4]
