@@ -342,23 +342,26 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 """
 
 
-def kmeans_assign_sql(stride: int = 37) -> str:
-    """Mirror of similarity.kmeans_assign_seeded: stride-seeded centroids,
-    integer-exact squared-L2 argmin over quantized vectors, ties to the
-    smallest centroid id."""
+def kmeans_assign_sql(stride: int = 37, max_centroids: int = 256) -> str:
+    """Mirror of similarity.kmeans_assign_seeded: stride-seeded centroids
+    bounded at max_centroids (corpus-size-independent), integer-exact
+    squared-L2 argmin over quantized vectors, ties to the smallest
+    centroid id."""
     d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"
           " - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))"
           " + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT)")
     return f"""
 WITH e AS (SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings),
-cent AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {stride} = 1)
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         WHERE vec_id % {stride} = 1 AND vec_id < {stride * max_centroids})
 SELECT a.vec_id, c.cid, {d2} AS d2
 FROM e a CROSS JOIN cent c
 QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2, c.cid) = 1
 """
 
 
-def ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 10) -> str:
+def ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 10,
+                max_centroids: int = 256) -> str:
     d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"
           " - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))"
           " + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT)")
@@ -366,7 +369,8 @@ def ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 10) -> str:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   {_quant_sql('embedding')} AS q
            FROM embeddings),
-cent AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {stride} = 1),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         WHERE vec_id % {stride} = 1 AND vec_id < {stride * max_centroids}),
 assign AS (
   SELECT a.vec_id, c.cid, {d2} AS d2
   FROM e a CROSS JOIN cent c

@@ -134,24 +134,33 @@ def ivf_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
 
 
 def kmeans_assign_seeded(ds: rd.Dataset, stride: int = 37,
+                         max_centroids: int = 256,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> rd.Dataset:
     """Nearest-centroid (one k-means assignment step) over an embedding
     column — the semantic-clustering primitive behind cluster-balanced
     corpus sampling and IVF cell builds.
 
-    Centroids are the rows with ``id % stride == 1`` (deterministic, no
-    Lloyd iterations — swap in ``train_centroids`` when balance matters);
-    assignment is argmin integer squared-L2 over floor(v*1000+0.5)-
-    quantized vectors, ties to the smallest centroid id, so the clustering
-    is exactly reproducible anywhere (incl. the DuckDB mirror,
-    oracles.kmeans_assign_sql). Centroids broadcast once via ray.put; the
-    scan streams — per-row output (id, cid, d2), no shuffle.
+    Centroids are the rows with ``id % stride == 1 AND
+    id < stride * max_centroids`` — deterministic AND corpus-size-
+    independent: the driver gather below is bounded by ``max_centroids``
+    rows no matter how large the corpus grows (swap in
+    ``train_centroids`` over a bounded sample when cluster balance
+    matters more than restatability). Assignment is argmin integer
+    squared-L2 over floor(v*1000+0.5)-quantized vectors, ties to the
+    smallest centroid id, so the clustering is exactly reproducible
+    anywhere (incl. the DuckDB mirror, oracles.kmeans_assign_sql).
+    Centroids broadcast once via ray.put; the scan streams — per-row
+    output (id, cid, d2), no shuffle.
     """
     from cocrawler_ray.oracles import quantize_vecs
 
+    bound = stride * max_centroids
+
     cent_tab = (ds.map_batches(
-        lambda t: t.filter(pa.array(t.column(id_col).to_numpy() % stride == 1)),
+        lambda t: t.filter(pa.array(
+            (t.column(id_col).to_numpy() % stride == 1)
+            & (t.column(id_col).to_numpy() < bound))),
         batch_format="pyarrow").to_pandas())
     cent_tab = cent_tab.sort_values(id_col)
     cids = cent_tab[id_col].to_numpy().astype(np.int64)
@@ -176,23 +185,29 @@ def kmeans_assign_seeded(ds: rd.Dataset, stride: int = 37,
 
 def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
                     stride: int = 37, nprobe: int = 4,
+                    max_centroids: int = 256,
                     id_col: str = "vec_id", vec_col: str = "embedding"
                     ) -> pd.DataFrame:
     """IVF-flat with stride-seeded centroids and integer-exact assignment.
 
-    Centroids are the rows with ``id % stride == 1`` (deterministic sample
-    init, zero Lloyd iterations — pick ``stride`` so the centroid count is
-    O(1000) at the target scale; use ``ivf_topk``'s trained k-means when
-    cell balance matters more than restatability). Cell assignment is
-    argmin squared-L2 between floor(v*1000+0.5)-quantized int64 vectors
-    (ties -> smallest centroid id), so the partition of rows into cells is
-    exactly reproducible anywhere — including the DuckDB conformance
-    oracle (oracles.ann_ivf_sql). Only the final cosine ranking is float.
+    Centroids are the rows with ``id % stride == 1 AND
+    id < stride * max_centroids`` (deterministic sample init, zero Lloyd
+    iterations, centroid count bounded independent of corpus size; use
+    ``ivf_topk``'s trained k-means when cell balance matters more than
+    restatability). Cell assignment is argmin squared-L2 between
+    floor(v*1000+0.5)-quantized int64 vectors (ties -> smallest centroid
+    id), so the partition of rows into cells is exactly reproducible
+    anywhere — including the DuckDB conformance oracle
+    (oracles.ann_ivf_sql). Only the final cosine ranking is float.
     """
     from cocrawler_ray.oracles import quantize_vecs
 
+    bound = stride * max_centroids
+
     cent_tab = (ds.map_batches(
-        lambda t: t.filter(pa.array(t.column(id_col).to_numpy() % stride == 1)),
+        lambda t: t.filter(pa.array(
+            (t.column(id_col).to_numpy() % stride == 1)
+            & (t.column(id_col).to_numpy() < bound))),
         batch_format="pyarrow").to_pandas())
     cent_tab = cent_tab.sort_values(id_col)
     C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)

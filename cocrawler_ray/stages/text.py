@@ -149,16 +149,21 @@ class ContaminationCheck:
     standard eval-set-decontamination gate for training corpora).
 
     The benchmark set is small by contract (held-out eval suites, not the
-    corpus); it is fetched from plasma and sorted ONCE per actor here in
-    ``__init__`` — per batch, membership is a vectorized searchsorted
-    against the sorted array. Emits (id_col, n_hits) for hit docs only,
-    so clean documents never leave the scan.
+    corpus); it is passed BY VALUE in the constructor kwargs and sorted
+    ONCE per actor here in ``__init__`` — per batch, membership is a
+    vectorized searchsorted against the sorted array. Emits
+    (id_col, n_hits) for hit docs only, so clean documents never leave
+    the scan. (By value, not an ObjectRef: Ray Data sets max_restarts on
+    pool actors, and constructor args living in the object store break
+    actor restart — ray#53727.)
     """
 
-    def __init__(self, bench_ref, n: int = 3, id_col: str = "doc_id",
+    def __init__(self, bench, n: int = 3, id_col: str = "doc_id",
                  text_col: str = "text"):
         import ray
-        self._bench = np.sort(np.asarray(ray.get(bench_ref)))
+        if isinstance(bench, ray.ObjectRef):  # legacy callers
+            bench = ray.get(bench)
+        self._bench = np.sort(np.asarray(bench))
         self._n = n
         self._id_col = id_col
         self._text_col = text_col
