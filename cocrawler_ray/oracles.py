@@ -587,3 +587,119 @@ def pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
         prev = f"i{i}"
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, ROUND(r, 6) AS pr FROM {prev}")
+
+
+# ---------------------------------------------------------------------------
+# Sketch oracles (HLL / Count-Min / Bloom): both sides construct the same
+# bounded key domain from table columns; per-key hash derivatives (register
+# index + rho, CMS cells, Bloom bit positions) are computed HERE from the
+# engine's own hash64 and embedded as literals, and the SQL restates the
+# sketch SEMANTICS (max-per-register, min-over-rows of colliding sums,
+# all-k-bits-set membership incl. false positives) analytically.
+# ---------------------------------------------------------------------------
+
+HLL_DOMAIN = 1021   # prime; q_approx_distinct key domain
+HLL_P = 8           # 256 registers
+
+CMS_W, CMS_D = 2048, 4
+CMS_KEYS = 64       # q_approx_topk key domain (<= cand_factor*k so the
+                    # candidate union is provably every present key)
+
+BLOOM_BITS, BLOOM_K = 1024, 7
+BLOOM_KEYS = 512    # q_bloom key domain; ~1/3 inserted -> measurable FPs
+
+
+def hll_register_literals() -> str:
+    """VALUES hr(kid, idx, rho) for every kid in the q_approx_distinct
+    domain, from hash64(f'k{kid}') exactly as hll_add computes them."""
+    from cocrawler_ray.stages.sketch import _clz64
+    h = hash64([f"k{i}" for i in range(HLL_DOMAIN)])
+    p = np.uint64(HLL_P)
+    idx = (h >> (np.uint64(64) - p)).astype(np.int64)
+    w = h << p
+    rho = np.where(w == 0, np.uint64(64 - HLL_P + 1),
+                   _clz64(w) + np.uint64(1)).astype(np.int64)
+    rows = ", ".join(f"({i}, {int(idx[i])}, {int(rho[i])})"
+                     for i in range(HLL_DOMAIN))
+    return f"(VALUES {rows}) hr(kid, idx, rho)"
+
+
+def approx_distinct_sql() -> str:
+    """q_approx_distinct: the merged HLL's nonzero registers (integer-
+    exact; the float estimate formula is unit-tested separately)."""
+    return f"""
+WITH present AS (SELECT DISTINCT (event_id * 11 + 5) % {HLL_DOMAIN} AS kid
+                 FROM events),
+hr AS (SELECT * FROM {hll_register_literals()})
+SELECT CAST(hr.idx AS BIGINT) AS reg_idx, CAST(max(hr.rho) AS BIGINT) AS rho
+FROM present JOIN hr ON hr.kid = present.kid
+GROUP BY hr.idx
+"""
+
+
+def cms_cell_literals() -> str:
+    """VALUES cl(kid, r, cell) — each key's Count-Min cell per row, from
+    the same Kirsch-Mitzenmacher indices CountMinSketch uses."""
+    from cocrawler_ray.stages.sketch import CountMinSketch
+    cms = CountMinSketch(CMS_W, CMS_D)
+    idx = cms._indices([f"t{i:02d}" for i in range(CMS_KEYS)])
+    rows = ", ".join(f"({kid}, {r}, {int(idx[r, kid])})"
+                     for kid in range(CMS_KEYS) for r in range(CMS_D))
+    return f"(VALUES {rows}) cl(kid, r, cell)"
+
+
+def approx_topk_sql(k: int = 10) -> str:
+    """q_approx_topk: CMS-estimated top-k over a skewed constructed key
+    (AND of two uniform 6-bit fields -> heavy mass at small ids). The
+    key domain (64) is below cand_factor*k, so every present key is a
+    per-block candidate and the result is exactly the sketch ranking:
+    est(key) = min over rows of the summed counts colliding in that cell."""
+    return f"""
+WITH base AS (SELECT ((event_id % 64) & ((event_id // 64) % 64)) AS kid
+              FROM events),
+cnt AS (SELECT kid, count(*) AS c FROM base GROUP BY kid),
+cl AS (SELECT * FROM {cms_cell_literals()}),
+cellsum AS (SELECT cl.r, cl.cell, sum(cnt.c) AS s
+            FROM cl JOIN cnt ON cnt.kid = cl.kid
+            GROUP BY cl.r, cl.cell),
+est AS (SELECT cnt.kid, min(cs.s) AS est
+        FROM cnt JOIN cl ON cl.kid = cnt.kid
+        JOIN cellsum cs ON cs.r = cl.r AND cs.cell = cl.cell
+        GROUP BY cnt.kid)
+SELECT 't' || lpad(CAST(kid AS VARCHAR), 2, '0') AS key,
+       CAST(est AS BIGINT) AS est
+FROM est ORDER BY est DESC, key LIMIT {k}
+"""
+
+
+def bloom_bit_literals() -> str:
+    """VALUES bp(kid, pi, bit) — every key's k Bloom bit positions, from
+    BloomFilter._positions."""
+    from cocrawler_ray.stages.sketch import BloomFilter
+    bf = BloomFilter(BLOOM_BITS, BLOOM_K)
+    pos = bf._positions([f"u{i:03d}" for i in range(BLOOM_KEYS)])
+    rows = ", ".join(f"({kid}, {pi}, {int(pos[pi, kid])})"
+                     for kid in range(BLOOM_KEYS) for pi in range(BLOOM_K))
+    return f"(VALUES {rows}) bp(kid, pi, bit)"
+
+
+def bloom_sql() -> str:
+    """q_bloom: membership of every document key against a Bloom filter
+    of the member subset (kid % 3 == 0). hit=1 iff ALL k probe bits land
+    in the union of the PRESENT members' bit sets — false positives and
+    all (no false negatives by construction)."""
+    return f"""
+WITH bp AS (SELECT * FROM {bloom_bit_literals()}),
+probe AS (SELECT doc_id, doc_id % {BLOOM_KEYS} AS kid FROM documents),
+setbits AS (SELECT DISTINCT bp.bit
+            FROM (SELECT DISTINCT kid FROM probe WHERE kid % 3 = 0) m
+            JOIN bp ON bp.kid = m.kid),
+hitc AS (SELECT p.kid, count(*) AS nhit
+         FROM (SELECT DISTINCT kid FROM probe) p
+         JOIN bp ON bp.kid = p.kid
+         JOIN setbits s ON s.bit = bp.bit
+         GROUP BY p.kid)
+SELECT probe.doc_id,
+       CAST(coalesce(h.nhit, 0) = {BLOOM_K} AS BIGINT) AS hit
+FROM probe LEFT JOIN hitc h ON h.kid = probe.kid
+"""

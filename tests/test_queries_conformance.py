@@ -68,3 +68,21 @@ def test_query_matches_oracle(name, ray_session, duck):
                                equal_nan=True), f"column {c} differs"
         else:
             assert got[c].equals(want[c]), f"column {c} differs"
+
+
+def test_priority_window_covers_every_family():
+    """The first 50 registered queries (the driver's hard-check window)
+    must stay one-per-family complete and fully SQL-oracled."""
+    from cocrawler_ray.queries import ORACLE, QUERIES, _PRIORITY
+
+    names = list(QUERIES)
+    assert len(_PRIORITY) == 50
+    assert names[:50] == _PRIORITY
+    # every window query has a full value-hash oracle (not rows-only)
+    assert all(n in ORACLE for n in names[:50])
+    # spot-pin one representative per family the round-2 verdict called out
+    for must in ("q_decontaminate", "q_semantic_dedup", "q_token_pack",
+                 "q_tfidf", "q_pagerank", "q_range_join", "q_repetition",
+                 "q_quality_gate", "q_weighted_sample", "q_curate_corpus",
+                 "q_approx_distinct", "q_approx_topk", "q_bloom"):
+        assert must in names[:50], must
