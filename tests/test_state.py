@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from cocrawler_ray.hashing import hash64, rand_for_surt
 from cocrawler_ray.state import FrontierPartition, RobotsPartition, SeenPartition
@@ -197,3 +198,36 @@ def test_robots_partition_cache_and_decisions():
     assert r.stats()["fetches"] == 3
     r.check_batch(["a.test"], ["/y"], gen=5)  # TTL expired -> refetch
     assert r.stats()["fetches"] == 4
+
+
+@pytest.mark.skipif(__import__("importlib").util.find_spec("lance") is None,
+                    reason="lance not installed in this sandbox")
+def test_lance_cell_roundtrip(tmp_path, ray_session):
+    """Exercises the import-gated Lance codec branch the moment pylance
+    appears: write_cell -> read_cell -> read_ray_dataset must round-trip
+    a fetched-shaped table bit-for-bit (storage.py dispatches the codec
+    at import; the Parquet shim is the only branch this sandbox runs)."""
+    import pyarrow as pa
+
+    from cocrawler_ray import storage as st
+
+    assert st.CELL_FORMAT == "lance"
+    t = pa.table({
+        "image_id": pa.array(["img0001", "img0002"], pa.string()),
+        "bytes": pa.array([b"\x00\x01", b"\x02\x03"], pa.binary()),
+        "w": pa.array([16, 32], pa.int32()),
+        "h": pa.array([16, 16], pa.int32()),
+        "fmt": pa.array(["raw16", "qnt"], pa.string()),
+        "caption": pa.array(["a cat", "a dog"], pa.string()),
+        "phash": pa.array([1, 2], pa.int64()),
+    })
+    s = st.Storage(tmp_path)
+    path = s.write_cell(t, "imgcells", gen=0, part=0, validate=False)
+    assert path.endswith(".lance")
+    back = s.read_cell("imgcells", 0, 0)
+    assert back.equals(t) or back.cast(t.schema).equals(t)
+    ds = st.read_ray_dataset(s.table_files("imgcells"))
+    got = ds.to_arrow_refs()
+    import ray
+    merged = pa.concat_tables([ray.get(r) for r in got])
+    assert merged.sort_by("image_id").cast(t.schema).equals(t)
