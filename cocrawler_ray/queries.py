@@ -2128,23 +2128,17 @@ def q_decontaminate(sf_dir: str):
     # 1 input(s)" warning)
     ds = read(sf_dir, "documents", ["doc_id", "text"], min_blocks=16)
 
-    def bench_grams(t: pa.Table) -> pa.Table:
-        keep = t.column("doc_id").to_numpy() % 50 == 0
-        sub = t.filter(pa.array(keep))
-        _, grams = textops._distinct_ngrams(sub.column("text").to_pylist(), 3)
-        return pa.table({"g": pa.array(np.unique(grams), pa.string())})
-
-    bench = np.unique(
-        ds.map_batches(bench_grams, batch_format="pyarrow")
-        .to_pandas()["g"].to_numpy())
-
     corpus = ds.map_batches(
         lambda t: t.filter(pa.array(t.column("doc_id").to_numpy() % 50 != 0)),
         batch_format="pyarrow")
-    # bench passes BY VALUE: small by contract, and an ObjectRef in actor
-    # constructor args breaks pool-actor restart (ray#53727)
+    # each actor loads the benchmark suite from storage in __init__ —
+    # constructor kwargs stay a path string (inline, never spilled to the
+    # object store), killing the ray#53727 pool-actor restart hazard AND
+    # the driver-side gram gather
     return corpus.map_batches(
-        textops.ContaminationCheck, fn_constructor_kwargs=dict(bench=bench),
+        textops.ContaminationCheck,
+        fn_constructor_kwargs=dict(
+            bench_path=f"{sf_dir}/documents.parquet", holdout_mod=50),
         concurrency=(2, 8), batch_format="pyarrow")
 
 

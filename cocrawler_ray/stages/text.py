@@ -158,10 +158,23 @@ class ContaminationCheck:
     actor restart — ray#53727.)
     """
 
-    def __init__(self, bench, n: int = 3, id_col: str = "doc_id",
-                 text_col: str = "text"):
+    def __init__(self, bench=None, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text", bench_path: str | None = None,
+                 holdout_mod: int = 50):
         import ray
-        if isinstance(bench, ray.ObjectRef):  # legacy callers
+        if bench is None:
+            # production shape: each actor loads the benchmark suite from
+            # shared storage ONCE in init — constructor kwargs stay a few
+            # bytes (a path), below Ray's inline threshold, so Ray Data
+            # never spills them to the object store (the ray#53727
+            # restart hazard) and the driver never gathers the grams
+            import pyarrow.parquet as pq
+            t = pq.read_table(bench_path, columns=[id_col, text_col])
+            keep = t.column(id_col).to_numpy() % holdout_mod == 0
+            _, grams = _distinct_ngrams(
+                t.filter(pa.array(keep)).column(text_col).to_pylist(), n)
+            bench = np.unique(grams)
+        elif isinstance(bench, ray.ObjectRef):  # legacy callers
             bench = ray.get(bench)
         self._bench = np.sort(np.asarray(bench))
         self._n = n
