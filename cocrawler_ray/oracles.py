@@ -400,9 +400,16 @@ def image_dims(d: int) -> tuple[int, int]:
     return 16 * (1 + d % 2), 16 * (1 + (d // 2) % 2)  # (w, h), both 8-divisible
 
 
-def formula_image(d: int) -> np.ndarray:
+def varied_image_dims(d: int) -> tuple[int, int]:
+    """35 (w, h) combinations — the aspect-bucketing corpus (q_image_
+    aspect_buckets needs real dimensional variety, unlike the 4-shape
+    decode corpus)."""
+    return 8 * (1 + d % 7), 8 * (1 + (d // 7) % 5)
+
+
+def formula_image(d: int, dims=None) -> np.ndarray:
     """(h, w, 3) uint8 — pixel = integer formula of (d, x, y, ch)."""
-    w, h = image_dims(d)
+    w, h = dims or image_dims(d)
     y, x = np.mgrid[0:h, 0:w]
     img = np.empty((h, w, 3), dtype=np.uint8)
     for ch in range(3):
@@ -411,17 +418,18 @@ def formula_image(d: int) -> np.ndarray:
     return img
 
 
-def conformance_images(n: int = N_IMAGES):
+def conformance_images(n: int = N_IMAGES, dims_fn=None):
     """Arrow web-schema table of formula images (real codec encode)."""
     import pyarrow as pa
 
     from cocrawler_ray import codecs
+    dims_fn = dims_fn or image_dims
     ids, data, ws, hs, fmts = [], [], [], [], []
     for d in range(n):
-        w, h = image_dims(d)
+        w, h = dims_fn(d)
         fmt = codecs.FORMATS[d % 3]
         ids.append(f"img{d:04d}")
-        data.append(codecs.encode(formula_image(d), fmt))
+        data.append(codecs.encode(formula_image(d, (w, h)), fmt))
         ws.append(w); hs.append(h); fmts.append(fmt)
     return pa.table({
         "image_id": pa.array(ids, pa.string()),
@@ -430,6 +438,11 @@ def conformance_images(n: int = N_IMAGES):
         "h": pa.array(np.array(hs, dtype=np.int32)),
         "fmt": pa.array(fmts, pa.string()),
     })
+
+
+def conformance_images_varied(n: int = 140):
+    """The 35-shape corpus for aspect-ratio bucketing."""
+    return conformance_images(n, dims_fn=varied_image_dims)
 
 
 def formula_payload(d: int, length: int = PAYLOAD_LEN) -> bytes:

@@ -2764,6 +2764,225 @@ def q_bloom(sf_dir: str):
 
 
 # ===========================================================================
+# Round-3 additions: PII redaction, document chunking, BM25 scoring,
+# aspect-ratio bucketing (image axis), caption+phash composite dedup
+# ===========================================================================
+
+@_q("q_pii_redact", r"""
+SELECT doc_id,
+  CAST(doc_id % 3 = 0 AS BIGINT) AS n_email,
+  CAST(doc_id % 5 = 0 AS BIGINT) AS n_ip,
+  CAST(doc_id % 4 = 0 AS BIGINT) AS n_phone,
+  (CASE WHEN doc_id % 3 = 0 THEN 'contact <EMAIL> ' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN 'ip <IP> ' ELSE '' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN 'call <PHONE> ' ELSE '' END)
+  || regexp_replace(lower(text), '[^a-z ]', '', 'g') AS redacted
+FROM documents
+""")
+def q_pii_redact(sf_dir: str):
+    # PII scrub (emails / IPv4 / phone-shaped numbers) — the standard
+    # pre-training privacy gate. The Ray side CONSTRUCTS deterministically
+    # PII-laden text (doc_id-keyed addresses prepended to the sanitized
+    # document), runs the REAL compiled-regex redactor
+    # (stages/text.py::pii_redact_batch), and the SQL states the expected
+    # redaction analytically (q_normalize_text pattern). Pure map — no
+    # shuffle at any scale.
+    import re as _re
+    strip = _re.compile(r"[^a-z ]")
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        out = []
+        for i, t in enumerate(df["text"].to_numpy()):
+            did = int(d[i])
+            pre = ""
+            if did % 3 == 0:
+                pre += f"contact user{did}@ex{did % 7}.com "
+            if did % 5 == 0:
+                pre += f"ip 10.{did % 256}.0.{did % 5} "
+            if did % 4 == 0:
+                pre += f"call 555-{did % 10000:04d} "
+            out.append(pre + strip.sub("", t.lower()))
+        return pd.DataFrame({"doc_id": d, "text": np.asarray(out, object)})
+
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(messy, batch_format="pandas")
+            .map_batches(textops.pii_redact_batch, batch_format="pandas"))
+
+
+@_q("q_chunk_docs", r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents WHERE trim(text) <> ''),
+st AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+       FROM tok)
+SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(LEAST(32, len(t) - s) AS BIGINT) AS n_tok,
+       array_to_string(t[s + 1 : LEAST(s + 32, len(t))], ' ') AS chunk
+FROM st
+""")
+def q_chunk_docs(sf_dir: str):
+    # overlapping fixed-token-window chunking (window 32, stride 24) —
+    # the context-length packing precursor; expansion happens inside the
+    # scan (stages/text.py::chunk_docs_batch doc).
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(lambda df: textops.chunk_docs_batch(
+                df, window=32, stride=24), batch_format="pandas"))
+
+
+_BM25_TERMS = ("fast", "join", "window", "hash")
+
+
+@_q("q_bm25", r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             FROM documents WHERE trim(text) <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+st AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl, CAST(count(*) AS DOUBLE) AS n
+       FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+       WHERE term IN ('fast', 'join', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf,
+  ROUND(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        * (tf.tf * 2.2)
+        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS bm25
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+""")
+def q_bm25(sf_dir: str):
+    # BM25 (Okapi, k1=1.2 b=0.75, Lucene idf) of every document against a
+    # fixed query-term set — the retrieval scorer behind dedup-by-query /
+    # curation-by-relevance. Same zero-shuffle shape as q_tfidf: one scan
+    # reduces to (doc, term, tf, dl) rows for query terms only; the tiny
+    # df table and global (N, avgdl) broadcast into a second streaming
+    # scoring scan. Per-(doc, term) rows (no float sum across terms, so
+    # both implementations round identically).
+    def qrows(df: pd.DataFrame) -> pd.DataFrame:
+        ids_o, t_o, tf_o, dl_o = [], [], [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            toks = txt.split()
+            if not toks:
+                continue
+            for term in _BM25_TERMS:
+                c = toks.count(term)
+                if c:
+                    ids_o.append(did); t_o.append(term)
+                    tf_o.append(c); dl_o.append(len(toks))
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids_o, np.int64),
+            "term": pd.Series(t_o, dtype=object),
+            "tf": np.asarray(tf_o, np.int64),
+            "dl": np.asarray(dl_o, np.int64)})
+
+    def dl_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.array([len(t.split()) for t in df["text"].to_numpy()],
+                     dtype=np.int64)
+        nz = n > 0
+        return pd.DataFrame({"n": [int(nz.sum())], "s": [int(n[nz].sum())]})
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    parts = ds.map_batches(dl_partial, batch_format="pandas").to_pandas()
+    n_docs = float(parts["n"].sum())
+    avgdl = float(parts["s"].sum()) / n_docs
+    qr = ds.map_batches(qrows, batch_format="pandas")
+    dft = partial_groupby_agg(qr, ["term"], {"df": (None, "count")})
+    idf = {t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1))
+           for t, d in zip(dft["term"], dft["df"].astype(np.float64))}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["term"].map(idf).to_numpy(dtype=np.float64)
+        tf = df["tf"].to_numpy().astype(np.float64)
+        dl = df["dl"].to_numpy().astype(np.float64)
+        bm = w * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "term": df["term"].to_numpy(),
+                             "tf": df["tf"].to_numpy(),
+                             "bm25": np.round(bm, 6)})
+
+    return qr.map_batches(score, batch_format="pandas")
+
+
+@_q("q_image_aspect_buckets", """
+WITH img AS (SELECT i, 8 * (1 + i % 7) AS w, 8 * (1 + (i // 7) % 5) AS h
+             FROM range(140) t(i))
+SELECT CAST((w * 16) // h AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(w * h) AS BIGINT) AS sum_pixels,
+       CAST(max(w * h) AS BIGINT) AS max_pixels
+FROM img GROUP BY 1
+""")
+def q_image_aspect_buckets(sf_dir: str):
+    # aspect-ratio bucketing (SDXL/LAION-style batch shaping): the REAL
+    # codec decode (ImageDims actor pool) supplies dimensions over the
+    # 35-shape varied corpus; bucket = 16*w//h integer aspect class;
+    # per-bucket counts/pixels via the combiner (bounded bucket domain).
+    from cocrawler_ray.stages.multimodal import ImageDims
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        w = t.column("dec_w").to_numpy().astype(np.int64)
+        h = t.column("dec_h").to_numpy().astype(np.int64)
+        return pa.table({"bucket": pa.array((w * 16) // h),
+                         "px": pa.array(w * h)})
+
+    dims = (_from_arrow_blocks(oracles.conformance_images_varied(140), 4)
+            .map_batches(ImageDims, batch_format="pyarrow", batch_size=16,
+                         concurrency=2)
+            .map_batches(bucketize, batch_format="pyarrow"))
+    return partial_groupby_agg(dims, ["bucket"],
+                               {"n_images": (None, "count"),
+                                "sum_pixels": ("px", "sum"),
+                                "max_pixels": ("px", "max")})
+
+
+def _caption_phash_sql() -> str:
+    sm, fin = oracles.splitmix_ctes("base", "doc_id, caption",
+                                    "doc_id::HUGEINT", "hx", "cp")
+    return rf"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents WHERE trim(text) <> ''),
+base AS (SELECT doc_id, array_to_string(t[1:LEAST(2, len(t))], ' ') AS caption
+         FROM tok),
+{sm}
+SELECT caption, CAST(hx % 8 AS BIGINT) AS band,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM {fin} GROUP BY 1, 2
+"""
+
+
+@_q("q_caption_phash_dedup", _caption_phash_sql())
+def q_caption_phash_dedup(sf_dir: str):
+    # composite-key dedup over image+caption pairs (the LAION-style
+    # "same caption AND same perceptual-hash band" rule): key batches in
+    # the scan, one exchange co-locates keys, winner-per-key reduce keeps
+    # the smallest id with the duplicate count. phash band stands in via
+    # splitmix64(doc_id) (deterministic, SQL-restatable) — the real crawl
+    # path computes it from pixels (codecs.average_phash).
+    from cocrawler_ray.hashing import splitmix64
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        keep = np.array([bool(s.strip()) for s in texts])
+        ids = ids[keep]
+        caps = [" ".join(s.split()[:2]) for s, k in zip(texts, keep) if k]
+        band = (splitmix64(ids.astype(np.uint64)) % np.uint64(8)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "caption": pa.array(caps, pa.string()),
+                         "band": pa.array(band)})
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["caption", "band"], sort=False, observed=True)
+        out = g["doc_id"].agg(keep_doc="min", n_dups="count").reset_index()
+        out["keep_doc"] = out["keep_doc"].astype(np.int64)
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
+    keyed = (read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(key_batch, batch_format="pyarrow"))
+    return exchange.grouped_shuffle(keyed, ["caption", "band"], winner)
+
+
+# ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
 # registry is reordered to put one-per-family coverage of every operator

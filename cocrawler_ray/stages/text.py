@@ -313,3 +313,64 @@ def json_extract_int_batch(batch: pa.Table, col: str, key: str,
     arr = pa.array(out.astype(np.int64), pa.int64(),
                    mask=mask if mask.any() else None)
     return batch.append_column(out_col, arr)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + document chunking (training-corpus preprocessing)
+# ---------------------------------------------------------------------------
+
+# compiled once at import (shared by every task; no per-batch setup).
+# Patterns stay lookaround-free so behavior is restatable analytically.
+_PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_IPV4 = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
+_PII_PHONE = re.compile(r"\b\d{3}[- .]\d{3,4}\b")
+
+
+def pii_redact_batch(df, text_col: str = "text"):
+    """Detect + redact emails / IPv4 addresses / phone-shaped numbers —
+    the standard pre-training privacy scrub. Order matters: emails first
+    (their domains contain dots that would half-match the IP pattern),
+    then IPs (dotted quads would otherwise match the phone pattern),
+    then phones. Emits per-doc counts and the redacted text."""
+    import pandas as pd
+    texts = df[text_col].to_numpy()
+    n_email = np.zeros(len(texts), dtype=np.int64)
+    n_ip = np.zeros(len(texts), dtype=np.int64)
+    n_phone = np.zeros(len(texts), dtype=np.int64)
+    red = []
+    for i, t in enumerate(texts):
+        t, n_email[i] = _PII_EMAIL.subn("<EMAIL>", t)
+        t, n_ip[i] = _PII_IPV4.subn("<IP>", t)
+        t, n_phone[i] = _PII_PHONE.subn("<PHONE>", t)
+        red.append(t)
+    out = df.drop(columns=[text_col]).reset_index(drop=True)
+    return out.assign(n_email=n_email, n_ip=n_ip, n_phone=n_phone,
+                      redacted=pd.Series(red, dtype=object))
+
+
+def chunk_docs_batch(df, window: int = 32, stride: int = 24,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Fixed-token-window chunking with overlap (window - stride tokens),
+    the standard context-length packing precursor: each document expands
+    to ceil(n_tok / stride) chunks starting at 0, stride, 2*stride, ...
+    Chunking is per-document by construction (documents are rows), so the
+    expansion happens entirely inside the scan — no shuffle at any scale."""
+    import pandas as pd
+    ids_out, cid_out, start_out, ntok_out, chunks = [], [], [], [], []
+    for did, txt in zip(df[id_col].to_numpy(), df[text_col].to_numpy()):
+        toks = txt.split()
+        if not toks:
+            continue
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            piece = toks[s:s + window]
+            ids_out.append(did)
+            cid_out.append(ci)
+            start_out.append(s)
+            ntok_out.append(len(piece))
+            chunks.append(" ".join(piece))
+    return pd.DataFrame({
+        id_col: np.asarray(ids_out, dtype=np.int64),
+        "chunk_id": np.asarray(cid_out, dtype=np.int64),
+        "start_tok": np.asarray(start_out, dtype=np.int64),
+        "n_tok": np.asarray(ntok_out, dtype=np.int64),
+        "chunk": pd.Series(chunks, dtype=object)})
