@@ -226,3 +226,31 @@ def test_exact_quantile_cont_empty_raises(ray_session):
           .filter(lambda r: False))
     with pytest.raises(ValueError, match="empty input"):
         exact_quantile_cont(ds, "v", 0.5)
+
+
+def test_pii_redact_ordering_and_counts():
+    """Emails redact before IPs (domain dots), IPs before phones (dotted
+    quads contain phone-shaped digit runs)."""
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["a@b.io and 1.2.3.4 and 555-1234",
+                                "no pii here",
+                                "call 555-123 at 10.0.0.1"]})
+    out = textops.pii_redact_batch(df)
+    assert list(out["redacted"]) == ["<EMAIL> and <IP> and <PHONE>",
+                                     "no pii here",
+                                     "call <PHONE> at <IP>"]
+    assert list(out["n_email"]) == [1, 0, 0]
+    assert list(out["n_ip"]) == [1, 0, 1]
+    assert list(out["n_phone"]) == [1, 0, 1]
+
+
+def test_chunk_docs_boundaries():
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["", "a b c", " ".join(f"t{i}" for i in range(32))]})
+    out = textops.chunk_docs_batch(df, window=32, stride=24)
+    # empty doc contributes nothing; short doc -> one chunk; exactly-one-
+    # window doc -> chunks at 0 and 24 (range(0, 32, 24) == [0, 24])
+    assert list(out["doc_id"]) == [1, 2, 2]
+    assert list(out["start_tok"]) == [0, 0, 24]
+    assert list(out["n_tok"]) == [3, 32, 8]
+    assert out["chunk"].iloc[2] == " ".join(f"t{i}" for i in range(24, 32))
