@@ -2982,6 +2982,85 @@ def q_caption_phash_dedup(sf_dir: str):
     return exchange.grouped_shuffle(keyed, ["caption", "band"], winner)
 
 
+_VOCAB_V, _VOCAB_MIN = 30, 3
+
+
+@_q("q_vocab_build", f"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+             FROM documents WHERE trim(text) <> ''),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+        HAVING count(*) >= {_VOCAB_MIN})
+SELECT term, n,
+       CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+FROM cnt QUALIFY rank <= {_VOCAB_V}
+""")
+def q_vocab_build(sf_dir: str):
+    # tokenizer vocabulary build (min-count gate + top-V truncation):
+    # per-block term-count partials -> hash-exchange combine where each
+    # partition ALSO applies the min-count gate and takes its local top-V
+    # -> driver merges <= V*P rows and ranks. The full vocabulary table
+    # never reaches the driver (q_topk_hosts shape over an open vocab).
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        chunks = [t.split() for t in df["text"].to_numpy()]
+        words = [w for ts in chunks for w in ts]
+        if not words:
+            return pd.DataFrame({"term": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        u, c = np.unique(np.asarray(words, object), return_counts=True)
+        return pd.DataFrame({"term": u.astype(object),
+                             "n": c.astype(np.int64)})
+
+    def combine_topv(df: pd.DataFrame) -> pd.DataFrame:
+        full = (df.groupby("term", sort=False, observed=True)["n"].sum()
+                .reset_index())
+        full = full[full["n"] >= _VOCAB_MIN]
+        return (full.sort_values(["n", "term"], ascending=[False, True])
+                .head(_VOCAB_V))
+
+    counts = (read(sf_dir, "documents", ["text"])
+              .map_batches(local_counts, batch_format="pandas"))
+    out = (exchange.grouped_shuffle(counts, ["term"], combine_topv)
+           .to_pandas()
+           .sort_values(["n", "term"], ascending=[False, True])
+           .head(_VOCAB_V).reset_index(drop=True))
+    out["n"] = out["n"].astype(np.int64)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def _split_assign_sql() -> str:
+    sm, fin = oracles.splitmix_ctes("base", "doc_id", "doc_id::HUGEINT",
+                                    "hx", "sp")
+    return f"""
+WITH base AS (SELECT doc_id FROM documents),
+{sm}
+SELECT doc_id,
+       CASE WHEN hx % 100 < 98 THEN 'train'
+            WHEN hx % 100 < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM {fin}
+"""
+
+
+@_q("q_split_assign", _split_assign_sql())
+def q_split_assign(sf_dir: str):
+    # deterministic train/val/test assignment (98/1/1) by splitmix64 of
+    # the stable document id — the reproducible-split primitive every
+    # training pipeline needs: restatable anywhere (incl. the SQL
+    # mirror), independent of row order/partitioning, zero shuffles.
+    from cocrawler_ray.hashing import splitmix64
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = (splitmix64(ids.astype(np.uint64)) % np.uint64(100)).astype(np.int64)
+        lab = np.where(h < 98, "train", np.where(h < 99, "val", "test"))
+        return pa.table({"doc_id": pa.array(ids),
+                         "split": pa.array(lab.astype(object), pa.string())})
+
+    return (read(sf_dir, "documents", ["doc_id"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
