@@ -78,6 +78,24 @@ def _concat_blocks(*tables: pa.Table) -> pa.Table:
         [t for t in tables if t.num_rows] or tables[:1]).combine_chunks()
 
 
+def _compact_refs(refs: list, keys: list[str], P: int, group_size: int,
+                  other_n: int) -> list:
+    """Shrink a block-ref list below the flat-exchange budget with
+    concat-only group-local exchanges (each round: groups of
+    ``group_size`` blocks -> P key-partitioned concatenated blocks,
+    >= 2x fewer refs since group_size >= 2P). Key-hash partitioning is
+    semantics-neutral here — the downstream flat exchange re-splits."""
+    split = ray.remote(num_returns=P)(_split_by_hash)
+    cat = ray.remote(_concat_blocks)
+    while (len(refs) + other_n) * P > _FLAT_REF_BUDGET and len(refs) > group_size:
+        nxt = []
+        for g in range(0, len(refs), group_size):
+            subs = [split.remote(r, keys, P) for r in refs[g:g + group_size]]
+            nxt.extend(cat.remote(*[s[p] for s in subs]) for p in range(P))
+        refs = nxt
+    return refs
+
+
 def _schema_empty_refs(ds: rd.Dataset) -> list | None:
     """One ray.put ref to a schema-bearing empty Arrow table for a
     zero-block Dataset, or None if the schema is unknowable."""
@@ -160,6 +178,14 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         if lrefs is None or rrefs is None:  # schema unrecoverable
             return left if not left.to_arrow_refs() else right
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    gs = max(_GROUP_SIZE, 2 * P)
+    if (len(lrefs) + len(rrefs)) * P > _FLAT_REF_BUDGET:
+        # same ref-budget guard as grouped_shuffle: compact each side's
+        # blocks with concat-only group-local exchanges (>=2x fewer refs
+        # per round, semantics untouched) until the flat join's
+        # (N_l + N_r) x P sub-object fan-out fits the budget
+        lrefs = _compact_refs(lrefs, on, P, gs, len(rrefs))
+        rrefs = _compact_refs(rrefs, right_on, P, gs, len(lrefs))
     joinr = ray.remote(_join_reduce)
     if P == 1:  # no exchange needed — join all blocks in one task
         return rd.from_arrow_refs(

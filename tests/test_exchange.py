@@ -468,3 +468,24 @@ def test_hash_join_empty_right_side(ray_session):
 
     anti = exchange.hash_join(lds, rds, ["k"], how="left anti").to_pandas()
     assert sorted(anti["k"]) == [0, 1, 2, 3, 4]
+
+
+def test_hash_join_auto_compacts_over_budget(ray_session, monkeypatch):
+    """Past the ref budget, hash_join compacts each side's blocks with
+    concat-only rounds and still equals the pandas merge."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 800).astype(np.int64),
+                         "lv": rng.integers(0, 9, 800).astype(np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "rv": np.arange(50, dtype=np.int64) * 2})
+    monkeypatch.setattr(exchange, "_FLAT_REF_BUDGET", 8)
+    monkeypatch.setattr(exchange, "_GROUP_SIZE", 4)
+    out = (exchange.hash_join(rd.from_pandas(left).repartition(16),
+                              rd.from_pandas(right).repartition(4),
+                              ["k"], num_partitions=2)
+           .to_pandas())
+    want = left.merge(right, on="k")
+    pd.testing.assert_frame_equal(_norm(out, ["k", "lv"]),
+                                  _norm(want, ["k", "lv"]))
