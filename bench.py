@@ -237,6 +237,32 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def cpu_probe(seconds: float = 1.5, procs: int = 16) -> int:
+    """Aggregate sha256 hashes/sec across ``procs`` processes — a credit-
+    phase marker embedded in the bench JSON. This VM's burst-scheduled CPU
+    varies ±2-3x between runs (BASELINE.md "Environment ceiling"); the
+    probe lets any recorded number be read against the machine state that
+    produced it. Fast phase reads ~1.3-1.5M hashes/s at 16 procs; deep
+    throttle reads 3-4x lower."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        res = p.map(_probe_work, [seconds] * procs)
+    return int(sum(res) / seconds)
+
+
+def _probe_work(seconds: float) -> int:
+    import hashlib
+    h = hashlib.sha256()
+    b = b"x" * 8192
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        h.update(b)
+        n += 1
+    return n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -257,6 +283,7 @@ def main() -> None:
 
     import ray
 
+    probe = cpu_probe()  # before Ray spins up: clean machine-state marker
     init_ray(num_cpus)
     import tempfile
 
@@ -275,6 +302,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "num_cpus": num_cpus,
+        "cpu_probe_hps": probe,
         "crawl": crawl,
     }))
     ray.shutdown()
@@ -324,6 +352,8 @@ def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
         "num_cpus": hi,
         "runs": {str(c): results[c]["crawl"] for c in (lo, hi)},
         "pages_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "cpu_probe_hps": {str(c): results[c].get("cpu_probe_hps")
+                          for c in (lo, hi)},
     }))
 
 
