@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "attached to a cluster)")
     ap.add_argument("--gen-corpus", nargs=3, metavar=("HOSTS", "PAGES", "DIR"),
                     help="generate a deterministic synthetic corpus and exit")
+    ap.add_argument("--status", metavar="OUT_DIR",
+                    help="print a JSON status summary of a crawl output dir "
+                         "(the reference webserver's info surface: totals, "
+                         "per-gen rates, hot hosts, checkpoint lineage — "
+                         "from persisted state, no Ray session) and exit")
     return ap
 
 
@@ -80,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
                                  int(args.gen_corpus[1]), args.gen_corpus[2])
         synth.write_web_dataset(out_dir, hosts, pages, seed=42)
         print(json.dumps({"corpus": out_dir, "hosts": hosts, "pages": pages}))
+        return 0
+
+    if args.status:
+        from cocrawler_ray.pipelines.crawl import crawl_status
+        print(json.dumps(crawl_status(args.status)))
         return 0
 
     if not args.seeds or not args.web_dir:

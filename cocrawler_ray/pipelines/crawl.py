@@ -550,3 +550,61 @@ class CrawlJob:
 
     def fetched_table(self) -> pa.Table:
         return self.storage.read_table("fetched")
+
+
+def crawl_status(out_dir: str) -> dict:
+    """Status summary of a crawl output directory — the info surface the
+    reference serves over HTTP (``cocrawler/webserver.py`` per SURVEY §2
+    S6: live counters, rates, hot hosts), re-expressed over the engine's
+    PERSISTED state so it works during the run (metrics cells flush per
+    checkpoint), after it, and from any machine that sees the storage.
+    No Ray session required."""
+    from cocrawler_ray.storage import Storage
+
+    st = Storage(out_dir)
+    out: dict = {"out": str(out_dir)}
+
+    m = st.read_table("metrics")
+    if m.num_rows:
+        import pandas as pd  # noqa: F401 (vectorized rollups below)
+        df = m.to_pandas()
+        core = df[~df["name"].str.startswith("hot_host.")]
+        per_gen = (core.pivot_table(index="gen", columns="name",
+                                    values="value", aggfunc="sum")
+                   .sort_index())
+        totals = {k: float(core.loc[core["name"] == k, "value"].sum())
+                  for k in ("fetched", "appended", "drained")}
+        wall = float(core.loc[core["name"].str.startswith("wall."),
+                              "value"].sum())
+        out.update({
+            "gens": int(df["gen"].max()) + 1,
+            "totals": {k: int(v) for k, v in totals.items()},
+            "wall_s": round(wall, 3),
+            "pages_per_sec": round(totals["fetched"] / wall, 1) if wall else None,
+            "last_gen": {k: (int(v) if v == v else 0) for k, v in
+                         per_gen.iloc[-1].to_dict().items()},
+        })
+        hot = df[df["name"].str.startswith("hot_host.")]
+        if len(hot):
+            hh = (hot.assign(host=hot["name"].str[len("hot_host."):])
+                  .groupby("host")["value"].sum()
+                  .sort_values(ascending=False).head(10))
+            out["hot_hosts"] = {h: int(v) for h, v in hh.items()}
+
+    recs = st.read_manifest()
+    if recs:
+        cps = [r for r in recs if r.get("kind") == "checkpoint"]
+        out["manifest"] = {"records": len(recs),
+                           "fetched_gens": sum(r.get("kind") == "fetched"
+                                               for r in recs)}
+        if cps:
+            last = max(cps, key=lambda r: (r.get("gen", -1), r.get("part", -1)))
+            out["last_checkpoint"] = {
+                "gen": last.get("gen"),
+                "fetched_total": last.get("fetched_total"),
+                "appended_total": last.get("appended_total")}
+    for table in ("fetched", "frontier", "links"):
+        files = st.table_files(table)
+        if files:
+            out.setdefault("tables", {})[table] = len(files)
+    return out

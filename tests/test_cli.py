@@ -71,3 +71,17 @@ def test_cli_gen_corpus(tmp_path, ray_session, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["pages"] == 40
     assert pq.read_table(tmp_path / "c" / "web").num_rows == 40
+
+
+def test_cli_status(cli_inputs, tmp_path, capsys):
+    d = cli_inputs
+    out = tmp_path / "out"
+    s = _run(["--seeds", str(d / "seeds.txt"), "--web-dir", str(d / "corpus"),
+              "--out", str(out), "--config", "num_parts:4",
+              "--checkpoint-every", "2"], capsys)
+    st = _run(["--status", str(out)], capsys)
+    assert st["totals"]["fetched"] == s["fetched"]
+    assert st["totals"]["appended"] == s["appended"]
+    assert st["gens"] == s["gens"]
+    assert st["last_checkpoint"]["fetched_total"] == s["fetched"]
+    assert st["tables"]["fetched"] >= 1
