@@ -3061,6 +3061,38 @@ def q_split_assign(sf_dir: str):
             .map_batches(assign, batch_format="pyarrow"))
 
 
+@_q("q_hopping_window", """
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t, event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS v100 FROM events),
+w AS (SELECT ((e.t // 900000000) - k.k) * 900000000 AS win_start,
+             e.event_type, e.v100
+      FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k)
+SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(v100) AS BIGINT) AS sv100
+FROM w GROUP BY 1, 2
+""")
+def q_hopping_window(sf_dir: str):
+    # hopping (sliding) event-time windows — 1 h width, 15 min hop: each
+    # event replicates into width/hop = 4 overlapping windows INSIDE the
+    # scan (pure column expansion), then the distributed combiner
+    # aggregates; the integer v100 measure keeps the sum exact
+    # (stages/window.py::hopping_window_agg).
+    from cocrawler_ray.stages.window import hopping_window_agg
+
+    def v100(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return (t.drop_columns(["value"])
+                .append_column("v100", pa.array(v)))
+
+    ds = (read(sf_dir, "events", ["ts", "event_type", "value"])
+          .map_batches(v100, batch_format="pyarrow"))
+    out = hopping_window_agg(ds, "ts", 3_600_000_000, 900_000_000,
+                             ["event_type"],
+                             {"n": (None, "count"), "sv100": ("v100", "sum")})
+    out["sv100"] = out["sv100"].astype(np.int64)
+    return out
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

@@ -154,3 +154,33 @@ def token_pack(ds: rd.Dataset, order_col: str, tok_col: str,
                 .append_column("pack_id", pa.array(pid, pa.int64())))
 
     return cum.map_batches(pack, batch_format="pyarrow")
+
+
+def hopping_window_agg(ds: rd.Dataset, ts_col: str, width_us: int,
+                       hop_us: int, keys: list[str], aggs: dict) -> pd.DataFrame:
+    """Aggregate per (hopping window, *keys): windows of ``width_us``
+    starting every ``hop_us`` (width must be a multiple of hop), so each
+    event lands in width/hop overlapping windows. Same shape as
+    :func:`tumbling_window_agg` — the window REPLICATION is a pure per-row
+    column expansion inside the scan (width/hop copies), the aggregate is
+    the distributed combiner; no sort or range repartition at any scale.
+    Output ``win_start`` is the window's int64 epoch-us start."""
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    k = width_us // hop_us
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        base = us // np.int64(hop_us)
+        reps = np.repeat(np.arange(k, dtype=np.int64), len(us))
+        win = (np.tile(base, k) - reps) * np.int64(hop_us)
+        cols = {"win_start": pa.array(win)}
+        for c in t.column_names:
+            if c != ts_col:
+                cols[c] = pa.concat_arrays(
+                    [t.column(c).combine_chunks()] * k)
+        return pa.table(cols)
+
+    return partial_groupby_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["win_start"] + keys, aggs, distributed=True)
