@@ -263,12 +263,40 @@ def _probe_work(seconds: float) -> int:
     return n
 
 
+def _claim_stdout():
+    """Reserve the real stdout for the one-line JSON contract.
+
+    ``log_to_driver=False`` silences worker logs, but raylet warnings
+    (e.g. "128 PYTHON worker processes have been started") are forwarded
+    by Ray's log monitor straight to the driver's fd 1 regardless, which
+    would corrupt the single-JSON-line output this script owns. Route
+    fd 1 to stderr for the whole run and keep a private dup of the real
+    stdout that only the final JSON line is written to.
+    """
+    global _REAL_STDOUT
+    real = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+    _REAL_STDOUT = real
+    return real
+
+
+_REAL_STDOUT = None
+
+
+def emit(obj: dict) -> None:
+    out = _REAL_STDOUT if _REAL_STDOUT is not None else sys.stdout
+    out.write(json.dumps(obj) + "\n")
+    out.flush()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
+    real_stdout = _claim_stdout()
 
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -294,7 +322,7 @@ def main() -> None:
     queries = {} if args.crawl_only else run_queries(sf_dir)
     total = crawl["wall_s"] + sum(queries.values())
     q13 = sum(v for k, v in queries.items() if k in BENCH_QUERIES)
-    print(json.dumps({
+    emit({
         "metric": "crawl pages/s + frontier appends/s + operator suite wall time",
         "value": round(total, 3),
         "unit": "sec",
@@ -304,7 +332,7 @@ def main() -> None:
         "num_cpus": num_cpus,
         "cpu_probe_hps": probe,
         "crawl": crawl,
-    }))
+    })
     ray.shutdown()
 
 
@@ -344,7 +372,7 @@ def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
     thr_lo = results[lo]["crawl"]["pages_per_sec"]
     thr_hi = results[hi]["crawl"]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
-    print(json.dumps({
+    emit({
         "metric": f"crawl scaling efficiency {lo}->{hi} cpus (fresh sessions, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
@@ -354,7 +382,7 @@ def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
         "pages_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
         "cpu_probe_hps": {str(c): results[c].get("cpu_probe_hps")
                           for c in (lo, hi)},
-    }))
+    })
 
 
 if __name__ == "__main__":
