@@ -480,3 +480,51 @@ def phash_hamming_pairs(ds: rd.Dataset, id_col: str, phash_col: str,
         return empty
     return (pairs.drop_duplicates(["vec_a", "vec_b"])
             .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
+def span_dedup(spans: rd.Dataset, id_col: str, ord_col: str,
+               span_col: str) -> rd.Dataset:
+    """Corpus-level exact span deduplication (RefinedWeb-style repeated
+    paragraph / boilerplate removal): a span (paragraph, line, fixed word
+    window) survives only in its FIRST occurrence corpus-wide — smallest
+    ``(id, ord)`` — and every document is reassembled from its surviving
+    spans. Returns one row per document: ``n_kept``, ``n_dropped``,
+    ``clean_text`` (kept spans re-joined in document order; '' when a doc
+    loses every span).
+
+    Scale shape: two hash exchanges and nothing else. Exchange 1
+    co-locates spans by TEXT (winner = min (id, ord) is a vectorized sort
+    + duplicated() inside the partition reduce); exchange 2 co-locates the
+    marked spans by DOCUMENT for the reassembly group-concat. Span rows
+    cross the wire twice but never gather on the driver, and both reduces
+    are O(partition). Boilerplate-heavy corpora shrink in exchange 2's
+    output by exactly the dup mass removed."""
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([span_col, id_col, ord_col], kind="stable")
+        return df.assign(
+            kept=~df[span_col].duplicated().to_numpy())
+
+    marked = exchange.grouped_shuffle(spans, [span_col], winner)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "n_kept": pd.Series([], dtype=np.int64),
+                "n_dropped": pd.Series([], dtype=np.int64),
+                "clean_text": pd.Series([], dtype=object)})
+        df = df.sort_values([id_col, ord_col], kind="stable")
+        g = df.groupby(id_col, sort=False)
+        n_kept = g["kept"].sum().astype(np.int64)
+        n_tot = g.size().astype(np.int64)
+        clean = (df[df["kept"]]
+                 .groupby(id_col, sort=False)[span_col].agg(" ".join))
+        idx = n_kept.index
+        return pd.DataFrame({
+            id_col: idx.to_numpy().astype(np.int64),
+            "n_kept": n_kept.to_numpy(),
+            "n_dropped": (n_tot - n_kept).to_numpy(),
+            "clean_text": clean.reindex(idx).fillna("").to_numpy(object)})
+
+    return exchange.grouped_shuffle(marked, [id_col], reassemble)

@@ -374,3 +374,99 @@ def chunk_docs_batch(df, window: int = 32, stride: int = 24,
         "start_tok": np.asarray(start_out, dtype=np.int64),
         "n_tok": np.asarray(ntok_out, dtype=np.int64),
         "chunk": pd.Series(chunks, dtype=object)})
+
+
+_CLS_STOPWORDS = frozenset(
+    ("the", "a", "of", "to", "and", "in", "is", "it"))
+# fixed linear-model weights (a stand-in for a trained fastText/logreg
+# quality classifier — the 100 TB pipeline swaps these for learned ones;
+# the Ray plumbing, feature extraction, and gate are the real operator):
+# score = b + w_n*n_tokens + w_t*ttr + w_l*avg_len + w_s*stop_ratio
+_CLS_W = (-3.0, 0.004, 2.0, 0.35, 4.0)
+
+
+def token_entropy_batch(df, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Per-document unigram (token) Shannon entropy, a standard corpus
+    quality / repetitiveness signal (low entropy => boilerplate or
+    degenerate repetition; cf. the Gopher repetition rules this engine
+    implements in ``repetition_stats_batch``).
+
+    Per-document by construction, so the whole operator is one streaming
+    scan at any corpus size. The per-doc ``np.unique`` over its tokens is
+    the measured-fast form at ~100-token docs (same finding as
+    ``_doc_terms``: a global hash-all-tokens vectorization pays more in
+    object-array churn than it saves). Empty docs are skipped, mirroring
+    the oracle's ``trim(text) <> ''`` filter."""
+    import pandas as pd
+    ids = df[id_col].to_numpy()
+    out_id, out_n, out_e = [], [], []
+    for i, txt in enumerate(df[text_col].to_numpy()):
+        toks = txt.split()
+        if not toks:
+            continue
+        _, counts = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        p = counts / counts.sum()
+        out_id.append(ids[i])
+        out_n.append(len(toks))
+        out_e.append(float(-(p * np.log2(p)).sum()))
+    return pd.DataFrame({
+        id_col: np.asarray(out_id, dtype=np.int64),
+        "n_tokens": np.asarray(out_n, dtype=np.int64),
+        "entropy": np.round(np.asarray(out_e, dtype=np.float64), 6)})
+
+
+
+def round_half_away(x: np.ndarray, decimals: int) -> np.ndarray:
+    """DuckDB-compatible round: half AWAY from zero (np.round is half to
+    even, which disagrees whenever the scaled value lands exactly on .5 —
+    reachable here because the features are small-denominator rationals)."""
+    m = 10.0 ** decimals
+    s = x * m
+    return np.trunc(s + np.copysign(0.5, s)) / m
+
+def quality_classifier_batch(df, id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """Linear quality-classifier scoring + gate: extract per-doc features
+    (token count, type-token ratio, mean token length, stopword ratio),
+    apply a broadcast weight vector, and emit the raw score plus a 0/1
+    keep label (score > 0). This is the model-scoring representative of
+    the curation surface: at 100 TB the weights come from a trained
+    classifier shipped once per actor; here they are fixed constants so
+    the DuckDB oracle can restate the identical arithmetic.
+
+    The score is computed in the same left-associated double-precision
+    order as the SQL mirror, so values (rounded to 6) hash-match."""
+    import pandas as pd
+    b, wn, wt, wl, ws = _CLS_W
+    ids = df[id_col].to_numpy()
+    out = {"doc_id": [], "n_tokens": [], "ttr": [], "avg_len": [],
+           "stop_ratio": [], "score": [], "keep": []}
+    for i, txt in enumerate(df[text_col].to_numpy()):
+        toks = txt.split()
+        if not toks:
+            continue
+        n = len(toks)
+        ttr = len(set(toks)) / n
+        avg_len = sum(map(len, toks)) / n
+        stop = sum(t in _CLS_STOPWORDS for t in toks) / n
+        score = b + wn * n + wt * ttr + wl * avg_len + ws * stop
+        out["doc_id"].append(ids[i])
+        out["n_tokens"].append(n)
+        out["ttr"].append(ttr)
+        out["avg_len"].append(avg_len)
+        out["stop_ratio"].append(stop)
+        out["score"].append(score)
+        out["keep"].append(1 if score > 0 else 0)
+    return pd.DataFrame({
+        id_col: np.asarray(out["doc_id"], dtype=np.int64),
+        "n_tokens": np.asarray(out["n_tokens"], dtype=np.int64),
+        "ttr": round_half_away(np.asarray(out["ttr"], dtype=np.float64), 6),
+        "avg_len": round_half_away(
+            np.asarray(out["avg_len"], dtype=np.float64), 6),
+        "stop_ratio": round_half_away(
+            np.asarray(out["stop_ratio"], dtype=np.float64), 6),
+        "score": round_half_away(
+            np.asarray(out["score"], dtype=np.float64), 6),
+        "keep": np.asarray(out["keep"], dtype=np.int64)})
