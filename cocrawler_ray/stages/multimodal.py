@@ -180,3 +180,63 @@ class FrameSample:
             "frame_idx": pa.array(np.array(idxs, dtype=np.int32)),
             "frame_bytes": pa.array(frames, pa.binary()),
         })
+
+
+class ClipScoreGate:
+    """Image-caption alignment scoring + gate — the LAION-style CLIP-score
+    filter of an image-corpus build: embed both modalities, keep pairs
+    whose cosine similarity clears a threshold.
+
+    Sandbox stand-in for the model halves, with the Ray plumbing real:
+    the image embedding is the decoded per-channel mean vector (real codec
+    work per payload) and the caption embedding is a color-word
+    bag-of-words count vector — both deterministic, so the DuckDB oracle
+    can restate the full pipeline (pixel formula -> means -> cosine). At
+    100 TB the two ``_embed`` methods swap for ONNX/torch encoders loaded
+    once per actor in ``__init__``; batch sizing, actor signature, and the
+    kept-rows-only output layout stay identical.
+
+    Use: ds.map_batches(ClipScoreGate, concurrency=N, batch_size=64,
+    batch_format="pyarrow") with fn_constructor_kwargs for the threshold.
+    """
+
+    _WORDS = ("red", "green", "blue")
+
+    def __init__(self, threshold: float = 0.9):
+        self.threshold = threshold
+        self.decode = codecs.decode  # codec dispatch bound once per actor
+
+    def _embed_image(self, img: np.ndarray) -> tuple[float, float, float]:
+        m = img.reshape(-1, 3).mean(axis=0)
+        return float(m[0]), float(m[1]), float(m[2])
+
+    def _embed_caption(self, caption: str) -> tuple[float, float, float]:
+        toks = caption.split()
+        return tuple(float(sum(t == w for t in toks)) for w in self._WORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        caps = batch.column("caption").to_pylist()
+        keep_idx, scores = [], []
+        for i in range(batch.num_rows):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            mr, mg, mb = self._embed_image(img)
+            cr, cg, cb = self._embed_caption(caps[i])
+            na = math.sqrt(mr * mr + mg * mg + mb * mb)
+            nb = math.sqrt(cr * cr + cg * cg + cb * cb)
+            if na == 0.0 or nb == 0.0:
+                continue
+            # same left-associated double arithmetic as the SQL mirror
+            score = (mr * cr + mg * cg + mb * cb) / (na * nb)
+            if score > self.threshold:
+                keep_idx.append(i)
+                scores.append(score)
+        out = batch.select(["image_id", "caption"]).take(
+            pa.array(keep_idx, pa.int64()))
+        from cocrawler_ray.stages.text import round_half_away
+        return out.append_column("clip_score", pa.array(
+            round_half_away(np.asarray(scores, dtype=np.float64), 6)))

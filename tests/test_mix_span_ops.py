@@ -145,3 +145,35 @@ def test_round_half_away_matches_duckdb():
         "SELECT round(x, 6) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
         params=[list(x)]).fetchnumpy()
     np.testing.assert_array_equal(got, list(want.values())[0])
+
+
+# ------------------------------------------------------------ CLIP gate
+
+def test_clip_score_gate_threshold_and_schema(ray_session):
+    import pyarrow as pa
+
+    from cocrawler_ray import oracles
+    from cocrawler_ray.stages.multimodal import ClipScoreGate
+
+    t = oracles.conformance_captioned_images(16)
+    gate = ClipScoreGate(threshold=0.93)
+    out = gate(t)
+    assert out.column_names == ["image_id", "caption", "clip_score"]
+    assert (out.column("clip_score").to_numpy() > 0.93).all()
+    # lowering the threshold keeps strictly more pairs
+    assert ClipScoreGate(threshold=0.0)(t).num_rows >= out.num_rows
+    assert ClipScoreGate(threshold=0.0)(t).num_rows == 16
+
+
+def test_clip_score_gate_zero_norm_caption_dropped():
+    import pyarrow as pa
+
+    from cocrawler_ray import oracles
+    from cocrawler_ray.stages.multimodal import ClipScoreGate
+
+    t = oracles.conformance_captioned_images(2)
+    # caption with no color words -> zero-norm embedding -> dropped
+    t = t.set_column(t.schema.get_field_index("caption"), "caption",
+                     pa.array(["no colors here", "red only"], pa.string()))
+    out = ClipScoreGate(threshold=-1.0)(t)
+    assert out.num_rows == 1 and out.column("image_id")[0].as_py() == "img0001"
