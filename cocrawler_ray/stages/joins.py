@@ -81,3 +81,31 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str, right_on: str | None
     return _hj(left, right, on=[on],
                right_on=[right_on] if right_on else None,
                how=join_type, num_partitions=num_partitions)
+
+
+def auto_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
+              right_key: str | None = None, how: str = "inner",
+              broadcast_rows_max: int = 2_000_000,
+              num_partitions: int | None = None) -> rd.Dataset:
+    """Size-dispatched join front-end: broadcast the right side when it is
+    dimension-sized, otherwise take the hash exchange — the planner rule a
+    user of the reference's keyed lookups expects to not write by hand.
+
+    The right side is materialized once (its blocks land in the object
+    store either way; ``count()`` then reads metadata only). Below the
+    row gate and for Acero-broadcastable join types the small side ships
+    via ``ray.put`` and every left batch joins zero-copy with no shuffle;
+    above it (or for right/full outer), both sides go through the
+    hash-partition exchange. ``broadcast_rows_max`` is the worker-heap
+    proxy; at 100 TB tune it to rows-per-GiB of the dimension schema."""
+    from cocrawler_ray.stages.exchange import hash_join
+
+    right_key = right_key or left_key
+    mat = right.materialize()
+    if (mat.count() <= broadcast_rows_max
+            and how in ("inner", "left outer")):
+        small = pa.concat_tables(ray.get(mat.to_arrow_refs()))
+        return broadcast_join(left, small, left_key, right_key,
+                              join_type=how)
+    return hash_join(left, mat, [left_key], [right_key], how=how,
+                     num_partitions=num_partitions)

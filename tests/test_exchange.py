@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import ray.data as rd
+
 from cocrawler_ray.stages import exchange
 
 
@@ -489,3 +491,34 @@ def test_hash_join_auto_compacts_over_budget(ray_session, monkeypatch):
     want = left.merge(right, on="k")
     pd.testing.assert_frame_equal(_norm(out, ["k", "lv"]),
                                   _norm(want, ["k", "lv"]))
+
+
+def test_auto_join_broadcast_and_hash_paths_agree(ray_session):
+    import numpy as np
+
+    from cocrawler_ray.stages.joins import auto_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 20, 300),
+                         "v": np.arange(300, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 25, dtype=np.int64),
+                          "w": np.arange(25, dtype=np.int64) * 10})
+    want = left.merge(right, on="k").sort_values(["v"]).reset_index(drop=True)
+    for gate in (0, 1_000):  # 0 forces the hash exchange, 1000 broadcast
+        got = (auto_join(rd.from_pandas(left).repartition(4),
+                         rd.from_pandas(right).repartition(2), "k",
+                         broadcast_rows_max=gate)
+               .to_pandas().sort_values(["v"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "v", "w"]], want[["k", "v", "w"]])
+
+
+def test_auto_join_left_outer_broadcast(ray_session):
+    from cocrawler_ray.stages.joins import auto_join
+
+    left = pd.DataFrame({"k": [1, 2, 9], "v": [10, 20, 90]})
+    right = pd.DataFrame({"k": [1, 2], "w": [100, 200]})
+    got = (auto_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                     how="left outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["w"].tolist()[:2] == [100, 200] and pd.isna(got["w"][2])
