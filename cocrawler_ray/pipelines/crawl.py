@@ -317,12 +317,23 @@ class CrawlJob:
                 for i, ref in enumerate(chunk_refs)])
             drained = sum(c["n_in"] for c in outs)
             n_fetched = sum(c["n_fetched"] for c in outs)
-            # candidate exchange: one A x A flush round, then the delivery
-            # barrier before finalize
-            acks = [f for fs in ray.get([s.flush_outbox.remote()
-                                         for s in self.shards]) for f in fs]
-            if acks:
-                ray.get(acks)
+            # candidate exchange: stage refs on every actor, then ONE
+            # batched accept per target actor (O(A) task invocations; see
+            # shard.py::flush_outbox_refs) — barriered before finalize
+            staged = ray.get([s.flush_outbox_refs.remote()
+                              for s in self.shards])
+            cand_t: dict[int, list] = {}
+            req_t: dict[int, list] = {}
+            for st in staged:
+                for a, ref in st["cand"].items():
+                    cand_t.setdefault(a, []).append(ref)
+                for a, ref in st["requeue"].items():
+                    req_t.setdefault(a, []).append(ref)
+            targets = set(cand_t) | set(req_t)
+            if targets:
+                ray.get([self.shards[a].accept_exchange.remote(
+                             cand_t.get(a, []), req_t.get(a, []))
+                         for a in targets])
         else:
             # huge wave: Ray Data streaming pipeline — drained blocks stay
             # in the object store (refs, no driver pull); dynamic returns
@@ -358,13 +369,20 @@ class CrawlJob:
         self.storage.append_manifest({"kind": "fetched", "gen": g})
 
         # per-partition finalize: dedup winners -> seen gate -> frontier push
-        # (shards fire cross-actor appends and hand us the futures — they
-        # must not block on each other)
+        # (shards stage cross-actor appends as refs — they must not block
+        # on each other; delivery is one batched call per target below)
         t0 = _time.perf_counter()
         rets = ray.get([s.finalize_gen.remote(cfg.seed, cfg.hot_host_threshold)
                         for s in self.shards])
         n_appended = sum(r["appended"] for r in rets)
-        n_appended += sum(ray.get([f for r in rets for f in r["append_futs"]]))
+        app_t: dict[int, list] = {}
+        for r in rets:
+            for a, ref in r["append_refs"].items():
+                app_t.setdefault(a, []).append(ref)
+        if app_t:
+            n_appended += sum(ray.get(
+                [self.shards[a].append_rows_refs.remote(refs)
+                 for a, refs in app_t.items()]))
         t_finalize = _time.perf_counter() - t0
         self.appended_total += n_appended
         self._pending_est = max(0, self._pending_est - drained) + n_appended

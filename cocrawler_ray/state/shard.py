@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
+
 from cocrawler_ray.hashing import hash64, host_partition, surt_partition
 from cocrawler_ray.robots import parse_robots
 from cocrawler_ray.stages.fetch import FetcherPartition
@@ -178,30 +180,47 @@ class ShardHost:
                 links.take(pa.array(idx, pa.int64())))
         return counts
 
-    def flush_outbox(self) -> list:
-        """One exchange round per generation: concatenate this actor's
-        buffered candidates per target and send ONE accept_candidates RPC
-        to each peer (own-target delivered locally). Message count per gen
-        is thus A x A regardless of chunk count — per-chunk routing sent
-        ~chunks x A tiny messages whose fixed handling cost serialized the
-        single-threaded actors and inverted scaling. Returns ack ObjectRefs
-        for the driver to barrier on before finalize."""
-        acks: list = []
+    def flush_outbox_refs(self) -> dict:
+        """Stage this actor's half of the per-generation candidate
+        exchange: deliver own-target buffers locally, ``ray.put`` each
+        remaining target's merged table, and return
+        ``{"cand": {target: ref}, "requeue": {target: ref}}``. The DRIVER
+        then issues ONE ``accept_exchange`` call per TARGET actor carrying
+        all its refs, so per-generation task invocations are O(A) — A
+        stagings + <=A accepts — instead of the O(A^2) peer-to-peer RPCs
+        of the previous protocol (an earlier iteration sent ~chunks x A
+        messages; the A x A form fixed that but its A^2 fixed task costs
+        still dominated small generations once A tracked cluster width,
+        measured 2-4x on the 33k-page corpus at A=32 vs A=8). Data still
+        crosses A x A but plasma-to-plasma, fetched in one batched
+        ``ray.get`` inside each target."""
+        out = {"cand": {}, "requeue": {}}
         for a, bufs in self._outbox.items():
             merged = pa.concat_tables(bufs) if len(bufs) > 1 else bufs[0]
             if a == self.actor_id:
                 self.accept_candidates(merged)
             else:
-                acks.append(self.peers[a].accept_candidates.remote(merged))
+                out["cand"][a] = ray.put(merged)
         self._outbox = {}
         for a, bufs in self._requeue_outbox.items():
             merged = pa.concat_tables(bufs) if len(bufs) > 1 else bufs[0]
             if a == self.actor_id:
                 self.requeue_rows(merged)
             else:
-                acks.append(self.peers[a].requeue_rows.remote(merged))
+                out["requeue"][a] = ray.put(merged)
         self._requeue_outbox = {}
-        return acks
+        return out
+
+    def accept_exchange(self, cand_refs: list, requeue_refs: list) -> int:
+        """Receive this generation's exchange: one batched plasma fetch of
+        every peer's staged buffer for this actor (refs arrive unresolved
+        — they are nested in lists by design), then local accept/requeue."""
+        n = 0
+        for t in ray.get(list(cand_refs)):
+            n += self.accept_candidates(t)
+        for t in ray.get(list(requeue_refs)):
+            self.requeue_rows(t)
+        return n
 
     def requeue_rows(self, rows: pa.Table) -> int:
         """Requeue 5xx rows into their owning frontier partitions (retries
@@ -261,11 +280,11 @@ class ShardHost:
 
         MUST NOT block on peers (every shard finalizes concurrently and
         peer appends are circular — blocking here deadlocks the pool), so
-        remote appends are fired and their ObjectRefs returned for the
-        driver to collect. Piggybacks the per-gen hot-host counts (skew
+        appends are STAGED (``ray.put``) and their refs returned for the
+        driver to deliver in one batched call per target. Piggybacks the per-gen hot-host counts (skew
         metric) so the driver needs no extra barrier round; cross-actor
         appends still in flight may be slightly undercounted — advisory."""
-        totals = {"candidates": 0, "new": 0, "appended": 0, "append_futs": [],
+        totals = {"candidates": 0, "new": 0, "appended": 0, "append_refs": {},
                   "hot_hosts": (self.hot_hosts(hot_host_threshold)
                                 if hot_host_threshold is not None else {})}
         rows_list = []
@@ -292,8 +311,14 @@ class ShardHost:
             if a == self.actor_id:
                 totals["appended"] += self.append_rows(by_part)
             else:
-                totals["append_futs"].append(self.peers[a].append_rows.remote(by_part))
+                # staged like flush_outbox_refs: the driver batches one
+                # append_rows_refs per target (O(A) task invocations)
+                totals["append_refs"][a] = ray.put(by_part)
         return totals
+
+    def append_rows_refs(self, refs: list) -> int:
+        """Apply every peer's staged seen->frontier appends in one call."""
+        return sum(self.append_rows(d) for d in ray.get(list(refs)))
 
     # -- checkpoint / conformance -------------------------------------------
 
