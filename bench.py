@@ -368,7 +368,13 @@ def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     results: dict = {}
     for _ in range(repeats):
-        for cpus in (lo, hi):
+        # hi leg FIRST each repeat: the 8-CPU leg is phase-stable
+        # (5.8-6.2k pages/s in every recorded run) while the 32-CPU leg
+        # swings 4x with the VM's credit state — running it behind the
+        # lo leg hands it a pre-drained budget and measures the VM, not
+        # the engine (recorded: eff 0.285 with probe 2.07M->1.65M across
+        # the two legs of one repeat).
+        for cpus in (hi, lo):
             out = subprocess.run(
                 [sys.executable, str(REPO / "bench.py"), "--crawl-only",
                  "--cpus", str(cpus)],
