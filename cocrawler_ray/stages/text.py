@@ -470,3 +470,82 @@ def quality_classifier_batch(df, id_col: str = "doc_id",
         "score": round_half_away(
             np.asarray(out["score"], dtype=np.float64), 6),
         "keep": np.asarray(out["keep"], dtype=np.int64)})
+
+
+def unigram_lp_micro(terms, counts):
+    """Quantize a corpus unigram LM to integer micro-nats.
+
+    Given the corpus term-count table (the same O(vocabulary) combiner
+    output TF-IDF broadcasts), compute add-one-smoothed log-probs
+    ``ln((c + 1) / (total + V))`` and round them half-away-from-zero to
+    integer micro-nats. Integer quantization makes every downstream
+    per-document sum order-independent and therefore restatable exactly
+    in SQL (the q_fingerprint / sketch-row pattern). Returns
+    ``(sorted_terms, lp_micro_int64)`` ready for ``np.searchsorted``.
+
+    Scale: the table is vocabulary-sized (bounded by construction at
+    100 TB via top-V truncation, same assumption as TF-IDF's idf map);
+    it broadcasts once via ``ray.put``."""
+    terms = np.asarray(terms, dtype=object)
+    c = np.asarray(counts, dtype=np.float64)
+    total = float(c.sum())
+    v = float(len(c))
+    lp = np.log((c + 1.0) / (total + v)) * 1e6
+    order = np.argsort(terms)
+    return terms[order], round_half_away(lp, 0).astype(np.int64)[order]
+
+
+def perplexity_batch(df, lm_ref, threshold: float,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style perplexity gate: score each document under a corpus
+    unigram LM (broadcast as integer micro-nat log-probs) and keep docs
+    whose perplexity is below ``threshold``.
+
+    Fully vectorized: the batch's tokens concatenate into one array, one
+    ``searchsorted`` against the broadcast vocabulary maps them to
+    integer log-probs, and ``np.add.reduceat`` folds them back to
+    per-document negative-log-likelihood sums — exact integers, so the
+    DuckDB oracle reproduces them bit-for-bit regardless of partitioning.
+    One streaming scan; the LM rides the object store (ray.put once).
+
+    Mirrors cocrawler's content-quality gating hook (SURVEY §2 M6) in
+    the form modern curation pipelines use (CCNet / Gopher ppl filters)."""
+    import pandas as pd
+    import ray
+    vocab, lp = ray.get(lm_ref) if not isinstance(lm_ref, tuple) else lm_ref
+    ids = df[id_col].to_numpy()
+    doc_toks, doc_ids, lens = [], [], []
+    for i, txt in enumerate(df[text_col].to_numpy()):
+        toks = txt.split()
+        if not toks:
+            continue
+        doc_toks.append(np.asarray(toks, dtype=object))
+        doc_ids.append(ids[i])
+        lens.append(len(toks))
+    if not doc_ids:
+        return pd.DataFrame({
+            id_col: np.array([], np.int64),
+            "n_tokens": np.array([], np.int64),
+            "nll_micro": np.array([], np.int64),
+            "ppl": np.array([], np.float64),
+            "keep": np.array([], np.int64)})
+    all_toks = np.concatenate(doc_toks)
+    idx = np.searchsorted(vocab, all_toks)
+    idx = np.clip(idx, 0, len(vocab) - 1)
+    tok_lp = lp[idx]
+    oov = vocab[idx] != all_toks
+    if oov.any():  # OOV (scoring a foreign corpus): add-one floor
+        tok_lp = np.where(oov, np.int64(_OOV_LP_FLOOR), tok_lp)
+    n = np.asarray(lens, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(n)[:-1]))
+    nll = -np.add.reduceat(tok_lp, offsets)
+    ppl = round_half_away(np.exp(nll.astype(np.float64) / n / 1e6), 6)
+    return pd.DataFrame({
+        id_col: np.asarray(doc_ids, dtype=np.int64),
+        "n_tokens": n,
+        "nll_micro": nll,
+        "ppl": ppl,
+        "keep": (ppl < threshold).astype(np.int64)})
+
+
+_OOV_LP_FLOOR = -30_000_000  # ln-prob micro-nats floor for unseen terms

@@ -308,3 +308,37 @@ def canonicalize_batch(raws, bases=None) -> dict[str, np.ndarray]:
             rdom[i] = c.registered_domain
             valid[i] = True
     return {"url": url, "surt": surt, "host": host, "registered_domain": rdom, "valid": valid}
+
+
+def path_trap_stats(paths) -> dict:
+    """Crawler-trap heuristic over URL paths: a path whose segments
+    repeat (``/calendar/2024/calendar/2024/...``, session-id mirrors,
+    symlink loops) signals a spider trap; classic crawlers cap or reject
+    them (cocrawler rejects over-long/over-deep URLs in urls.py's
+    validity gate — this is the repeated-segment refinement of that
+    gate).
+
+    Vectorized across the batch: all segments explode into one flat
+    array tagged with their row index, one lexsort groups (row, segment),
+    and a shifted-compare counts distinct segments per row — no Python
+    loop over rows. Returns ``n_seg``, ``n_dup`` (= n_seg - distinct)
+    and ``trap`` (n_dup >= 2) arrays.
+
+    Per-row by construction -> one streaming scan at any corpus size."""
+    segs, seg_counts = [], []
+    for p in paths:
+        parts = [s for s in p.split("/") if s]
+        segs.extend(parts)
+        seg_counts.append(len(parts))
+    n_seg = np.asarray(seg_counts, dtype=np.int64)
+    flat = np.asarray(segs, dtype=object)
+    rows = np.repeat(np.arange(len(n_seg), dtype=np.int64), n_seg)
+    order = np.lexsort((flat, rows))
+    f, r = flat[order], rows[order]
+    new = np.ones(len(f), dtype=bool)
+    if len(f) > 1:
+        new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+    distinct = np.bincount(r[new], minlength=len(n_seg)).astype(np.int64)
+    n_dup = n_seg - distinct
+    return {"n_seg": n_seg, "n_dup": n_dup,
+            "trap": (n_dup >= 2).astype(np.int64)}

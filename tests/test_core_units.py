@@ -253,3 +253,18 @@ def test_json_extract_int_batch_paths():
     out = json_extract_int_batch(t, "props", "k", "k")
     got = out.column("k").to_pylist()
     assert got == [42, -7, None, None, None, None]
+
+
+def test_path_trap_stats_counts_duplicate_segments():
+    from cocrawler_ray import urls
+    st = urls.path_trap_stats([
+        "/a/b/c",            # all distinct
+        "/a/b/a",            # one dup
+        "/x/x/x/y",          # two dups -> trap
+        "/cal/2024/cal/2024/cal",  # 2024 + cal dups -> trap
+        "//a//b/",           # empty segments ignored
+        "/",                 # zero segments
+    ])
+    assert st["n_seg"].tolist() == [3, 3, 4, 5, 2, 0]
+    assert st["n_dup"].tolist() == [0, 1, 2, 3, 0, 0]
+    assert st["trap"].tolist() == [0, 0, 1, 1, 0, 0]

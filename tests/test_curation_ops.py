@@ -254,3 +254,43 @@ def test_chunk_docs_boundaries():
     assert list(out["start_tok"]) == [0, 0, 24]
     assert list(out["n_tok"]) == [3, 32, 8]
     assert out["chunk"].iloc[2] == " ".join(f"t{i}" for i in range(24, 32))
+
+
+# ------------------------------------------------- perplexity gate
+
+def test_unigram_lp_micro_matches_closed_form():
+    terms = np.array(["a", "b", "c"], dtype=object)
+    counts = np.array([6, 3, 1], dtype=np.int64)
+    vocab, lp = textops.unigram_lp_micro(terms, counts)
+    assert list(vocab) == ["a", "b", "c"]
+    total, v = 10.0, 3.0
+    for t, c in zip(["a", "b", "c"], [6, 3, 1]):
+        expect = np.log((c + 1.0) / (total + v)) * 1e6
+        got = lp[list(vocab).index(t)]
+        assert abs(got - expect) <= 0.5  # half-away int quantization
+
+
+def test_perplexity_batch_exact_int_sums_and_gate():
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a a b", "c c c c", "   "]})
+    vocab, lp = textops.unigram_lp_micro(
+        np.array(["a", "b", "c"], dtype=object),
+        np.array([2, 1, 4], dtype=np.int64))
+    lpm = dict(zip(vocab, lp))
+    out = textops.perplexity_batch(df, (vocab, lp), threshold := 1e9)
+    # empty doc dropped (mirrors the oracle's trim filter)
+    assert list(out["doc_id"]) == [1, 2]
+    assert out["nll_micro"].tolist() == [
+        -(2 * lpm["a"] + lpm["b"]), -4 * lpm["c"]]
+    expect_ppl = np.exp(np.array(out["nll_micro"], dtype=np.float64)
+                        / out["n_tokens"].to_numpy() / 1e6)
+    assert np.allclose(out["ppl"].to_numpy(), expect_ppl, atol=1e-6)
+    assert (out["keep"] == 1).all()  # threshold huge -> all kept
+
+
+def test_perplexity_batch_oov_floor():
+    vocab, lp = textops.unigram_lp_micro(
+        np.array(["a"], dtype=object), np.array([5], dtype=np.int64))
+    df = pd.DataFrame({"doc_id": [7], "text": ["zzz a"]})
+    out = textops.perplexity_batch(df, (vocab, lp), 1e9)
+    assert out["nll_micro"].iloc[0] == -(textops._OOV_LP_FLOOR + lp[0])
