@@ -3260,6 +3260,165 @@ def q_clip_score_gate(sf_dir: str):
                          batch_size=16, concurrency=2,
                          fn_constructor_kwargs={"threshold": 0.93}))
 
+@_q("q_moving_avg", """
+WITH q AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 1e6) AS BIGINT) AS v_micro
+           FROM events)
+SELECT event_id, user_id, v_micro,
+       CAST(sum(v_micro) OVER w AS BIGINT) AS win_sum_micro,
+       CAST(count(*) OVER w AS BIGINT) AS win_n,
+       round(CAST(sum(v_micro) OVER w AS DOUBLE)
+             / (count(*) OVER w) / 1e6, 6) AS moving_avg
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""")
+def q_moving_avg(sf_dir: str):
+    # window-frame aggregate (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+    # per user in event-time order): one entity exchange, then the frame
+    # sums fall out of a group-reset cumulative sum inside the partition
+    # reduce — O(rows) vectorized, no per-window loop. Values quantize
+    # to integer micro-units first so frame sums are exact and
+    # order-independent (the sketch-row / perplexity pattern).
+    def frames(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df["user_id"].to_numpy()
+        v = textops.round_half_away(
+            df["value"].to_numpy() * 1e6, 0).astype(np.int64)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = g[1:] != g[:-1]
+        grp_start = np.maximum.accumulate(np.where(new, idx, 0))
+        lo = np.maximum(grp_start, idx - 4)
+        cs = np.cumsum(v)
+        prev = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        win_sum = cs - prev
+        win_n = idx - lo + 1
+        avg = textops.round_half_away(
+            win_sum.astype(np.float64) / win_n / 1e6, 6)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": g, "v_micro": v,
+            "win_sum_micro": win_sum, "win_n": win_n,
+            "moving_avg": avg})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"], frames)
+
+
+@_q("q_rank_events", """
+WITH q AS (SELECT event_id, user_id,
+                  CAST(round(value * 1e6) AS BIGINT) AS v_micro
+           FROM events)
+SELECT event_id, user_id, v_micro,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY v_micro DESC)
+            AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY v_micro DESC)
+            AS BIGINT) AS drnk
+FROM q
+""")
+def q_rank_events(sf_dir: str):
+    # ranking window functions (rank / dense_rank per user by value):
+    # one entity exchange; inside the partition reduce a single sort by
+    # (user, -value) turns both ranks into boundary-flag scans —
+    # rank = position of the first equal-value row (forward-filled with
+    # group reset), dense_rank = running count of value changes. Ties
+    # rank identically regardless of row order, so the output is
+    # deterministic under any partitioning.
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        v = textops.round_half_away(
+            df["value"].to_numpy() * 1e6, 0).astype(np.int64)
+        df = df.assign(v_micro=v).sort_values(
+            ["user_id", "v_micro"], ascending=[True, False], kind="stable")
+        g = df["user_id"].to_numpy()
+        vm = df["v_micro"].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new_grp = np.ones(n, dtype=bool)
+        new_val = np.ones(n, dtype=bool)
+        if n > 1:
+            new_grp[1:] = g[1:] != g[:-1]
+            new_val[1:] = new_grp[1:] | (vm[1:] != vm[:-1])
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        first_eq = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rnk = first_eq - grp_start + 1
+        dense_cum = np.cumsum(new_val)
+        drnk = dense_cum - np.where(
+            grp_start > 0, dense_cum[np.maximum(grp_start - 1, 0)], 0)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": g, "v_micro": vm, "rnk": rnk, "drnk": drnk})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"], ranks)
+
+
+@_q("q_mad_outliers", """
+WITH q AS (SELECT user_id, CAST(round(value * 1e6) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT user_id, median(v) AS med FROM q GROUP BY 1),
+d AS (SELECT q.user_id, q.v, abs(q.v - m.med) AS dev
+      FROM q JOIN m USING (user_id)),
+s AS (SELECT user_id, median(dev) AS mad FROM d GROUP BY 1)
+SELECT d.user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(m.med / 1e6, 6) AS med,
+       round(s.mad / 1e6, 6) AS mad,
+       CAST(sum(CASE WHEN d.dev > 3.0 * s.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN m USING (user_id) JOIN s USING (user_id)
+GROUP BY d.user_id, m.med, s.mad
+""")
+def q_mad_outliers(sf_dir: str):
+    # robust per-entity outlier detection (median absolute deviation —
+    # the robust z-score): one entity exchange; median and MAD both
+    # compute inside the partition reduce from two vectorized lexsorts
+    # + run indexing (no per-group loop), so the two "grouped median"
+    # passes the SQL needs cost a single shuffle here. Micro-int
+    # quantization keeps the interpolated medians dyadic-exact
+    # (.5 steps), so the oracle matches bit-wise.
+    def _grouped_median_sorted(a: np.ndarray, start: np.ndarray,
+                               cnt: np.ndarray) -> np.ndarray:
+        # median of each contiguous sorted run: pure indexing, no loop
+        mid = start + cnt // 2
+        lo = np.maximum(mid - 1, start)  # == mid-1 whenever cnt is even
+        return np.where(cnt % 2 == 1, a[mid], (a[lo] + a[mid]) / 2.0)
+
+    def mad(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": np.array([], np.int64),
+                "n": np.array([], np.int64),
+                "med": np.array([], np.float64),
+                "mad": np.array([], np.float64),
+                "n_outliers": np.array([], np.int64)})
+        v = textops.round_half_away(
+            df["value"].to_numpy() * 1e6, 0).astype(np.int64)
+        df = df.assign(v=v).sort_values(["user_id", "v"], kind="stable")
+        g = df["user_id"].to_numpy()
+        vv = df["v"].to_numpy().astype(np.float64)
+        uniq, start, cnt = np.unique(g, return_index=True,
+                                     return_counts=True)
+        med = _grouped_median_sorted(vv, start, cnt)
+        dev = np.abs(vv - np.repeat(med, cnt))
+        dev_s = dev[np.lexsort((dev, g))]
+        madv = _grouped_median_sorted(dev_s, start, cnt)
+        n_out = np.add.reduceat(
+            (dev > 3.0 * np.repeat(madv, cnt)).astype(np.int64), start)
+        return pd.DataFrame({
+            "user_id": uniq, "n": cnt.astype(np.int64),
+            "med": textops.round_half_away(med / 1e6, 6),
+            "mad": textops.round_half_away(madv / 1e6, 6),
+            "n_outliers": n_out})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "value"]), ["user_id"], mad)
+
+
 # gate threshold sits just above the corpus ppl median (~30.0 at every
 # sf), so the filter drops the high-ppl tail (~5%) the way a CCNet-style
 # filter drops its worst bucket — non-degenerate keep labels at all sf.

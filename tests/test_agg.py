@@ -57,3 +57,60 @@ def test_distributed_combine_matches_pandas_groundtruth(events_ds):
     np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
     np.testing.assert_allclose(got["avg"].to_numpy(), want["avg"].to_numpy(),
                                rtol=1e-12)
+
+
+def test_moving_avg_frames_match_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    from cocrawler_ray import queries
+    df = queries.QUERIES["q_moving_avg"]("/root/testdata/sf0.001").to_pandas()
+    # pandas rolling ground truth on the quantized values
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    from cocrawler_ray.stages.text import round_half_away
+    ev["v"] = round_half_away(ev["value"].to_numpy() * 1e6, 0).astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    g = ev.groupby("user_id", sort=False)["v"]
+    ev["win_sum"] = g.rolling(5, min_periods=1).sum().to_numpy().astype("int64")
+    ev["win_n"] = g.rolling(5, min_periods=1).count().to_numpy().astype("int64")
+    got = df.sort_values("event_id").reset_index(drop=True)
+    want = ev.sort_values("event_id").reset_index(drop=True)
+    assert (got["win_sum_micro"].to_numpy() == want["win_sum"].to_numpy()).all()
+    assert (got["win_n"].to_numpy() == want["win_n"].to_numpy()).all()
+
+
+def test_rank_events_tie_semantics(ray_session):
+    import numpy as np
+    from cocrawler_ray import queries
+    df = queries.QUERIES["q_rank_events"]("/root/testdata/sf0.001").to_pandas()
+    # rank semantics: within a user, equal v_micro share a rank; the rank
+    # equals 1 + number of strictly greater values; dense_rank is the
+    # number of distinct >= values
+    for uid, grp in df.groupby("user_id"):
+        v = grp["v_micro"].to_numpy()
+        rnk = grp["rnk"].to_numpy()
+        drnk = grp["drnk"].to_numpy()
+        for i in range(len(v)):
+            assert rnk[i] == 1 + (v > v[i]).sum()
+            assert drnk[i] == 1 + len(np.unique(v[v > v[i]]))
+
+
+def test_mad_outliers_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    from cocrawler_ray import queries
+    from cocrawler_ray.stages.text import round_half_away
+    df = queries.QUERIES["q_mad_outliers"]("/root/testdata/sf0.001").to_pandas()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "value"])
+    v = round_half_away(ev["value"].to_numpy() * 1e6, 0).astype("int64")
+    ev = ev.assign(v=v)
+    for uid, grp in ev.groupby("user_id"):
+        row = df[df["user_id"] == uid].iloc[0]
+        med = np.median(grp["v"].to_numpy().astype(float))
+        dev = np.abs(grp["v"].to_numpy().astype(float) - med)
+        madv = np.median(dev)
+        assert row["n"] == len(grp)
+        assert abs(row["med"] - round(med / 1e6, 6)) < 1e-9
+        assert abs(row["mad"] - round(madv / 1e6, 6)) < 1e-9
+        assert row["n_outliers"] == int((dev > 3.0 * madv).sum())
