@@ -758,3 +758,55 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        round(score, 6) AS clip_score
 FROM sc WHERE score > {threshold}::DOUBLE
 """
+
+
+# ---------------------------------------------------------------------------
+# q_cdc_chunks oracle (content-defined chunking)
+# ---------------------------------------------------------------------------
+
+def cdc_sql(mask: int = 63) -> str:
+    """Restate dedup.cdc_chunk_payloads analytically: regenerate the byte
+    formula, roll the 4-byte polynomial with lag()+mulmod, derive chunk
+    ids from a shifted windowed sum of cut flags, and xor-fold the
+    position-salted splitmix chunk hash in 32-bit halves (the
+    fingerprint_sql fold)."""
+    cdc_a = 1000003
+    cdc_b = 0x5851F42D4C957F2D
+    acc = "b3"
+    for nxt in ("b2", "b1", "b"):
+        acc = f"(({mulmod(acc, POLY)}) + {nxt}) % {M64}"
+    x = f"((b * {cdc_a}::HUGEINT + rel::HUGEINT * {cdc_b}::HUGEINT) % {M64})"
+    sm, sm_final = splitmix_ctes("relq", "d, chunk_ix", x, "smx", "cdc")
+    return f"""
+WITH ids AS (SELECT doc_id AS d FROM documents),
+jj AS (SELECT d, unnest(generate_series(0, (40 + (d * 13) % 200) - 1)) AS j
+       FROM ids),
+byt AS (SELECT d, j, ((d * 7 + j * 31 + (j * j) % 29) % 256)::HUGEINT AS b
+        FROM jj),
+r AS (SELECT d, j, b, lag(b, 3) OVER w AS b3, lag(b, 2) OVER w AS b2,
+             lag(b, 1) OVER w AS b1
+      FROM byt WINDOW w AS (PARTITION BY d ORDER BY j)),
+c AS (SELECT d, j, b,
+             CASE WHEN b3 IS NOT NULL AND ({acc}) % {mask + 1} = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM r),
+ch AS (SELECT d, j, b,
+              CAST(coalesce(sum(cut) OVER (PARTITION BY d ORDER BY j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS chunk_ix
+       FROM c),
+relq AS (SELECT d, chunk_ix, j, b,
+                j - min(j) OVER (PARTITION BY d, chunk_ix) AS rel
+         FROM ch),
+{sm},
+folded AS (SELECT d, chunk_ix,
+                  bit_xor(CAST(smx // {H32} AS BIGINT)) AS xhi,
+                  bit_xor(CAST(smx % {H32} AS BIGINT)) AS xlo
+           FROM {sm_final} GROUP BY d, chunk_ix),
+meta AS (SELECT d, chunk_ix, CAST(min(j) AS BIGINT) AS "start",
+                CAST(count(*) AS BIGINT) AS length
+         FROM ch GROUP BY d, chunk_ix)
+SELECT m.d AS doc_id, m.chunk_ix, m."start", m.length,
+       {to_i64(f"(xhi::HUGEINT * {H32} + xlo::HUGEINT)")} AS chunk_hash
+FROM meta m JOIN folded f ON m.d = f.d AND m.chunk_ix = f.chunk_ix
+"""

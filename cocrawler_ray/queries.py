@@ -40,6 +40,8 @@ ORACLE: dict[str, str] = {}
 
 def _q(name: str, sql: str | None = None):
     def reg(fn):
+        if name in QUERIES:
+            raise RuntimeError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -3260,7 +3262,7 @@ def q_clip_score_gate(sf_dir: str):
                          batch_size=16, concurrency=2,
                          fn_constructor_kwargs={"threshold": 0.93}))
 
-@_q("q_moving_avg", """
+@_q("q_window_frame", """
 WITH q AS (SELECT event_id, user_id, ts,
                   CAST(round(value * 1e6) AS BIGINT) AS v_micro
            FROM events)
@@ -3273,7 +3275,7 @@ FROM q
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """)
-def q_moving_avg(sf_dir: str):
+def q_window_frame(sf_dir: str):
     # window-frame aggregate (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
     # per user in event-time order): one entity exchange, then the frame
     # sums fall out of a group-reset cumulative sum inside the partition
@@ -3417,6 +3419,32 @@ def q_mad_outliers(sf_dir: str):
 
     return exchange.grouped_shuffle(
         read(sf_dir, "events", ["user_id", "value"]), ["user_id"], mad)
+
+
+@_q("q_cdc_chunks", oracles.cdc_sql())
+def q_cdc_chunks(sf_dir: str):
+    # content-defined chunking (rsync/FastCDC family): binary payloads
+    # synthesize deterministically from doc rows (the conformance-input
+    # pattern oracles.py documents), then the REAL operator
+    # (stages/dedup.py::cdc_chunk_payloads) cuts them where a rolling
+    # 4-byte polynomial hash hits the mask — the chunk-level dedup
+    # primitive for WARC revisits / mirrored payloads. One streaming
+    # scan; a chunk_hash groupby downstream is the chunk-store shape.
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        payloads = []
+        for di in d:
+            j = np.arange(40 + (di * 13) % 200, dtype=np.int64)
+            payloads.append(
+                ((di * 7 + j * 31 + (j * j) % 29) % 256)
+                .astype(np.uint8).tobytes())
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return (ds.map_batches(synth, batch_format="pyarrow")
+            .map_batches(dedup.cdc_chunk_payloads, batch_format="pyarrow"))
 
 
 # gate threshold sits just above the corpus ppl median (~30.0 at every

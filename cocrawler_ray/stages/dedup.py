@@ -528,3 +528,82 @@ def span_dedup(spans: rd.Dataset, id_col: str, ord_col: str,
             "clean_text": clean.reindex(idx).fillna("").to_numpy(object)})
 
     return exchange.grouped_shuffle(marked, [id_col], reassemble)
+
+
+_CDC_POLY = np.uint64(0x100000001B3)   # hashing._POLY rolling multiplier
+_CDC_A = np.uint64(1000003)            # chunk-hash byte salt
+_CDC_B = np.uint64(0x5851F42D4C957F2D)  # chunk-hash position salt
+
+
+def cdc_chunk_payloads(batch: pa.Table, id_col: str = "doc_id",
+                       payload_col: str = "payload",
+                       mask: int = 63) -> pa.Table:
+    """Content-defined chunking (rsync/FastCDC-style): cut each binary
+    payload where a rolling 4-byte polynomial hash lands on ``hash %
+    (mask+1) == 0``, so chunk boundaries follow content — an insertion
+    shifts bytes but downstream boundaries re-synchronize, which is what
+    makes chunk-level dedup of near-identical payloads (WARC revisits,
+    mirrored pages) work at archive scale. Production CDC adds min/max
+    chunk clamps; this keeps the pure content-defined rule so the oracle
+    stays a closed form.
+
+    Fully batch-vectorized: all payloads concatenate into one uint8
+    array; the rolling hash is four shifted uint64 multiplies over that
+    array (boundary positions crossing payloads are masked out); chunk
+    ids fall out of a reset cumulative sum, and per-chunk (start, length,
+    hash) out of reduceat over the boundary flags. The chunk hash is an
+    xor-fold of splitmix64(byte * A + offset_in_chunk * B) — position-
+    salted so it is order-aware yet segment-computable, and exactly
+    restatable in SQL (oracles.cdc_sql).
+
+    Emits one row per chunk: (doc_id, chunk_ix, start, length,
+    chunk_hash int64). Per-payload by construction -> one streaming scan;
+    a downstream exact-dedup groupby on chunk_hash is the standard
+    chunk-store shape."""
+    from cocrawler_ray.hashing import splitmix64
+
+    ids = batch.column(id_col).to_numpy()
+    payloads = batch.column(payload_col).to_pylist()
+    if not len(ids):
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "chunk_ix": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "length": pa.array([], pa.int64()),
+            "chunk_hash": pa.array([], pa.int64())})
+    lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    b = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    starts = np.cumsum(lens) - lens
+    row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    pstart = np.repeat(starts, lens)
+    rel = np.arange(n, dtype=np.int64) - pstart
+
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=np.uint64)
+        acc[3:] = b[:-3]
+        for sl in (b[1:-2], b[2:-1], b[3:]):
+            acc[3:] = acc[3:] * _CDC_POLY + sl
+        cut = np.zeros(n, dtype=np.int64)
+        valid = rel >= 3
+        cut[valid] = (acc[valid] & np.uint64(mask)) == 0
+        # chunk id = number of cuts strictly before this byte, reset per
+        # payload (a cut AFTER position j closes the chunk at j)
+        pre = np.concatenate(([0], np.cumsum(cut)[:-1]))
+        chunk = pre - pre[pstart]
+        # boundary flags: new (payload, chunk) runs
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (row[1:] != row[:-1]) | (chunk[1:] != chunk[:-1])
+        bpos = np.flatnonzero(new)
+        cstart = np.repeat(rel[bpos], np.diff(np.append(bpos, n)))
+        inchunk = rel - cstart
+        xh = splitmix64(b * _CDC_A + inchunk.astype(np.uint64) * _CDC_B)
+        chash = np.bitwise_xor.reduceat(xh, bpos)
+        length = np.diff(np.append(bpos, n)).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(ids[row[bpos]], pa.int64()),
+        "chunk_ix": pa.array(chunk[bpos], pa.int64()),
+        "start": pa.array(rel[bpos], pa.int64()),
+        "length": pa.array(length, pa.int64()),
+        "chunk_hash": pa.array(chash.view(np.int64), pa.int64())})

@@ -59,11 +59,11 @@ def test_distributed_combine_matches_pandas_groundtruth(events_ds):
                                rtol=1e-12)
 
 
-def test_moving_avg_frames_match_pandas(ray_session):
+def test_window_frame_sums_match_pandas(ray_session):
     import numpy as np
     import pandas as pd
     from cocrawler_ray import queries
-    df = queries.QUERIES["q_moving_avg"]("/root/testdata/sf0.001").to_pandas()
+    df = queries.QUERIES["q_window_frame"]("/root/testdata/sf0.001").to_pandas()
     # pandas rolling ground truth on the quantized values
     ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])

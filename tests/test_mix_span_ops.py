@@ -177,3 +177,41 @@ def test_clip_score_gate_zero_norm_caption_dropped():
                      pa.array(["no colors here", "red only"], pa.string()))
     out = ClipScoreGate(threshold=-1.0)(t)
     assert out.num_rows == 1 and out.column("image_id")[0].as_py() == "img0001"
+
+
+def test_cdc_chunks_resynchronize_after_insertion():
+    """The CDC property: prepending bytes shifts early boundaries but the
+    chunking re-synchronizes — most chunk hashes of the original payload
+    reappear for the edited payload (a fixed-size chunker would share 0)."""
+    import numpy as np
+    import pyarrow as pa
+    from cocrawler_ray.stages.dedup import cdc_chunk_payloads
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, 4000, dtype=np.uint8).tobytes()
+    edited = b"INSERTED-PREFIX-BYTES!" + base
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([base, edited], pa.binary())})
+    out = cdc_chunk_payloads(t)
+    df = out.to_pandas()
+    h1 = set(df[df.doc_id == 1]["chunk_hash"])
+    h2 = set(df[df.doc_id == 2]["chunk_hash"])
+    shared = len(h1 & h2) / len(h1)
+    assert shared > 0.8, f"only {shared:.0%} of chunks survived the edit"
+    # chunk geometry is self-consistent
+    for _, g in df.groupby("doc_id"):
+        g = g.sort_values("chunk_ix")
+        assert (g["start"].to_numpy()[1:]
+                == (g["start"] + g["length"]).to_numpy()[:-1]).all()
+        assert int(g["length"].sum()) == len(base) + (
+            0 if g["doc_id"].iloc[0] == 1 else len(b"INSERTED-PREFIX-BYTES!"))
+
+
+def test_cdc_chunks_empty_and_tiny_payloads():
+    import pyarrow as pa
+    from cocrawler_ray.stages.dedup import cdc_chunk_payloads
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([b"ab", b"x" * 10], pa.binary())})
+    df = cdc_chunk_payloads(t).to_pandas()
+    # payloads shorter than the window still emit exactly their one chunk
+    assert df[df.doc_id == 1]["length"].tolist() == [2]
+    assert int(df[df.doc_id == 2]["length"].sum()) == 10
