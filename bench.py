@@ -107,6 +107,13 @@ BENCH_QUERIES_R2 = [
     "q_token_pack",        # sequence packing (global ordered prefix sum)
 ]
 
+# round-3 additions (same separation rule: `value` grows with the suite,
+# `queries13_wall_s` stays the cross-round comparable)
+BENCH_QUERIES_R3 = [
+    "q_perplexity_gate",   # CCNet-style unigram-LM ppl filter (2 scans)
+    "q_cdc_chunks",        # content-defined chunking over binary payloads
+]
+
 
 def init_ray(num_cpus: int) -> None:
     import ray
@@ -238,7 +245,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     from cocrawler_ray.queries import QUERIES
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES + BENCH_QUERIES_R2:
+    for name in BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         consume(fn(sf_dir))
