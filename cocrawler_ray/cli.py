@@ -72,6 +72,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the reference webserver's info surface: totals, "
                          "per-gen rates, hot hosts, checkpoint lineage — "
                          "from persisted state, no Ray session) and exit")
+    ap.add_argument("--curate", nargs=2, metavar=("SRC", "DEST"),
+                    help="run the end-to-end curation pipeline (perplexity "
+                         "gate -> quality gate -> decontaminate -> exact "
+                         "dedup -> sequence pack -> resumable shards) over "
+                         "SRC (a dir with documents.parquet, or a parquet "
+                         "file) into DEST, print the JSON manifest and exit")
+    ap.add_argument("--pack-budget", type=int, default=2048,
+                    help="tokens per training pack for --curate")
+    ap.add_argument("--curate-shards", type=int, default=16,
+                    help="output shard count for --curate")
     return ap
 
 
@@ -90,6 +100,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.status:
         from cocrawler_ray.pipelines.crawl import crawl_status
         print(json.dumps(crawl_status(args.status)))
+        return 0
+
+    if args.curate:
+        import ray
+
+        if not ray.is_initialized():  # standalone; ray job submit attaches
+            kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR", **kw)
+        from cocrawler_ray.pipelines.curate import curate_documents
+
+        res = curate_documents(args.curate[0], args.curate[1],
+                               pack_budget=args.pack_budget,
+                               num_shards=args.curate_shards)
+        print(json.dumps({
+            "counts": res["counts"],
+            "ppl_threshold": res["ppl_threshold"],
+            "shards": res["manifest"].to_dict("records")}))
         return 0
 
     if not args.seeds or not args.web_dir:
