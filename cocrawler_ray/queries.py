@@ -3421,6 +3421,26 @@ def q_mad_outliers(sf_dir: str):
         read(sf_dir, "events", ["user_id", "value"]), ["user_id"], mad)
 
 
+def _bpe_count_sql() -> str:
+    pat = textops._BPE_PAT.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@_q("q_token_count_bpe", _bpe_count_sql())
+def q_token_count_bpe(sf_dir: str):
+    # BPE-ish token counting (GPT-2 pre-tokenizer regex, RE2-restricted
+    # so DuckDB runs the IDENTICAL pattern): one streaming scan
+    # (stages/text.py::bpe_token_count_batch).
+    return (read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(textops.bpe_token_count_batch,
+                         batch_format="pyarrow")
+            .select_columns(["doc_id", "n_bpe_tokens"]))
+
+
 @_q("q_cdc_chunks", oracles.cdc_sql())
 def q_cdc_chunks(sf_dir: str):
     # content-defined chunking (rsync/FastCDC family): binary payloads
