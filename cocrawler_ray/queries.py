@@ -30,7 +30,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from cocrawler_ray import facet, oracles, parse, seeds, urls
-from cocrawler_ray.stages import (dedup, exchange, joins, similarity,
+from cocrawler_ray.stages import (agg, dedup, exchange, joins, similarity,
                                   text as textops, window)
 from cocrawler_ray.stages.agg import partial_groupby_agg
 
@@ -3282,33 +3282,9 @@ def q_window_frame(sf_dir: str):
     # reduce — O(rows) vectorized, no per-window loop. Values quantize
     # to integer micro-units first so frame sums are exact and
     # order-independent (the sketch-row / perplexity pattern).
-    def frames(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        g = df["user_id"].to_numpy()
-        v = textops.round_half_away(
-            df["value"].to_numpy() * 1e6, 0).astype(np.int64)
-        n = len(g)
-        idx = np.arange(n, dtype=np.int64)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            new[1:] = g[1:] != g[:-1]
-        grp_start = np.maximum.accumulate(np.where(new, idx, 0))
-        lo = np.maximum(grp_start, idx - 4)
-        cs = np.cumsum(v)
-        prev = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
-        win_sum = cs - prev
-        win_n = idx - lo + 1
-        avg = textops.round_half_away(
-            win_sum.astype(np.float64) / win_n / 1e6, 6)
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(),
-            "user_id": g, "v_micro": v,
-            "win_sum_micro": win_sum, "win_n": win_n,
-            "moving_avg": avg})
-
     return exchange.grouped_shuffle(
         read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
-        ["user_id"], frames)
+        ["user_id"], window.frame_sums_reduce)
 
 
 @_q("q_rank_events", """
@@ -3330,33 +3306,9 @@ def q_rank_events(sf_dir: str):
     # group reset), dense_rank = running count of value changes. Ties
     # rank identically regardless of row order, so the output is
     # deterministic under any partitioning.
-    def ranks(df: pd.DataFrame) -> pd.DataFrame:
-        v = textops.round_half_away(
-            df["value"].to_numpy() * 1e6, 0).astype(np.int64)
-        df = df.assign(v_micro=v).sort_values(
-            ["user_id", "v_micro"], ascending=[True, False], kind="stable")
-        g = df["user_id"].to_numpy()
-        vm = df["v_micro"].to_numpy()
-        n = len(g)
-        idx = np.arange(n, dtype=np.int64)
-        new_grp = np.ones(n, dtype=bool)
-        new_val = np.ones(n, dtype=bool)
-        if n > 1:
-            new_grp[1:] = g[1:] != g[:-1]
-            new_val[1:] = new_grp[1:] | (vm[1:] != vm[:-1])
-        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
-        first_eq = np.maximum.accumulate(np.where(new_val, idx, 0))
-        rnk = first_eq - grp_start + 1
-        dense_cum = np.cumsum(new_val)
-        drnk = dense_cum - np.where(
-            grp_start > 0, dense_cum[np.maximum(grp_start - 1, 0)], 0)
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(),
-            "user_id": g, "v_micro": vm, "rnk": rnk, "drnk": drnk})
-
     return exchange.grouped_shuffle(
         read(sf_dir, "events", ["event_id", "user_id", "value"]),
-        ["user_id"], ranks)
+        ["user_id"], window.rank_reduce)
 
 
 @_q("q_mad_outliers", """
@@ -3383,42 +3335,34 @@ def q_mad_outliers(sf_dir: str):
     # passes the SQL needs cost a single shuffle here. Micro-int
     # quantization keeps the interpolated medians dyadic-exact
     # (.5 steps), so the oracle matches bit-wise.
-    def _grouped_median_sorted(a: np.ndarray, start: np.ndarray,
-                               cnt: np.ndarray) -> np.ndarray:
-        # median of each contiguous sorted run: pure indexing, no loop
-        mid = start + cnt // 2
-        lo = np.maximum(mid - 1, start)  # == mid-1 whenever cnt is even
-        return np.where(cnt % 2 == 1, a[mid], (a[lo] + a[mid]) / 2.0)
-
-    def mad(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "user_id": np.array([], np.int64),
-                "n": np.array([], np.int64),
-                "med": np.array([], np.float64),
-                "mad": np.array([], np.float64),
-                "n_outliers": np.array([], np.int64)})
-        v = textops.round_half_away(
-            df["value"].to_numpy() * 1e6, 0).astype(np.int64)
-        df = df.assign(v=v).sort_values(["user_id", "v"], kind="stable")
-        g = df["user_id"].to_numpy()
-        vv = df["v"].to_numpy().astype(np.float64)
-        uniq, start, cnt = np.unique(g, return_index=True,
-                                     return_counts=True)
-        med = _grouped_median_sorted(vv, start, cnt)
-        dev = np.abs(vv - np.repeat(med, cnt))
-        dev_s = dev[np.lexsort((dev, g))]
-        madv = _grouped_median_sorted(dev_s, start, cnt)
-        n_out = np.add.reduceat(
-            (dev > 3.0 * np.repeat(madv, cnt)).astype(np.int64), start)
-        return pd.DataFrame({
-            "user_id": uniq, "n": cnt.astype(np.int64),
-            "med": textops.round_half_away(med / 1e6, 6),
-            "mad": textops.round_half_away(madv / 1e6, 6),
-            "n_outliers": n_out})
-
     return exchange.grouped_shuffle(
-        read(sf_dir, "events", ["user_id", "value"]), ["user_id"], mad)
+        read(sf_dir, "events", ["user_id", "value"]), ["user_id"],
+        agg.mad_outliers_reduce)
+
+
+_UNPIVOT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@_q("q_unpivot", "\nUNION ALL\n".join(
+    f"SELECT l_orderkey, l_linenumber, '{c}' AS measure, {c} AS value "
+    f"FROM lineitem" for c in _UNPIVOT_COLS))
+def q_unpivot(sf_dir: str):
+    # unpivot / melt (wide -> long, the inverse of q_pivot_events): a
+    # pure per-row column expansion inside the scan — each block emits
+    # 4x its rows, values pass through untouched, zero shuffles at any
+    # scale.
+    cols = _UNPIVOT_COLS
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["l_orderkey", "l_linenumber"],
+                      value_vars=cols, var_name="measure",
+                      value_name="value")
+        out["l_linenumber"] = out["l_linenumber"].astype(np.int32)
+        return out
+
+    return (read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber"] + cols)
+            .map_batches(melt, batch_format="pandas"))
 
 
 def _bpe_count_sql() -> str:

@@ -184,3 +184,67 @@ def hopping_window_agg(ds: rd.Dataset, ts_col: str, width_us: int,
     return partial_groupby_agg(
         ds.map_batches(explode, batch_format="pyarrow"),
         ["win_start"] + keys, aggs, distributed=True)
+
+
+def frame_sums_reduce(df, val_col: str = "value", key_col: str = "user_id",
+                      preceding: int = 4):
+    """Partition reduce behind q_window_frame: exact integer frame sums
+    for ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT ROW per key in
+    (ts, event_id) order, from one group-reset cumulative sum — O(rows),
+    no per-window loop. Values quantize to integer micro-units first so
+    the sums are order-independent (SQL-exact)."""
+    import pandas as pd
+
+    from cocrawler_ray.stages.text import round_half_away
+
+    df = df.sort_values([key_col, "ts", "event_id"], kind="stable")
+    g = df[key_col].to_numpy()
+    v = round_half_away(df[val_col].to_numpy() * 1e6, 0).astype(np.int64)
+    n = len(g)
+    idx = np.arange(n, dtype=np.int64)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = g[1:] != g[:-1]
+    grp_start = np.maximum.accumulate(np.where(new, idx, 0))
+    lo = np.maximum(grp_start, idx - preceding)
+    cs = np.cumsum(v)
+    prev = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+    win_sum = cs - prev
+    win_n = idx - lo + 1
+    avg = round_half_away(win_sum.astype(np.float64) / win_n / 1e6, 6)
+    return pd.DataFrame({
+        "event_id": df["event_id"].to_numpy(),
+        key_col: g, "v_micro": v,
+        "win_sum_micro": win_sum, "win_n": win_n,
+        "moving_avg": avg})
+
+
+def rank_reduce(df, val_col: str = "value", key_col: str = "user_id"):
+    """Partition reduce behind q_rank_events: rank + dense_rank per key
+    by value DESC from one sort and boundary-flag scans. Ties share the
+    min rank, so the output is deterministic under any partitioning."""
+    import pandas as pd
+
+    from cocrawler_ray.stages.text import round_half_away
+
+    v = round_half_away(df[val_col].to_numpy() * 1e6, 0).astype(np.int64)
+    df = df.assign(v_micro=v).sort_values(
+        [key_col, "v_micro"], ascending=[True, False], kind="stable")
+    g = df[key_col].to_numpy()
+    vm = df["v_micro"].to_numpy()
+    n = len(g)
+    idx = np.arange(n, dtype=np.int64)
+    new_grp = np.ones(n, dtype=bool)
+    new_val = np.ones(n, dtype=bool)
+    if n > 1:
+        new_grp[1:] = g[1:] != g[:-1]
+        new_val[1:] = new_grp[1:] | (vm[1:] != vm[:-1])
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    first_eq = np.maximum.accumulate(np.where(new_val, idx, 0))
+    rnk = first_eq - grp_start + 1
+    dense_cum = np.cumsum(new_val)
+    drnk = dense_cum - np.where(
+        grp_start > 0, dense_cum[np.maximum(grp_start - 1, 0)], 0)
+    return pd.DataFrame({
+        "event_id": df["event_id"].to_numpy(),
+        key_col: g, "v_micro": vm, "rnk": rnk, "drnk": drnk})

@@ -337,3 +337,107 @@ def test_repetition_stats_definitions(token_lists):
         assert out.loc[i, "distinct_ratio"] == round(len(c) / len(toks), 6)
         assert out.loc[i, "top_tok_frac"] == round(
             max(c.values()) / len(toks), 6)
+
+
+# ---------------------------------------------------------------------------
+# round-3 window/stats kernels vs brute-force models (pure python, no Ray)
+# ---------------------------------------------------------------------------
+
+_event_frames = st.lists(
+    st.tuples(st.integers(0, 5),           # user
+              st.integers(0, 50),          # ts
+              st.integers(-100, 100)),     # value (micro already)
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_event_frames)
+def test_path_trap_matches_set_model(rows):
+    # reuse the tuple stream as random path segments
+    paths = ["/" + "/".join(f"s{u % 3}{t % 4}" for t in range(abs(v) % 6))
+             for u, t, v in rows]
+    st_ = urls.path_trap_stats(paths)
+    for p, n_seg, n_dup, trap in zip(paths, st_["n_seg"], st_["n_dup"],
+                                     st_["trap"]):
+        segs = [s for s in p.split("/") if s]
+        assert n_seg == len(segs)
+        assert n_dup == len(segs) - len(set(segs))
+        assert trap == (n_dup >= 2)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_event_frames)
+def test_rank_reduce_matches_bruteforce(rows):
+    from cocrawler_ray.stages.window import rank_reduce
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["event_id"] = np.arange(len(df))
+    df["value"] = df["value"].astype(float) / 1e6
+    out = rank_reduce(df)
+    for _, grp in out.groupby("user_id"):
+        v = grp["v_micro"].to_numpy()
+        r = grp["rnk"].to_numpy()
+        d = grp["drnk"].to_numpy()
+        for i in range(len(v)):
+            assert r[i] == 1 + (v > v[i]).sum()
+            assert d[i] == 1 + len(np.unique(v[v > v[i]]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(_event_frames)
+def test_frame_sums_reduce_matches_rolling(rows):
+    from cocrawler_ray.stages.window import frame_sums_reduce
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["event_id"] = np.arange(len(df))
+    df["value"] = df["value"].astype(float) / 1e6
+    out = frame_sums_reduce(df)
+    want = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    vm = np.round(want["value"].to_numpy() * 1e6).astype(np.int64)
+    w = want.assign(vm=vm)
+    roll = w.groupby("user_id", sort=False)["vm"].rolling(
+        5, min_periods=1).sum().to_numpy().astype(np.int64)
+    got = out.set_index("event_id").loc[want["event_id"]]
+    assert (got["win_sum_micro"].to_numpy() == roll).all()
+    assert (got["win_n"].to_numpy() <= 5).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(_event_frames)
+def test_mad_reduce_matches_numpy(rows):
+    from cocrawler_ray.stages.agg import mad_outliers_reduce
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["value"] = df["value"].astype(float) / 1e6
+    out = mad_outliers_reduce(df).set_index("user_id")
+    from cocrawler_ray.stages.text import round_half_away
+    vm = np.round(df["value"].to_numpy() * 1e6).astype(np.int64)
+    for uid, grp in df.assign(vm=vm).groupby("user_id"):
+        v = grp["vm"].to_numpy().astype(float)
+        med = np.median(v)
+        dev = np.abs(v - med)
+        madv = np.median(dev)
+        row = out.loc[uid]
+        assert row["n"] == len(v)
+        # model rounds with the SAME half-away helper: python round() is
+        # decimal-correct and diverges at .5-in-double edges where the
+        # engine and the DuckDB oracle (same float product) agree
+        assert row["med"] == round_half_away(np.array([med / 1e6]), 6)[0]
+        assert row["mad"] == round_half_away(np.array([madv / 1e6]), 6)[0]
+        assert row["n_outliers"] == int((dev > 3.0 * madv).sum())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=600), min_size=1,
+                max_size=8))
+def test_cdc_chunks_partition_payload_exactly(payloads):
+    from cocrawler_ray.stages.dedup import cdc_chunk_payloads
+    t = pa.table({"doc_id": pa.array(range(len(payloads)), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    df = cdc_chunk_payloads(t).to_pandas()
+    for i, p in enumerate(payloads):
+        g = df[df.doc_id == i].sort_values("chunk_ix")
+        if not len(p):
+            assert len(g) == 0
+            continue
+        assert int(g["length"].sum()) == len(p)
+        assert g["start"].iloc[0] == 0
+        assert (g["start"].to_numpy()[1:]
+                == (g["start"] + g["length"]).to_numpy()[:-1]).all()
