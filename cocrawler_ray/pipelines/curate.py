@@ -47,7 +47,7 @@ import ray.data as rd
 
 from cocrawler_ray.hashing import splitmix64
 from cocrawler_ray.stages import dedup, text as textops
-from cocrawler_ray.stages.agg import exact_quantile_cont, partial_groupby_agg
+from cocrawler_ray.stages.agg import exact_quantile_cont
 from cocrawler_ray.stages.exchange import grouped_shuffle
 from cocrawler_ray.stages.window import token_pack
 
@@ -77,41 +77,44 @@ def curate_documents(src: str, dest: str, *,
     counts["input"] = pq.read_metadata(path).num_rows
 
     # ---- 1. unigram LM + perplexity gate ---------------------------------
-    tfds = _read_documents(src).map_batches(
-        _doc_terms_adapter, batch_format="pandas")
-    cf = partial_groupby_agg(tfds, ["term"], {"c": ("tf", "sum")})
-    lm_ref = ray.put(textops.unigram_lp_micro(
-        cf["term"].to_numpy(), cf["c"].to_numpy()))
+    lm_ref = textops.broadcast_unigram_lm(_read_documents(src))
 
     def score_ppl(df: pd.DataFrame) -> pd.DataFrame:
         out = textops.perplexity_batch(df, lm_ref, np.inf)
         m = dict(zip(out["doc_id"], out["ppl"]))
         keep = df["doc_id"].map(m).notna()
         df = df[keep].copy()
-        df["ppl"] = df["doc_id"].map(m).astype(np.float64)
+        # the gate and the quantile threshold both operate on the SAME
+        # 3-decimal half-away rounding (bounded value domain for the
+        # exact-quantile histogram; no raw-vs-rounded boundary drift)
+        df["ppl"] = textops.round_half_away(
+            df["doc_id"].map(m).to_numpy(np.float64), 3)
         return df
 
-    scored = _read_documents(src).map_batches(score_ppl,
-                                              batch_format="pandas")
+    # materialize the scored corpus ONCE: it feeds the quantile pass and
+    # the gates — without this the read + scoring lineage would re-execute
+    # per consumer (blocks live in the object store and spill; the driver
+    # holds refs only)
+    scored = _read_documents(src).map_batches(
+        score_ppl, batch_format="pandas").materialize()
     if ppl_threshold is None:
-        # bounded-domain exact quantile over 3-decimal-rounded ppl
-        rounded = scored.map_batches(
-            lambda df: pd.DataFrame(
-                {"pplr": np.round(df["ppl"].to_numpy(), 3)}),
-            batch_format="pandas")
-        ppl_threshold = float(exact_quantile_cont(rounded, "pplr",
-                                                  ppl_quantile))
+        ppl_threshold = float(exact_quantile_cont(
+            scored.select_columns(["ppl"]), "ppl", ppl_quantile))
     thr = ppl_threshold
-    gated = scored.map_batches(
-        lambda df: df[df["ppl"] <= thr], batch_format="pandas")
 
     # ---- 2. quality-classifier gate --------------------------------------
-    def quality_gate(df: pd.DataFrame) -> pd.DataFrame:
+    def both_gates(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ppl"] <= thr]
+        if not len(df):
+            return df
         q = textops.quality_classifier_batch(df)
         keep = set(q[q["keep"] == 1]["doc_id"].tolist())
         return df[df["doc_id"].isin(keep)]
 
-    gated = gated.map_batches(quality_gate, batch_format="pandas")
+    # materialized for the same reason: consumed by the contamination
+    # gather AND the dedup -> pack -> shard write
+    gated = scored.map_batches(both_gates,
+                               batch_format="pandas").materialize()
 
     # ---- 3. decontamination ----------------------------------------------
     hits = gated.map_batches(
@@ -181,11 +184,6 @@ def curate_documents(src: str, dest: str, *,
     counts["output"] = int(manifest["rows"].sum())
     return {"manifest": manifest, "counts": counts,
             "ppl_threshold": float(thr)}
-
-
-def _doc_terms_adapter(df: pd.DataFrame) -> pd.DataFrame:
-    from cocrawler_ray.queries import _doc_terms
-    return _doc_terms(df)
 
 
 def _empty_manifest() -> pd.DataFrame:

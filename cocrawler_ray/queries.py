@@ -1880,26 +1880,7 @@ def q_zscore(sf_dir: str):
             .map_batches(standardize, batch_format="pandas"))
 
 
-def _doc_terms(df: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, term, tf) rows — each doc is one input row, so per-doc
-    term frequency needs no shuffle at all (the per-doc np.unique loop is
-    the langid-style measured choice: rows are whole documents)."""
-    ids, terms, tfs = [], [], []
-    for d, txt in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
-        toks = txt.split()
-        if not toks:
-            continue
-        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        ids.append(np.full(len(u), d, dtype=np.int64))
-        terms.append(u)
-        tfs.append(c)
-    if not ids:
-        return pd.DataFrame({"doc_id": np.array([], np.int64),
-                             "term": np.array([], object),
-                             "tf": np.array([], np.int64)})
-    return pd.DataFrame({"doc_id": np.concatenate(ids),
-                         "term": np.concatenate(terms),
-                         "tf": np.concatenate(tfs).astype(np.int64)})
+_doc_terms = textops.doc_terms_batch
 
 
 @_q("q_word_count", """
@@ -3443,11 +3424,8 @@ def q_perplexity_gate(sf_dir: str):
     # ppl < threshold. Two streaming scans, zero shuffles — the
     # standard corpus-level quality filter (CCNet/Gopher) shape
     # (stages/text.py::perplexity_batch).
-    tfds = (read(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(_doc_terms, batch_format="pandas"))
-    cf = partial_groupby_agg(tfds, ["term"], {"c": ("tf", "sum")})
-    lm_ref = ray.put(textops.unigram_lp_micro(
-        cf["term"].to_numpy(), cf["c"].to_numpy()))
+    lm_ref = textops.broadcast_unigram_lm(
+        read(sf_dir, "documents", ["doc_id", "text"]))
     return (read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(
                 lambda df: textops.perplexity_batch(
@@ -3466,7 +3444,8 @@ WITH u AS (
                             ELSE 'z' END
              || '/item' || CAST(doc_id % 13 AS VARCHAR) AS path
   FROM documents),
-s AS (SELECT doc_id, path, str_split(ltrim(path, '/'), '/') AS l FROM u)
+s AS (SELECT doc_id, path,
+             list_filter(str_split(path, '/'), x -> x <> '') AS l FROM u)
 SELECT doc_id, path,
        CAST(len(l) AS BIGINT) AS n_seg,
        CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS n_dup,

@@ -539,8 +539,8 @@ def cdc_chunk_payloads(batch: pa.Table, id_col: str = "doc_id",
                        payload_col: str = "payload",
                        mask: int = 63) -> pa.Table:
     """Content-defined chunking (rsync/FastCDC-style): cut each binary
-    payload where a rolling 4-byte polynomial hash lands on ``hash %
-    (mask+1) == 0``, so chunk boundaries follow content — an insertion
+    payload where a rolling 4-byte polynomial hash lands on ``hash &
+    mask == 0`` (mask must be 2^k - 1, i.e. hash % (mask+1) == 0), so chunk boundaries follow content — an insertion
     shifts bytes but downstream boundaries re-synchronize, which is what
     makes chunk-level dedup of near-identical payloads (WARC revisits,
     mirrored pages) work at archive scale. Production CDC adds min/max
@@ -562,6 +562,8 @@ def cdc_chunk_payloads(batch: pa.Table, id_col: str = "doc_id",
     chunk-store shape."""
     from cocrawler_ray.hashing import splitmix64
 
+    if (mask + 1) & mask:
+        raise ValueError("mask must be 2^k - 1 (the cut test is acc & mask)")
     ids = batch.column(id_col).to_numpy()
     payloads = batch.column(payload_col).to_pylist()
     if not len(ids):

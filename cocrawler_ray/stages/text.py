@@ -530,10 +530,14 @@ def perplexity_batch(df, lm_ref, threshold: float,
             "ppl": np.array([], np.float64),
             "keep": np.array([], np.int64)})
     all_toks = np.concatenate(doc_toks)
-    idx = np.searchsorted(vocab, all_toks)
-    idx = np.clip(idx, 0, len(vocab) - 1)
-    tok_lp = lp[idx]
-    oov = vocab[idx] != all_toks
+    if not len(vocab):  # scoring against an empty LM: everything is OOV
+        tok_lp = np.full(len(all_toks), _OOV_LP_FLOOR, dtype=np.int64)
+        oov = np.zeros(len(all_toks), dtype=bool)
+    else:
+        idx = np.searchsorted(vocab, all_toks)
+        idx = np.clip(idx, 0, len(vocab) - 1)
+        tok_lp = lp[idx]
+        oov = vocab[idx] != all_toks
     if oov.any():  # OOV (scoring a foreign corpus): add-one floor
         tok_lp = np.where(oov, np.int64(_OOV_LP_FLOOR), tok_lp)
     n = np.asarray(lens, dtype=np.int64)
@@ -554,8 +558,11 @@ _OOV_LP_FLOOR = -30_000_000  # ln-prob micro-nats floor for unseen terms
 # GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible syntax
 # (no lookahead) so the DuckDB oracle can run the IDENTICAL pattern via
 # regexp_extract_all — whitespace runs are not counted as tokens, the one
-# (documented) divergence from the exact GPT-2 pattern.
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# (documented) divergence from the exact GPT-2 pattern. The whitespace
+# class is spelled as explicit ASCII chars, NOT \s: Python's \s is
+# Unicode (matches U+00A0 etc.) while RE2's is ASCII-only, so \s would
+# silently diverge on Unicode whitespace.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\f\x0bA-Za-z0-9]+"
 _BPE_RE = re.compile(_BPE_PAT)
 
 
@@ -572,3 +579,43 @@ def bpe_token_count_batch(batch: pa.Table,
     n = np.fromiter((len(_BPE_RE.findall(t)) for t in texts),
                     dtype=np.int64, count=len(texts))
     return batch.append_column("n_bpe_tokens", pa.array(n))
+
+
+def doc_terms_batch(df) -> "pd.DataFrame":
+    """(doc_id, term, tf) rows — each doc is one input row, so per-doc
+    term frequency needs no shuffle at all (the per-doc np.unique loop is
+    the langid-style measured choice: rows are whole documents)."""
+    import pandas as pd
+
+    ids, terms, tfs = [], [], []
+    for d, txt in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+        toks = txt.split()
+        if not toks:
+            continue
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        ids.append(np.full(len(u), d, dtype=np.int64))
+        terms.append(u)
+        tfs.append(c)
+    if not ids:
+        return pd.DataFrame({"doc_id": np.array([], np.int64),
+                             "term": np.array([], object),
+                             "tf": np.array([], np.int64)})
+    return pd.DataFrame({"doc_id": np.concatenate(ids),
+                         "term": np.concatenate(terms),
+                         "tf": np.concatenate(tfs).astype(np.int64)})
+
+
+def broadcast_unigram_lm(docs_ds):
+    """Build the corpus unigram LM (integer micro-nat log-probs) and
+    broadcast it: one (doc, term, tf) scan reduces to the O(vocabulary)
+    count table via the combiner, quantizes with unigram_lp_micro, and
+    ships once via ray.put. Shared by q_perplexity_gate and the curation
+    pipeline so the LM construction has exactly one definition."""
+    import ray
+
+    from cocrawler_ray.stages.agg import partial_groupby_agg
+
+    tfds = docs_ds.map_batches(doc_terms_batch, batch_format="pandas")
+    cf = partial_groupby_agg(tfds, ["term"], {"c": ("tf", "sum")})
+    return ray.put(unigram_lp_micro(cf["term"].to_numpy(),
+                                    cf["c"].to_numpy()))
