@@ -24,7 +24,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from cocrawler_ray.hashing import hash64
+from cocrawler_ray.hashing import hash64, splitmix64
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
@@ -249,3 +249,138 @@ def bloom_from_dataset(ds: rd.Dataset, col: str, n_bits: int = 1 << 20,
         part.bits = np.frombuffer(row["bits"], np.uint8).copy()
         merged = merged.merge(part)
     return merged
+
+
+class QuantileSketch:
+    """Mergeable approximate-quantile sketch (KLL compactor stack —
+    Karnin, Lang & Liberty, "Optimal Quantile Approximation in Streams",
+    FOCS 2016; public algorithm). Completes the sketch family: HLL =
+    distinct, Count-Min = frequency, Bloom = membership, KLL = quantiles
+    — the four summaries a 100 TB engine keeps when the exact answer IS
+    the big data (exact_quantile_cont's value-count histogram is exact
+    but bounded by the value DOMAIN; latencies/scores at corpus scale
+    need a bounded-size sketch instead).
+
+    Level i holds items with weight 2^i. When a level overflows its
+    capacity, the sorted buffer keeps every other item (the survivors'
+    parity comes from a splitmix64 coin seeded by (level, compaction
+    count), so a fixed add/merge order is exactly reproducible) and
+    promotes them one level up. Size is O(k log(n/k)); rank error is
+    O(n/k) with small constants.
+
+    ``merge`` concatenates per-level buffers and re-compacts — per-block
+    sketches built by ``quantile_sketch_from_dataset`` merge in block
+    order, so the distributed result is deterministic for a fixed
+    partitioning (same contract as the other sketches)."""
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    def _capacity(self, level: int) -> int:
+        # geometrically decaying capacities (2/3^depth), floored
+        depth = len(self.levels) - 1 - level
+        return max(int(self.k * (2.0 / 3.0) ** depth), 8)
+
+    def add(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) <= self._capacity(i):
+                i += 1
+                continue
+            buf = np.sort(self.levels[i])
+            coin = int(splitmix64(np.array(
+                [(i << 32) ^ self._compactions],
+                dtype=np.uint64))[0] & np.uint64(1))
+            self._compactions += 1
+            survivors = buf[coin::2]
+            self.levels[i] = np.empty(0, np.float64)
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i + 1] = np.concatenate(
+                [self.levels[i + 1], survivors])
+            i += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        if other.k != self.k:
+            raise ValueError("merging sketches of different k")
+        out = QuantileSketch(self.k)
+        out.n = self.n + other.n
+        out._compactions = self._compactions + other._compactions
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for i in range(depth):
+            bufs = []
+            if i < len(self.levels):
+                bufs.append(self.levels[i])
+            if i < len(other.levels):
+                bufs.append(other.levels[i])
+            out.levels.append(np.concatenate(bufs) if bufs
+                              else np.empty(0, np.float64))
+        out._compress()
+        return out
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for i, buf in enumerate(self.levels):
+            if len(buf):
+                items.append(buf)
+                weights.append(np.full(len(buf), 1 << i, np.int64))
+        if not items:
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        v = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float) -> float:
+        """Value whose estimated rank is q*n (nearest-rank semantics)."""
+        v, w = self._weighted_items()
+        if not len(v):
+            raise ValueError("empty sketch")
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(v[min(int(np.searchsorted(cum, target)), len(v) - 1)])
+
+    def rank(self, x: float) -> float:
+        """Estimated fraction of items <= x."""
+        v, w = self._weighted_items()
+        if not len(v):
+            raise ValueError("empty sketch")
+        cum = np.cumsum(w)
+        i = int(np.searchsorted(v, x, side="right"))
+        return float(cum[i - 1] / cum[-1]) if i else 0.0
+
+
+def quantile_sketch_from_dataset(ds: rd.Dataset, col: str,
+                                 k: int = 256) -> QuantileSketch:
+    """Distributed build: one KLL sketch per block inside the scan (a
+    streaming map_batches — the corpus never concentrates), merged on
+    the driver in block order. Driver cost: O(blocks) sketches of
+    O(k log n) floats each, independent of row count."""
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        s = QuantileSketch(k)
+        s.add(df[col].to_numpy())
+        import pickle
+        return pd.DataFrame({"sk": [pickle.dumps(s)]})
+
+    parts = ds.select_columns([col]).map_batches(
+        per_block, batch_format="pandas").take_all()
+    import pickle
+    out = QuantileSketch(k)
+    for row in parts:
+        out = out.merge(pickle.loads(row["sk"]))
+    return out

@@ -105,3 +105,54 @@ def test_approx_distinct_stage(ray_session):
     # deterministic: same input -> identical estimate
     assert est == sketch.approx_distinct(rd.from_pandas(df).repartition(3),
                                          "k", p=12)
+
+
+# ---------------------------------------------------------------- KLL
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(3)
+    data = rng.lognormal(3, 1.5, 200_000)
+    s = sketch.QuantileSketch(256)
+    for chunk in np.array_split(data, 37):
+        s.add(chunk)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        err = abs((data <= s.quantile(q)).mean() - q)
+        assert err < 0.02, (q, err)  # KLL k=256: observed ~0.5%, bound 2%
+
+
+def test_kll_merge_accuracy_and_size():
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 1, 120_000)
+    a, b = sketch.QuantileSketch(128), sketch.QuantileSketch(128)
+    a.add(data[:60_000]); b.add(data[60_000:])
+    m = a.merge(b)
+    assert m.n == len(data)
+    assert abs((data <= m.quantile(0.5)).mean() - 0.5) < 0.03
+    # bounded size: O(k log(n/k)) floats, nowhere near n
+    assert sum(len(l) for l in m.levels) < 20 * 128
+
+
+def test_kll_deterministic_and_exact_when_small():
+    s1, s2 = sketch.QuantileSketch(256), sketch.QuantileSketch(256)
+    vals = np.arange(100, dtype=float)
+    s1.add(vals); s2.add(vals[:50]); s2.add(vals[50:])
+    assert s1.quantile(0.5) == s2.quantile(0.5)
+    # below capacity nothing compacts: quantiles are exact nearest-rank
+    assert s1.quantile(0.5) == 49.0
+    assert s1.rank(49.0) == 0.5
+    import pytest
+    with pytest.raises(ValueError):
+        sketch.QuantileSketch(256).quantile(0.5)
+
+
+def test_kll_dataset_stage(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(10.0, 50_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    s = sketch.quantile_sketch_from_dataset(ds, "v", k=256)
+    assert s.n == len(vals)
+    for q in (0.1, 0.5, 0.95):
+        assert abs((vals <= s.quantile(q)).mean() - q) < 0.03
