@@ -3524,8 +3524,9 @@ _PRIORITY = [
     "q_image_decode_stats", "q_clip_score_gate",
     # scalar function surface
     "q_json_extract", "q_date_rollup",
-    # stats
-    "q_zscore", "q_heavy_hitters",
+    # stats (q_heavy_hitters yields its row to q_cdc_chunks: the stats
+    # family keeps q_zscore; payload chunking gains driver coverage)
+    "q_zscore", "q_cdc_chunks",
     # aggregates / top-k / distinct
     "q_pricing_summary", "q_topk_hosts", "q_distinct_hosts",
     # set ops / grouping sets
