@@ -599,8 +599,13 @@ def crawl_status(out_dir: str) -> dict:
             "totals": {k: int(v) for k, v in totals.items()},
             "wall_s": round(wall, 3),
             "pages_per_sec": round(totals["fetched"] / wall, 1) if wall else None,
-            "last_gen": {k: (int(v) if v == v else 0) for k, v in
-                         per_gen.iloc[-1].to_dict().items()},
+            # counters stay ints; fractional metrics (the wall.* phase
+            # timings) keep their sub-second precision instead of
+            # truncating to 0
+            "last_gen": {k: (0 if v != v
+                             else int(v) if float(v).is_integer()
+                             else round(float(v), 3))
+                         for k, v in per_gen.iloc[-1].to_dict().items()},
         })
         hot = df[df["name"].str.startswith("hot_host.")]
         if len(hot):

@@ -54,7 +54,22 @@ def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
         if kind not in _PARTIAL_KINDS:
             raise ValueError(f"{out_col}: unsupported kind {kind}")
 
+    def _partial_cols() -> list[str]:
+        names = list(keys)
+        for out_col, (_, kind) in aggs.items():
+            if kind == "mean":
+                names += [f"__{out_col}_sum", f"__{out_col}_n"]
+            else:
+                names.append(out_col)
+        return names
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            # Ray hands COLUMN-LESS empty frames to UDFs on an all-empty
+            # dataset — groupby(keys) would KeyError; emit the shaped
+            # empty partial instead
+            return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                 for c in _partial_cols()})
         g = df.groupby(keys, sort=False, observed=True)
         cols = {}
         for out_col, (col, kind) in aggs.items():
@@ -81,10 +96,17 @@ def partial_groupby_agg(ds: rd.Dataset, keys: list[str],
                 plan[out_col] = kind
 
         def combine(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or any(k not in df.columns for k in keys):
+                return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                     for c in [*keys, *plan]})
             return (df.groupby(keys, sort=False, observed=True)
                     .agg(plan).reset_index())
 
         res = grouped_shuffle(parts_ds, keys, combine).to_pandas()
+        if not len(res):
+            # same empty-Dataset column-loss gotcha as the local branch
+            return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                 for c in [*keys, *aggs]})
         for out_col, (_, kind) in aggs.items():
             if kind == "mean":
                 res[out_col] = res[f"__{out_col}_sum"] / res[f"__{out_col}_n"]

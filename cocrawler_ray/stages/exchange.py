@@ -79,20 +79,40 @@ def _concat_blocks(*tables: pa.Table) -> pa.Table:
 
 
 def _compact_refs(refs: list, keys: list[str], P: int, group_size: int,
-                  other_n: int) -> list:
-    """Shrink a block-ref list below the flat-exchange budget with
-    concat-only group-local exchanges (each round: groups of
-    ``group_size`` blocks -> P key-partitioned concatenated blocks,
-    >= 2x fewer refs since group_size >= 2P). Key-hash partitioning is
-    semantics-neutral here — the downstream flat exchange re-splits."""
+                  target: int) -> list:
+    """Shrink a block-ref list to <= ``target`` refs with concat-only
+    group-local exchanges (each round: groups of ``group_size`` blocks ->
+    P key-partitioned concatenated blocks, >= 2x fewer refs since
+    group_size >= 2P). Key-hash partitioning is semantics-neutral here —
+    the downstream flat exchange re-splits. ``target`` is the side's OWN
+    allowance (callers split the joint budget), so one side never
+    over-compacts — shipping its whole payload through extra rounds —
+    just because the other side is large."""
     split = ray.remote(num_returns=P)(_split_by_hash)
     cat = ray.remote(_concat_blocks)
-    while (len(refs) + other_n) * P > _FLAT_REF_BUDGET and len(refs) > group_size:
+    target = max(target, P)  # a round can never produce fewer than P
+    while len(refs) > target:
+        n_next = -(-len(refs) // group_size) * P
+        if n_next >= len(refs):  # can't shrink further with these params
+            break
         nxt = []
         for g in range(0, len(refs), group_size):
             subs = [split.remote(r, keys, P) for r in refs[g:g + group_size]]
             nxt.extend(cat.remote(*[s[p] for s in subs]) for p in range(P))
         refs = nxt
+    return refs
+
+
+def _pairwise_concat(refs: list, P: int) -> list:
+    """Budget fallback for short-but-over-budget ref lists (len <= one
+    compaction group yet len x P exceeds the sub-object budget, e.g.
+    huge P): halve the ref count by concatenating neighbours until the
+    flat fan-out fits. Block size doubles per round — acceptable here
+    because this path only triggers for FEW blocks."""
+    cat = ray.remote(_concat_blocks)
+    while len(refs) * P > _FLAT_REF_BUDGET and len(refs) >= max(P, 2) * 2:
+        refs = [cat.remote(*refs[i:i + 2])
+                for i in range(0, len(refs), 2)]
     return refs
 
 
@@ -147,6 +167,22 @@ def _join_reduce(left_keys: list[str], right_keys: list[str], how: str,
     lts, rts = tables[:n_left], tables[n_left:]
     left = pa.concat_tables([t for t in lts if t.num_rows] or lts[:1])
     right = pa.concat_tables([t for t in rts if t.num_rows] or rts[:1])
+    # A filtered-to-empty Dataset loses its schema entirely (column-less
+    # blocks, ds.schema() is None) — the other side's columns are then
+    # unknowable, so degrade to the best-defined result per join type
+    # (output misses the schema-less side's columns; rows are correct).
+    if not right.num_columns and not right.num_rows:
+        if how in ("left outer", "left anti", "full outer"):
+            return left
+        if how.startswith("right"):
+            return right
+        return left.slice(0, 0)
+    if not left.num_columns and not left.num_rows:
+        if how in ("right outer", "right anti", "full outer"):
+            return right
+        if how.startswith("left"):
+            return left
+        return right.slice(0, 0)
     left = _repair_null_keys(left, left_keys, right, right_keys)
     right = _repair_null_keys(right, right_keys, left, left_keys)
     return left.join(right, keys=left_keys, right_keys=right_keys,
@@ -183,9 +219,17 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         # same ref-budget guard as grouped_shuffle: compact each side's
         # blocks with concat-only group-local exchanges (>=2x fewer refs
         # per round, semantics untouched) until the flat join's
-        # (N_l + N_r) x P sub-object fan-out fits the budget
-        lrefs = _compact_refs(lrefs, on, P, gs, len(rrefs))
-        rrefs = _compact_refs(rrefs, right_on, P, gs, len(lrefs))
+        # (N_l + N_r) x P sub-object fan-out fits the budget. Each side
+        # gets its own allowance (half the budget, or the slack the other
+        # side leaves) so a large right side can't force the left through
+        # pointless extra full-data rounds.
+        half = _FLAT_REF_BUDGET // (2 * P)
+        l_target = max(_FLAT_REF_BUDGET // P - len(rrefs), half)
+        lrefs = _compact_refs(lrefs, on, P, gs, l_target)
+        rrefs = _compact_refs(rrefs, right_on, P, gs,
+                              _FLAT_REF_BUDGET // P - len(lrefs))
+        lrefs = _pairwise_concat(lrefs, P)
+        rrefs = _pairwise_concat(rrefs, P)
     joinr = ray.remote(_join_reduce)
     if P == 1:  # no exchange needed — join all blocks in one task
         return rd.from_arrow_refs(
@@ -282,13 +326,17 @@ def grouped_shuffle(ds: rd.Dataset, keys: list[str],
         return ds
     P = num_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
     gs = max(_GROUP_SIZE, 2 * P)  # guarantees >=2x block shrink per round
-    if len(refs) * P > _FLAT_REF_BUDGET and len(refs) > gs:
-        # the flat exchange would create N x P sub-objects beyond the
-        # driver/scheduler ref budget — take the two-round path with a
-        # concat-only (semantics-preserving) first round
-        return grouped_shuffle_hierarchical(
-            rd.from_arrow_refs(refs), keys, reduce_fn,
-            group_size=gs, num_partitions=P, reapply=False)
+    if len(refs) * P > _FLAT_REF_BUDGET:
+        if len(refs) > gs:
+            # the flat exchange would create N x P sub-objects beyond the
+            # driver/scheduler ref budget — take the two-round path with
+            # a concat-only (semantics-preserving) first round
+            return grouped_shuffle_hierarchical(
+                rd.from_arrow_refs(refs), keys, reduce_fn,
+                group_size=gs, num_partitions=P, reapply=False)
+        # few blocks but huge P (len <= group_size yet len x P over
+        # budget): halve refs by neighbour concat until the fan-out fits
+        refs = _pairwise_concat(refs, P)
     reduce_t = ray.remote(_reduce)
     if P == 1:  # no exchange needed — reduce all blocks in one task
         return rd.from_arrow_refs([reduce_t.remote(reduce_fn, *refs)])

@@ -102,10 +102,19 @@ def auto_join(left: rd.Dataset, right: rd.Dataset, left_key: str,
 
     right_key = right_key or left_key
     mat = right.materialize()
-    if (mat.count() <= broadcast_rows_max
+    n_right = mat.count()
+    if (0 < n_right <= broadcast_rows_max
             and how in ("inner", "left outer")):
-        small = pa.concat_tables(ray.get(mat.to_arrow_refs()))
+        # drop zero-row blocks before concat: an empty pandas-born block
+        # can carry null-typed columns (the empty-block schema gotcha)
+        # that concat_tables/Acero reject; n_right > 0 guarantees at
+        # least one real block survives
+        tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        small = pa.concat_tables(tables)
         return broadcast_join(left, small, left_key, right_key,
                               join_type=how)
+    # n_right == 0 takes this path too: hash_join synthesizes a
+    # schema-bearing empty block per join type (exchange.py empty-side
+    # handling) where the broadcast path would crash on concat([])
     return hash_join(left, mat, [left_key], [right_key], how=how,
                      num_partitions=num_partitions)

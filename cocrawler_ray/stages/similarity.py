@@ -162,6 +162,13 @@ def kmeans_assign_seeded(ds: rd.Dataset, stride: int = 37,
             (t.column(id_col).to_numpy() % stride == 1)
             & (t.column(id_col).to_numpy() < bound))),
         batch_format="pyarrow").to_pandas())
+    if not len(cent_tab):
+        # ids that never land in [0, stride*max_centroids) select zero
+        # seeds — fail with the remedy instead of np.stack([]) noise
+        raise ValueError(
+            f"no seeded centroids: no id satisfies id % {stride} == 1 and "
+            f"id < {bound}; raise max_centroids/stride for this id range, "
+            "or use train_centroids() for arbitrary id spaces")
     cent_tab = cent_tab.sort_values(id_col)
     cids = cent_tab[id_col].to_numpy().astype(np.int64)
     C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
@@ -209,6 +216,11 @@ def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
             (t.column(id_col).to_numpy() % stride == 1)
             & (t.column(id_col).to_numpy() < bound))),
         batch_format="pyarrow").to_pandas())
+    if not len(cent_tab):
+        raise ValueError(
+            f"no seeded centroids: no id satisfies id % {stride} == 1 and "
+            f"id < {bound}; raise max_centroids/stride for this id range, "
+            "or use ivf_topk()'s trained centroids")
     cent_tab = cent_tab.sort_values(id_col)
     C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
                                 for v in cent_tab[vec_col]]))

@@ -522,3 +522,106 @@ def test_auto_join_left_outer_broadcast(ray_session):
                      how="left outer")
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert got["w"].tolist()[:2] == [100, 200] and pd.isna(got["w"][2])
+
+
+def test_auto_join_empty_right_side(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages.joins import auto_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "a": ["x", "y", "z"]}))
+    # a filter that matches nothing produces empty (possibly null-typed)
+    # blocks — the broadcast path must not see them
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [9], "b": [1.0]})).filter(lambda r: r["k"] < 0)
+    out = auto_join(left, right, "k", how="inner").to_pandas()
+    assert len(out) == 0
+    out2 = auto_join(left, right, "k", how="left outer").to_pandas()
+    assert sorted(out2["k"]) == [1, 2, 3]
+    # a filtered-to-empty Dataset is SCHEMA-LESS (Ray drops its columns
+    # entirely), so the right side's columns are unknowable: the join
+    # degrades to left rows, with b either absent or all-null
+    if "b" in out2.columns:
+        assert out2["b"].isna().all()
+
+
+def test_auto_join_skips_empty_blocks_in_broadcast(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages.joins import auto_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 2], "a": [10, 20, 30]}))
+    # 4 blocks, most empty after the filter
+    right = (rd.from_pandas(pd.DataFrame({"k": range(8), "b": range(8)}))
+             .repartition(4).filter(lambda r: r["k"] in (1, 2)))
+    out = auto_join(left, right, "k", how="inner").to_pandas()
+    assert sorted(out["b"]) == [1, 2, 2]
+
+
+def test_partial_groupby_agg_distributed_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages.agg import partial_groupby_agg
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2.0]})).filter(
+        lambda r: False)
+    out = partial_groupby_agg(ds, ["k"], {"s": ("v", "sum")},
+                              distributed=True)
+    assert len(out) == 0 and list(out.columns) == ["k", "s"]
+
+
+def test_kmeans_seeded_empty_centroids_raises(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from cocrawler_ray.stages.similarity import kmeans_assign_seeded
+
+    # ids far above stride*max_centroids select zero seeds
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(100_000, 100_010),
+        "embedding": [np.ones(4).tolist()] * 10}))
+    with pytest.raises(ValueError, match="no seeded centroids"):
+        kmeans_assign_seeded(ds, stride=37, max_centroids=8)
+
+
+def test_budget_fallback_pairwise_concat(ray_session, monkeypatch):
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages import exchange
+
+    # force the few-blocks-huge-P budget gap: 8 blocks, P=4, budget 16
+    # -> 8*4=32 > 16 and 8 <= group_size, so the pairwise path must
+    # engage and the result must still match pandas
+    monkeypatch.setattr(exchange, "_FLAT_REF_BUDGET", 16)
+    df = pd.DataFrame({"k": list(range(6)) * 8, "v": range(48)})
+    ds = rd.from_pandas(df).repartition(8)
+
+    def reduce_fn(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby("k", sort=False, observed=True)["v"]
+                .sum().reset_index(name="s"))
+
+    out = (exchange.grouped_shuffle(ds, ["k"], reduce_fn,
+                                    num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k")["v"].sum().reset_index(name="s")
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_hash_join_budget_targets_match_pandas(ray_session, monkeypatch):
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages import exchange
+
+    monkeypatch.setattr(exchange, "_FLAT_REF_BUDGET", 32)
+    l = pd.DataFrame({"k": list(range(10)) * 6, "a": range(60)})
+    r = pd.DataFrame({"k": list(range(10)) * 3, "b": range(30)})
+    out = exchange.hash_join(
+        rd.from_pandas(l).repartition(6), rd.from_pandas(r).repartition(6),
+        ["k"], ["k"], how="inner", num_partitions=4).to_pandas()
+    want = l.merge(r, on="k", how="inner")
+    assert len(out) == len(want)
+    assert sorted(out["a"] * 1000 + out["b"]) == sorted(
+        want["a"] * 1000 + want["b"])
