@@ -1962,20 +1962,9 @@ def q_tfidf(sf_dir: str):
     return tfds.map_batches(score, batch_format="pandas")
 
 
-@_q("q_bigrams", """
-WITH l AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
-           FROM documents WHERE trim(text) <> ''),
-b AS (SELECT unnest(list_transform(range(1, len(t)),
-                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
-      FROM l)
-SELECT bigram, CAST(count(*) AS BIGINT) AS n
-FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
-""")
-def q_bigrams(sf_dir: str):
-    # top-k bigrams: adjacent-token pairs form via one vectorized
-    # np.char.add per doc, per-batch np.unique pre-counts, combiner sum —
-    # the final deterministic (n DESC, bigram) top-20 runs on the
-    # O(vocabulary^2)-bounded combined table.
+def _bigram_counts(sf_dir: str) -> pd.DataFrame:
+    """Full (bigram, n) combiner table — O(vocabulary^2)-bounded; shared
+    by q_bigrams (top-k) and q_pmi_bigrams (association scoring)."""
     def grams(df: pd.DataFrame) -> pd.DataFrame:
         chunks = []
         for txt in df["text"].to_numpy():
@@ -1991,10 +1980,27 @@ def q_bigrams(sf_dir: str):
         return pd.DataFrame({"bigram": u.astype(object),
                              "n": c.astype(np.int64)})
 
-    out = partial_groupby_agg(
+    return partial_groupby_agg(
         read(sf_dir, "documents", ["text"])
         .map_batches(grams, batch_format="pandas"),
         ["bigram"], {"n": ("n", "sum")})
+
+
+@_q("q_bigrams", """
+WITH l AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+           FROM documents WHERE trim(text) <> ''),
+b AS (SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM l)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+""")
+def q_bigrams(sf_dir: str):
+    # top-k bigrams: adjacent-token pairs form via one vectorized
+    # np.char.add per doc, per-batch np.unique pre-counts, combiner sum —
+    # the final deterministic (n DESC, bigram) top-20 runs on the
+    # O(vocabulary^2)-bounded combined table.
+    out = _bigram_counts(sf_dir)
     return (out.sort_values(["n", "bigram"], ascending=[False, True],
                             kind="stable")
             .head(20).reset_index(drop=True))
@@ -3319,6 +3325,100 @@ def q_mad_outliers(sf_dir: str):
     return exchange.grouped_shuffle(
         read(sf_dir, "events", ["user_id", "value"]), ["user_id"],
         agg.mad_outliers_reduce)
+
+
+@_q("q_pmi_bigrams", r"""
+WITH l AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''),
+b AS (SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM l),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM b GROUP BY 1),
+tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM uc),
+nbt AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS nb FROM bc),
+top AS (SELECT bigram, c_ab FROM bc ORDER BY c_ab DESC, bigram LIMIT 20)
+SELECT t.bigram, t.c_ab,
+       round(ln((CAST(t.c_ab AS DOUBLE) / nb)
+                / ((ua.c / nt) * (ub.c / nt))), 6) AS pmi
+FROM top t
+CROSS JOIN tot CROSS JOIN nbt
+JOIN uc ua ON ua.w = split_part(t.bigram, ' ', 1)
+JOIN uc ub ON ub.w = split_part(t.bigram, ' ', 2)
+""")
+def q_pmi_bigrams(sf_dir: str):
+    # pointwise mutual information of the top-20 bigrams (collocation /
+    # association mining): the bigram and unigram combiner tables are
+    # both O(vocabulary)-bounded; PMI computes on the driver over 20
+    # rows. Same left-associated double arithmetic as the SQL mirror.
+    bc = _bigram_counts(sf_dir)
+    uc = partial_groupby_agg(
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_doc_terms, batch_format="pandas"),
+        ["term"], {"c": ("tf", "sum")})
+    nt = float(uc["c"].sum())
+    nb = float(bc["n"].sum())
+    top = (bc.sort_values(["n", "bigram"], ascending=[False, True],
+                          kind="stable").head(20))
+    m = dict(zip(uc["term"], uc["c"]))
+    parts = [bg.split(" ") for bg in top["bigram"]]
+    ca = np.array([m[p[0]] for p in parts], np.float64)
+    cb = np.array([m[p[1]] for p in parts], np.float64)
+    c_ab = top["n"].to_numpy().astype(np.float64)
+    pmi = textops.round_half_away(
+        np.log((c_ab / nb) / ((ca / nt) * (cb / nt))), 6)
+    return pd.DataFrame({"bigram": top["bigram"].to_numpy(object),
+                         "c_ab": top["n"].to_numpy().astype(np.int64),
+                         "pmi": pmi})
+
+
+@_q("q_topk_diverse", """
+WITH q AS (SELECT event_id, user_id,
+                  CAST(round(value * 1e6) AS BIGINT) AS v_micro
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY v_micro DESC, event_id) AS rn
+      FROM q)
+SELECT event_id, user_id, v_micro
+FROM r WHERE rn <= 2
+ORDER BY v_micro DESC, event_id LIMIT 20
+""")
+def q_topk_diverse(sf_dir: str):
+    # diversified top-k (global top-20 with at most 2 rows per entity —
+    # the crawl-frontier "best URLs overall but cap per host" rule): one
+    # entity exchange applies the per-key cap AND a per-partition top-20
+    # prefilter, so the driver merges <= 20 * P candidate rows at any
+    # corpus size.
+    def cap_and_prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"event_id": np.array([], np.int64),
+                                 "user_id": np.array([], np.int64),
+                                 "v_micro": np.array([], np.int64)})
+        v = textops.round_half_away(
+            df["value"].to_numpy() * 1e6, 0).astype(np.int64)
+        df = (df.assign(v_micro=v)
+              .sort_values(["user_id", "v_micro", "event_id"],
+                           ascending=[True, False, True], kind="stable"))
+        g = df["user_id"].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = g[1:] != g[:-1]
+        rn = idx - np.maximum.accumulate(np.where(new, idx, 0)) + 1
+        df = df[rn <= 2]
+        return (df.sort_values(["v_micro", "event_id"],
+                               ascending=[False, True], kind="stable")
+                .head(20)[["event_id", "user_id", "v_micro"]])
+
+    cands = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"], cap_and_prefilter).to_pandas()
+    return (cands.sort_values(["v_micro", "event_id"],
+                              ascending=[False, True], kind="stable")
+            .head(20).reset_index(drop=True))
 
 
 _UNPIVOT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
