@@ -2123,7 +2123,11 @@ def q_decontaminate(sf_dir: str):
     # each actor loads the benchmark suite from storage in __init__ —
     # constructor kwargs stay a path string (inline, never spilled to the
     # object store), killing the ray#53727 pool-actor restart hazard AND
-    # the driver-side gram gather
+    # the driver-side gram gather. (Ray 2.49 still logs the ray#53727
+    # warning for EVERY actor-pool stage: map_operator.py:295
+    # unconditionally ray.put()s the MapTransformer itself and hands the
+    # ref to each pool actor. That residual covers only the KB-sized
+    # transformer closure, not user data — nothing this code can remove.)
     return corpus.map_batches(
         textops.ContaminationCheck,
         fn_constructor_kwargs=dict(
@@ -3576,6 +3580,167 @@ def q_url_trap(sf_dir: str):
             "n_dup": st["n_dup"], "trap": st["trap"]})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+@_q("q_funnel", """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+""")
+def q_funnel(sf_dir: str):
+    # sequential-pattern funnel (view -> click -> purchase, each step
+    # strictly after the entity's EARLIEST completion of the previous):
+    # one entity exchange co-locates each user's events; the per-partition
+    # reduce walks the steps with merge/filter/groupby-min C-paths
+    # (stages/window.py::funnel_reduce) and emits 3-row step counts; the
+    # driver sums O(partitions x steps) rows. The per-user event sequence
+    # never leaves its partition — the sessionize partitioning assumption.
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id"],
+        window.funnel_reduce(["view", "click", "purchase"]))
+    out = partial_groupby_agg(parts, ["step"],
+                              {"n_users": ("n_users", "sum")})
+    return out.astype({"step": np.int64, "n_users": np.int64})
+
+
+@_q("q_cooccur", """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS t1, b.event_type AS t2,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""")
+def q_cooccur(sf_dir: str):
+    # market-basket co-occurrence: how many entities exhibit BOTH item
+    # types (unordered pair). The SQL's distinct + self-join becomes one
+    # entity exchange whose reduce self-merges the per-partition distinct
+    # (entity, item) table (agg.py::cooccur_pairs_reduce); the final
+    # combine is a pair-domain-sized grouped sum on the driver. The item
+    # domain is bounded by contract (event types), so pair fan-out is
+    # O(rows) and the driver table is O(domain^2).
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"], agg.cooccur_pairs_reduce)
+    out = partial_groupby_agg(parts, ["t1", "t2"], {"n_users": ("n", "sum")})
+    return out.astype({"n_users": np.int64})
+
+
+@_q("q_gaps_islands", """
+WITH d AS (SELECT DISTINCT o_custkey,
+                  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+           FROM orders),
+r AS (SELECT o_custkey, day,
+             day - row_number() OVER (PARTITION BY o_custkey ORDER BY day)
+                 AS grp
+      FROM d)
+SELECT o_custkey, CAST(min(day) AS BIGINT) AS start_day,
+       CAST(max(day) AS BIGINT) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM r GROUP BY o_custkey, grp
+""")
+def q_gaps_islands(sf_dir: str):
+    # gaps-and-islands: maximal runs of CONSECUTIVE order days per
+    # customer (activity-streak / coverage analysis). The SQL
+    # row_number-difference trick becomes one entity exchange whose
+    # reduce dedups days, sorts once, and labels islands with a
+    # boundary-flag cumsum (stages/window.py::islands_reduce). Differs
+    # from q_sessionize: islands run over the distinct integer day
+    # domain, not event-time gaps over raw rows.
+    def add_day(t: pa.Table) -> pa.Table:
+        day = window._ts_us(t["o_orderdate"]) // np.int64(86_400_000_000)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "day": pa.array(day, pa.int64())})
+
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(add_day, batch_format="pyarrow")
+    return exchange.grouped_shuffle(ds, ["o_custkey"], window.islands_reduce)
+
+
+@_q("q_regex_extract", """
+WITH m AS (SELECT doc_id, regexp_extract_all(text, 't[a-z]+') AS l
+           FROM documents)
+SELECT doc_id, unnest(range(1, len(l) + 1)) AS ord, unnest(l) AS tok
+FROM m
+""")
+def q_regex_extract(sf_dir: str):
+    # regexp extract-all flat-map: every non-overlapping match with its
+    # 1-based ordinal, one output row per match (the scalar-function
+    # analogue of the link extractor's href scan, parse.py). The pattern
+    # stays ASCII-class-only and lookaround-free so Python re and RE2
+    # (DuckDB regexp_extract_all) agree on the match set — the
+    # q_pii_redact restatability rule.
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: textops.regex_extract_all_batch(t, r"t[a-z]+"),
+        batch_format="pyarrow")
+
+
+@_q("q_returned_revenue", """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+""")
+def q_returned_revenue(sf_dir: str):
+    # TPC-H Q10 shape (lost-revenue per customer): a 4-table star join.
+    # Plan: the returned-lineitem scan pre-reduces revenue to ORDER grain
+    # in the combiner (orderkey domain << row count per block), the
+    # fact-fact orders join goes through the size-dispatched front-end
+    # (auto_join: hash exchange at scale), and customer x nation — true
+    # dimensions — broadcast-join the custkey-grain aggregate. Per-row
+    # revenue is quantized to integer CENTS (same double product + same
+    # half-away round both sides) so the multi-level sum is exact and
+    # association-order-free — float sums at customer grain otherwise
+    # diverge from the oracle at last-cent rounding boundaries.
+    def disc(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dsc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = textops.round_half_away((ext * (1.0 - dsc)) * 100.0,
+                                        0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "raw": pa.array(cents, pa.int64())})
+
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"])
+          .filter(expr="l_returnflag == 'R'")
+          .map_batches(disc, batch_format="pyarrow"))
+    per_order = exchange.grouped_shuffle(
+        li, ["l_orderkey"],
+        lambda df: (df.groupby("l_orderkey", sort=False)["raw"].sum()
+                    .reset_index()))
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = joins.auto_join(per_order, orders, "l_orderkey", "o_orderkey")
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    # broadcast_join drops the right key column (it equals the left key
+    # on every surviving row), so the customer key survives as o_custkey
+    dims = joins.broadcast_join(joined, cust, "o_custkey", "c_custkey")
+    dims = joins.broadcast_join(dims, nat, "c_nationkey", "n_nationkey")
+    out = partial_groupby_agg(dims, ["o_custkey", "c_name", "n_name"],
+                              {"raw": ("raw", "sum")}, distributed=True)
+    return pd.DataFrame({"c_custkey": out["o_custkey"],
+                         "c_name": out["c_name"],
+                         "n_name": out["n_name"],
+                         "revenue": textops.round_half_away(
+                             out["raw"].to_numpy(np.int64) / 100.0, 2)})
 
 
 # ===========================================================================

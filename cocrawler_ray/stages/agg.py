@@ -239,6 +239,32 @@ def heavy_hitters(make_ds, keys: list[str], phi: float) -> pd.DataFrame:
     return out
 
 
+def cooccur_pairs_reduce(df, key_col: str = "user_id",
+                         item_col: str = "event_type"):
+    """Partition reduce behind q_cooccur: per-partition co-occurrence
+    counts of unordered item pairs within an entity (market-basket
+    shape). drop_duplicates collapses to the distinct (entity, item)
+    pairs, a pandas self-merge on the entity generates each entity's
+    item pairs (t1 < t2 keeps one orientation), and a groupby counts —
+    all C-paths, no per-entity loop. Per-entity pair fan-out is
+    k·(k-1)/2 for k distinct items; the operator contract is a BOUNDED
+    per-entity item domain (event types, content categories), so the
+    pair volume is O(rows). Output is per-partition (t1, t2, n) — the
+    caller combines with one tiny grouped sum (pair-domain-sized)."""
+    if not len(df):
+        return pd.DataFrame({"t1": pd.Series([], dtype=str),
+                             "t2": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64)})
+    dd = df[[key_col, item_col]].drop_duplicates()
+    m = dd.merge(dd, on=key_col, suffixes=("_1", "_2"))
+    m = m[m[f"{item_col}_1"] < m[f"{item_col}_2"]]
+    out = (m.groupby([f"{item_col}_1", f"{item_col}_2"], sort=False)
+           .size().rename("n").reset_index())
+    return pd.DataFrame({"t1": out[f"{item_col}_1"],
+                         "t2": out[f"{item_col}_2"],
+                         "n": out["n"].to_numpy(np.int64)})
+
+
 def _grouped_median_sorted(a: np.ndarray, start: np.ndarray,
                            cnt: np.ndarray) -> np.ndarray:
     """Median of each contiguous sorted run: pure indexing, no loop."""

@@ -315,6 +315,36 @@ def json_extract_int_batch(batch: pa.Table, col: str, key: str,
     return batch.append_column(out_col, arr)
 
 
+def regex_extract_all_batch(batch: pa.Table, pattern: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> pa.Table:
+    """Flat-map every non-overlapping leftmost match of ``pattern`` out of
+    ``text_col``: one output row per match, (id, ord, tok) with ``ord``
+    the 1-based match ordinal within the document. The regex compiles
+    once per process (module-level cache) and must stay ASCII-class-only
+    and lookaround-free so Python ``re`` and RE2-style engines (DuckDB
+    ``regexp_extract_all``) agree on the match set — the q_pii_redact
+    restatability rule. Per-document ``finditer`` is inherent to global
+    regex scanning (no Arrow extract-all kernel exists); the loop body is
+    a single C-level scan per document."""
+    rx = _EXTRACT_RES.get(pattern)
+    if rx is None:
+        rx = _EXTRACT_RES[pattern] = re.compile(pattern)
+    ids_in = batch.column(id_col).to_numpy()
+    ids, ords, toks = [], [], []
+    for d, s in zip(ids_in, batch.column(text_col).to_pylist()):
+        ms = rx.findall(s or "")
+        ids.extend([d] * len(ms))
+        ords.extend(range(1, len(ms) + 1))
+        toks.extend(ms)
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "ord": pa.array(ords, pa.int64()),
+                     "tok": pa.array(toks, pa.string())})
+
+
+_EXTRACT_RES: dict[str, "re.Pattern"] = {}
+
+
 # ---------------------------------------------------------------------------
 # PII redaction + document chunking (training-corpus preprocessing)
 # ---------------------------------------------------------------------------

@@ -219,6 +219,72 @@ def frame_sums_reduce(df, val_col: str = "value", key_col: str = "user_id",
         "moving_avg": avg})
 
 
+def funnel_reduce(steps: list[str], key_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts"):
+    """Partition reduce behind q_funnel: per entity, the deepest funnel
+    stage reached where stage i+1 requires an event of type ``steps[i+1]``
+    STRICTLY after the entity's earliest completion time of stage i
+    (earliest-completion semantics — the standard product-analytics
+    funnel). Entirely merge/filter/groupby-min pandas C-paths; no
+    per-entity loop. Emits per-partition (step, n_users) counts where
+    n_users = entities whose deepest stage >= step — the caller sums the
+    tiny per-partition tables. An entity's events are co-located by the
+    grouped_shuffle key, the documented partitioning assumption."""
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "step": pd.Series([], dtype=np.int64),
+            "n_users": pd.Series([], dtype=np.int64)})
+        if not len(df):
+            return out_empty
+        ts = pd.Series(_ts_us(df[ts_col]), index=df.index)
+        df = df.assign(__us=ts)
+        # earliest stage-1 completion per entity
+        cur = (df[df[type_col] == steps[0]]
+               .groupby(key_col, sort=False)["__us"].min())
+        rows = [(1, len(cur))]
+        for i, step in enumerate(steps[1:], start=2):
+            if not len(cur):
+                rows.append((i, 0))
+                continue
+            nxt = df[df[type_col] == step].merge(
+                cur.rename("__prev"), left_on=key_col, right_index=True)
+            nxt = nxt[nxt["__us"] > nxt["__prev"]]
+            cur = nxt.groupby(key_col, sort=False)["__us"].min()
+            rows.append((i, len(cur)))
+        return pd.DataFrame({"step": np.array([r[0] for r in rows], np.int64),
+                             "n_users": np.array([r[1] for r in rows], np.int64)})
+    return reduce
+
+
+def islands_reduce(df, key_col: str = "o_custkey", day_col: str = "day"):
+    """Partition reduce behind q_gaps_islands: maximal runs of CONSECUTIVE
+    integer values (days) per entity — the gaps-and-islands pattern. One
+    drop_duplicates + lexsort; island boundaries are where the day step
+    exceeds 1 (or the entity changes); per-island (start, end, length)
+    reads off a cumsum-labelled groupby. Differs from :func:`sessionize`:
+    islands run over the DISTINCT integer domain (calendar coverage), not
+    event-time gaps over raw rows."""
+    cols = {key_col: pd.Series([], dtype=np.int64),
+            "start_day": pd.Series([], dtype=np.int64),
+            "end_day": pd.Series([], dtype=np.int64),
+            "n_days": pd.Series([], dtype=np.int64)}
+    if not len(df):
+        return pd.DataFrame(cols)
+    dd = (df[[key_col, day_col]].drop_duplicates()
+          .sort_values([key_col, day_col], kind="stable"))
+    k = dd[key_col].to_numpy()
+    d = dd[day_col].to_numpy().astype(np.int64)
+    new = np.ones(len(dd), dtype=bool)
+    new[1:] = (k[1:] != k[:-1]) | (d[1:] - d[:-1] > 1)
+    isl = np.cumsum(new)
+    g = dd.assign(__i=isl).groupby([key_col, "__i"], sort=False)[day_col]
+    out = g.agg(start_day="min", end_day="max", n_days="size").reset_index()
+    return pd.DataFrame({key_col: out[key_col].to_numpy(),
+                         "start_day": out["start_day"].to_numpy(np.int64),
+                         "end_day": out["end_day"].to_numpy(np.int64),
+                         "n_days": out["n_days"].to_numpy(np.int64)})
+
+
 def rank_reduce(df, val_col: str = "value", key_col: str = "user_id"):
     """Partition reduce behind q_rank_events: rank + dense_rank per key
     by value DESC from one sort and boundary-flag scans. Ties share the
