@@ -246,10 +246,18 @@ def funnel_reduce(steps: list[str], key_col: str = "user_id",
             if not len(cur):
                 rows.append((i, 0))
                 continue
-            nxt = df[df[type_col] == step].merge(
-                cur.rename("__prev"), left_on=key_col, right_index=True)
-            nxt = nxt[nxt["__us"] > nxt["__prev"]]
-            cur = nxt.groupby(key_col, sort=False)["__us"].min()
+            sub = df[df[type_col] == step]
+            # Series.map, not merge(right_index=True): merging an EMPTY
+            # step subset names the result index after the right index
+            # (the entity key), making the groupby below ambiguous
+            prev = sub[key_col].map(cur)
+            ok = prev.notna().to_numpy()
+            mask = np.zeros(len(sub), dtype=bool)
+            # int64 epoch-µs survive the float64 round-trip exactly
+            # (< 2**53), so the strict > is exact
+            mask[ok] = (sub["__us"].to_numpy()[ok]
+                        > prev.to_numpy()[ok].astype(np.int64))
+            cur = sub[mask].groupby(key_col, sort=False)["__us"].min()
             rows.append((i, len(cur)))
         return pd.DataFrame({"step": np.array([r[0] for r in rows], np.int64),
                              "n_users": np.array([r[1] for r in rows], np.int64)})

@@ -441,3 +441,120 @@ def test_cdc_chunks_partition_payload_exactly(payloads):
         assert g["start"].iloc[0] == 0
         assert (g["start"].to_numpy()[1:]
                 == (g["start"] + g["length"]).to_numpy()[:-1]).all()
+
+
+# ---------------------------------------------------------------------------
+# funnel / gaps-islands / co-occurrence reduces: brute-force models +
+# the partitioning contract the exchange callers rely on
+# ---------------------------------------------------------------------------
+
+_funnel_frames = st.lists(
+    st.tuples(st.integers(0, 5),                       # user
+              st.sampled_from(["view", "click", "purchase", "other"]),
+              st.integers(0, 40)),                     # ts (seconds-ish)
+    min_size=1, max_size=60)
+
+
+def _funnel_model(rows, steps):
+    """Per-user earliest-completion funnel, brute force over dicts."""
+    counts = []
+    cur = {}
+    for u, t, ts in rows:
+        if t == steps[0]:
+            cur[u] = min(cur.get(u, ts), ts)
+    counts.append(len(cur))
+    for step in steps[1:]:
+        nxt = {}
+        for u, t, ts in rows:
+            if t == step and u in cur and ts > cur[u]:
+                nxt[u] = min(nxt.get(u, ts), ts)
+        cur = nxt
+        counts.append(len(cur))
+    return counts
+
+
+@settings(max_examples=100, deadline=None)
+@given(_funnel_frames)
+def test_funnel_reduce_matches_bruteforce(rows):
+    from cocrawler_ray.stages.window import funnel_reduce
+    steps = ["view", "click", "purchase"]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = df["ts"].to_numpy("int64").astype("datetime64[us]")
+    out = funnel_reduce(steps)(df)
+    want = _funnel_model(rows, steps)
+    assert list(out["step"]) == [1, 2, 3]
+    assert list(out["n_users"]) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(_funnel_frames)
+def test_funnel_reduce_partition_sum_contract(rows):
+    # the caller co-locates each user's events, then SUMS the tiny
+    # per-partition (step, n_users) tables — splitting BY USER must be
+    # exact under that sum
+    from cocrawler_ray.stages.window import funnel_reduce
+    steps = ["view", "click", "purchase"]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = df["ts"].to_numpy("int64").astype("datetime64[us]")
+    f = funnel_reduce(steps)
+    whole = f(df).set_index("step")["n_users"]
+    parts = [f(g) for _, g in df.groupby(df["user_id"] % 3)]
+    summed = (pd.concat(parts).groupby("step")["n_users"].sum()
+              .reindex([1, 2, 3], fill_value=0))
+    assert (whole.reindex([1, 2, 3], fill_value=0) == summed).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(_event_frames)
+def test_islands_reduce_matches_bruteforce(rows):
+    from cocrawler_ray.stages.window import islands_reduce
+    df = pd.DataFrame(rows, columns=["o_custkey", "day", "value"])
+    out = islands_reduce(df[["o_custkey", "day"]], key_col="o_custkey",
+                         day_col="day")
+    # model: per key, maximal consecutive runs over the distinct days
+    want = []
+    for k, g in df.groupby("o_custkey"):
+        days = sorted(set(g["day"]))
+        run = [days[0]]
+        for d in days[1:]:
+            if d == run[-1] + 1:
+                run.append(d)
+            else:
+                want.append((k, run[0], run[-1], len(run)))
+                run = [d]
+        want.append((k, run[0], run[-1], len(run)))
+    got = sorted(zip(out["o_custkey"], out["start_day"],
+                     out["end_day"], out["n_days"]))
+    assert got == sorted(want)
+    # islands tile the distinct-day domain exactly
+    assert int(out["n_days"].sum()) == len(
+        df[["o_custkey", "day"]].drop_duplicates())
+
+
+@settings(max_examples=100, deadline=None)
+@given(_funnel_frames)
+def test_cooccur_reduce_matches_set_model(rows):
+    from cocrawler_ray.stages.agg import cooccur_pairs_reduce
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = cooccur_pairs_reduce(df[["user_id", "event_type"]])
+    from collections import Counter
+    want = Counter()
+    for _, items in df.groupby("user_id")["event_type"]:
+        s = sorted(set(items))
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                want[(s[i], s[j])] += 1
+    got = {(a, b): int(n) for a, b, n
+           in zip(out["t1"], out["t2"], out["n"])}
+    assert got == dict(want)
+
+
+def test_regex_extract_all_batch_ordinals_and_nulls():
+    from cocrawler_ray.stages.text import regex_extract_all_batch
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["the tall tree", "no hils here? to",
+                                    None, ""], pa.string())})
+    out = regex_extract_all_batch(t, r"t[a-z]+")
+    assert out.column("doc_id").to_pylist() == [1, 1, 1, 2]
+    assert out.column("ord").to_pylist() == [1, 2, 3, 1]
+    assert out.column("tok").to_pylist() == ["the", "tall", "tree", "to"]
