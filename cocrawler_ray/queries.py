@@ -3743,6 +3743,150 @@ def q_returned_revenue(sf_dir: str):
                              out["raw"].to_numpy(np.int64) / 100.0, 2)})
 
 
+@_q("q_copurchase", """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT * FROM p ORDER BY n DESC, p1, p2 LIMIT 100
+""")
+def q_copurchase(sf_dir: str):
+    # top co-purchased part pairs ("frequently bought together") — the
+    # q_cooccur reduce over an UNBOUNDED item domain: pair fan-out stays
+    # O(rows) because the per-entity basket is small by contract
+    # (lineitems per order), not because the domain is. The pair table
+    # scales with the data, so unlike q_cooccur the combine is a second
+    # pair-keyed exchange (every copy of a pair co-locates, sums, takes
+    # the partition's top-100 by the total order n DESC, p1, p2) — the
+    # driver merges only P x 100 candidate rows; global top-100 pairs
+    # are always partition-local top-100 since a pair's rows never split.
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        ["l_orderkey"],
+        lambda df: agg.cooccur_pairs_reduce(df, key_col="l_orderkey",
+                                            item_col="l_partkey"))
+
+    def pair_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"t1": pd.Series([], dtype=np.int64),
+                                 "t2": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = df.groupby(["t1", "t2"], sort=False)["n"].sum().reset_index()
+        return g.sort_values(["n", "t1", "t2"],
+                             ascending=[False, True, True],
+                             kind="stable").head(100)
+
+    cand = exchange.grouped_shuffle(parts, ["t1", "t2"],
+                                    pair_topk).to_pandas()
+    out = cand.sort_values(["n", "t1", "t2"],
+                           ascending=[False, True, True],
+                           kind="stable").head(100)
+    return pd.DataFrame({"p1": out["t1"].to_numpy(np.int64),
+                         "p2": out["t2"].to_numpy(np.int64),
+                         "n": out["n"].to_numpy(np.int64)})
+
+
+@_q("q_substring_dup", r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+             FROM documents WHERE trim(text) <> ''),
+g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+                   t[i + 3] || ' ' || t[i + 4])) AS g
+       FROM tok WHERE len(t) >= 5),
+dg AS (SELECT DISTINCT doc_id, g FROM g5),
+dup AS (SELECT g FROM dg GROUP BY g HAVING count(*) > 1)
+SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(dup.g) AS BIGINT) AS n_dup,
+       ROUND(CAST(count(dup.g) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM dg LEFT JOIN dup ON dg.g = dup.g
+GROUP BY dg.doc_id
+""")
+def q_substring_dup(sf_dir: str):
+    # exact substring duplication (Lee et al. 2022): per document, the
+    # fraction of its distinct word-5-grams that also occur in ANOTHER
+    # document — the signal behind ExactSubstr dedup, reformulated from
+    # the paper's suffix array to the shape that scales on a cluster:
+    # scan emits per-doc-distinct gram rows, ONE gram-keyed exchange
+    # co-locates every copy (text.py::dup_gram_partials_reduce marks
+    # >1-row groups), a second doc-keyed exchange sums the per-partition
+    # partials. Gram STRINGS flow only so the oracle can restate
+    # membership; at 100 TB exchange a 128-bit gram hash (collision-
+    # negligible) — identical topology, ~10x less shuffle payload.
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(
+        lambda t: textops.distinct_ngram_rows_batch(t, 5),
+        batch_format="pyarrow")
+    parts = exchange.grouped_shuffle(rows, ["g"],
+                                     textops.dup_gram_partials_reduce)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_grams": pd.Series([], dtype=np.int64),
+                "n_dup": pd.Series([], dtype=np.int64),
+                "dup_frac": pd.Series([], dtype=np.float64)})
+        g = (df.groupby("doc_id", sort=False)[["n_grams", "n_dup"]]
+             .sum().reset_index())
+        return g.assign(dup_frac=textops.round_half_away(
+            g["n_dup"].to_numpy(np.float64) / g["n_grams"].to_numpy(), 6))
+
+    return exchange.grouped_shuffle(parts, ["doc_id"], combine)
+
+
+@_q("q_triangle_count", """
+WITH n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, n0
+  UNION ALL SELECT doc_id, (doc_id + 2) % n FROM documents, n0
+  UNION ALL SELECT doc_id, (doc_id * 7 + 1) % n FROM documents, n0),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+ori AS (SELECT CASE WHEN (da.dg, a) < (db.dg, b) THEN a ELSE b END AS s,
+               CASE WHEN (da.dg, a) < (db.dg, b) THEN b ELSE a END AS t
+        FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+ork AS (SELECT o.s, o.t, dt.dg AS dt FROM ori o JOIN deg dt ON dt.node = o.t)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM ork e1
+        JOIN ork e2 ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+        JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t) AS n_triangles
+""")
+def q_triangle_count(sf_dir: str):
+    # exact triangle counting over the constructed doc link graph
+    # (consecutive-id edges guarantee a dense triangle population; the
+    # 7d+1 edges add irregular ones). The distributed shape —
+    # degree-oriented wedge generation + one closure join
+    # (stages/graph.py::triangle_count, Suri & Vassilvitskii WWW'11) —
+    # is the scale path: wedge volume O(m^1.5) worst case, degree table
+    # and wedges never gathered to the driver. The oracle restates the
+    # same orientation with SQL row-comparisons, so both sides count
+    # each triangle exactly once at its (degree, id)-minimal apex.
+    from cocrawler_ray.stages.graph import triangle_count
+    nodes = read(sf_dir, "documents", ["doc_id"])
+    n_total = nodes.count()
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([(d + 1) % n_total,
+                                            (d + 2) % n_total,
+                                            (d * 7 + 1) % n_total]),
+                            pa.int64())})
+
+    stats = triangle_count(nodes.map_batches(make_edges,
+                                             batch_format="pyarrow"))
+    return pd.DataFrame({k: np.array([v], np.int64)
+                         for k, v in stats.items()})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

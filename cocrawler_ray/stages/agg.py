@@ -252,8 +252,13 @@ def cooccur_pairs_reduce(df, key_col: str = "user_id",
     pair volume is O(rows). Output is per-partition (t1, t2, n) — the
     caller combines with one tiny grouped sum (pair-domain-sized)."""
     if not len(df):
-        return pd.DataFrame({"t1": pd.Series([], dtype=str),
-                             "t2": pd.Series([], dtype=str),
+        # dtype-preserving empty: item_col may be str (event types) or
+        # int64 (part keys) — a hardcoded dtype would split the output
+        # schema across partitions
+        it = (df[item_col].iloc[:0] if item_col in df.columns
+              else pd.Series([], dtype=str))
+        return pd.DataFrame({"t1": it.reset_index(drop=True),
+                             "t2": it.reset_index(drop=True),
                              "n": pd.Series([], dtype=np.int64)})
     dd = df[[key_col, item_col]].drop_duplicates()
     m = dd.merge(dd, on=key_col, suffixes=("_1", "_2"))

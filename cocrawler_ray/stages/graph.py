@@ -194,3 +194,112 @@ def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
         batch_format="pyarrow")
     return _bsp(_presplit(labels, ["node"], P), _presplit(und, ["src"], P),
                 "min", iters, 0.0, 0.0, P)
+
+
+# ---------------------------------------------------------------------------
+# exact triangle counting (degree orientation + wedge closure)
+# ---------------------------------------------------------------------------
+
+def _canon_edges(t: pa.Table) -> pa.Table:
+    """(src, dst) -> canonical undirected (a=min, b=max), self-loops out."""
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    a = np.minimum(s, d)
+    b = np.maximum(s, d)
+    keep = a != b
+    return pa.table({"a": pa.array(a[keep], pa.int64()),
+                     "b": pa.array(b[keep], pa.int64())})
+
+
+def _wedges_reduce(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition wedge generation from degree-oriented edges
+    (s, t, dt): for each apex s, every ORDERED pair of out-neighbors by
+    the orientation's total order (degree, id). A pandas self-merge on
+    the apex — one C-path join, no per-apex loop. Degree orientation
+    caps out-degree at O(sqrt(m)), so per-apex pair fan-out is bounded
+    (Suri & Vassilvitskii's 'curse of the last reducer' fix)."""
+    if not len(df):
+        return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                             "w": pd.Series([], dtype=np.int64)})
+    m = df.merge(df, on="s", suffixes=("_1", "_2"))
+    lt = (m["dt_1"] < m["dt_2"]) | ((m["dt_1"] == m["dt_2"])
+                                    & (m["t_1"] < m["t_2"]))
+    m = m[lt]
+    return pd.DataFrame({"v": m["t_1"].to_numpy(np.int64),
+                         "w": m["t_2"].to_numpy(np.int64)})
+
+
+def triangle_count(edges: rd.Dataset,
+                   num_partitions: int | None = None) -> dict[str, int]:
+    """Exact triangle count over an undirected edge list (src, dst) via
+    degree orientation + wedge closure — the MapReduce formulation of
+    Suri & Vassilvitskii (WWW'11), re-expressed on the hash exchange:
+
+    1. canonicalize + dedup edges: one (a, b)-keyed exchange;
+    2. per-node degrees: one node-keyed exchange over edge endpoints —
+       the degree table stays a DATASET (object-store blocks), never a
+       driver gather, so node domain scales with cluster memory;
+    3. orient each edge from its (degree, id)-smaller endpoint to the
+       larger via two size-dispatched degree joins (broadcast when the
+       degree table is dimension-sized, hash exchange beyond), carrying
+       the head's degree so wedge enumeration needs no third join;
+    4. wedges: one apex-keyed exchange; ordered out-neighbor pairs per
+       apex (``_wedges_reduce``). Orientation bounds out-degree at
+       O(sqrt(m)) — total wedge volume O(m^1.5) worst case, the known
+       optimum for exact one-round counting;
+    5. closure: hash-join wedges against oriented edges on (v, w).
+       Because orientation follows a strict TOTAL order, the closing
+       edge of an ordered wedge can only be oriented v->w — one equi-
+       join, no direction disjunction.
+
+    Returns {n_nodes, n_edges, n_triangles}. Each triangle is counted
+    exactly once (its unique apex = the (degree, id)-minimal vertex).
+    """
+    from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
+    from cocrawler_ray.stages.joins import auto_join
+
+    und = grouped_shuffle(
+        edges.map_batches(_canon_edges, batch_format="pyarrow"),
+        ["a", "b"], lambda df: df.drop_duplicates(),
+        num_partitions=num_partitions).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    deg = grouped_shuffle(
+        und.map_batches(endpoints, batch_format="pyarrow"), ["node"],
+        lambda df: (df.groupby("node", sort=False).size().rename("dg")
+                    .reset_index()) if len(df) else
+        pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                      "dg": pd.Series([], dtype=np.int64)}),
+        num_partitions=num_partitions).materialize()
+
+    dega = deg.map_batches(lambda t: t.rename_columns(["node", "da"]),
+                           batch_format="pyarrow")
+    degb = deg.map_batches(lambda t: t.rename_columns(["node", "db"]),
+                           batch_format="pyarrow")
+    j = auto_join(auto_join(und, dega, "a", "node"), degb, "b", "node")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        lt = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            "s": pa.array(np.where(lt, a, b), pa.int64()),
+            "t": pa.array(np.where(lt, b, a), pa.int64()),
+            "dt": pa.array(np.where(lt, db, da), pa.int64())})
+
+    ori = j.map_batches(orient, batch_format="pyarrow").materialize()
+    wedges = grouped_shuffle(ori, ["s"], _wedges_reduce,
+                             num_partitions=num_partitions)
+    ori_vw = ori.map_batches(
+        lambda t: pa.table({"v": t.column("s"), "w": t.column("t")}),
+        batch_format="pyarrow")
+    closed = hash_join(wedges, ori_vw, on=["v", "w"],
+                       num_partitions=num_partitions)
+    return {"n_nodes": deg.count(), "n_edges": und.count(),
+            "n_triangles": closed.count()}

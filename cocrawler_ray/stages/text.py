@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from cocrawler_ray.hashing import splitmix64
@@ -649,3 +650,40 @@ def broadcast_unigram_lm(docs_ds):
     cf = partial_groupby_agg(tfds, ["term"], {"c": ("tf", "sum")})
     return ray.put(unigram_lp_micro(cf["term"].to_numpy(),
                                     cf["c"].to_numpy()))
+
+
+def distinct_ngram_rows_batch(batch: pa.Table, n: int = 5,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> pa.Table:
+    """Scan-side of exact substring-dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the sharded-gram-table
+    formulation that replaces the single-machine suffix array at corpus
+    scale): one (id, gram) row per DISTINCT word n-gram per document.
+    Docs shorter than n tokens emit nothing. Gram strings (not hashes)
+    flow so the DuckDB oracle can restate membership exactly; at 100 TB
+    you'd exchange a 128-bit gram hash instead — same shape, noted in
+    q_substring_dup."""
+    ids_in = batch.column(id_col).to_numpy()
+    idxs, grams = _distinct_ngrams(batch.column(text_col).to_pylist(), n)
+    return pa.table({id_col: pa.array(ids_in[idxs], pa.int64()),
+                     "g": pa.array(grams, pa.string())})
+
+
+def dup_gram_partials_reduce(df: pd.DataFrame,
+                             id_col: str = "doc_id") -> pd.DataFrame:
+    """Gram-keyed partition reduce behind q_substring_dup: every copy of
+    a gram is co-located here, so a gram is a DUPLICATE iff its group has
+    >1 row (rows are per-doc-distinct by construction). Emits per-doc
+    partials (n_grams, n_dup) — a doc's grams spread across partitions;
+    the caller combines with one id-keyed grouped sum."""
+    if not len(df):
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "n_grams": pd.Series([], dtype=np.int64),
+                             "n_dup": pd.Series([], dtype=np.int64)})
+    dup = (df.groupby("g", sort=False)["g"].transform("size") > 1)
+    out = (df.assign(__d=dup.to_numpy(np.int64))
+           .groupby(id_col, sort=False)["__d"]
+           .agg(n_grams="size", n_dup="sum").reset_index())
+    return pd.DataFrame({id_col: out[id_col].to_numpy(np.int64),
+                         "n_grams": out["n_grams"].to_numpy(np.int64),
+                         "n_dup": out["n_dup"].to_numpy(np.int64)})
