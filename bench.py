@@ -112,6 +112,8 @@ BENCH_QUERIES_R2 = [
 BENCH_QUERIES_R3 = [
     "q_perplexity_gate",   # CCNet-style unigram-LM ppl filter (2 scans)
     "q_cdc_chunks",        # content-defined chunking over binary payloads
+    "q_substring_dup",     # exact substring-dup fractions (gram exchange)
+    "q_triangle_count",    # degree-oriented wedge-closure triangle count
 ]
 
 

@@ -3814,7 +3814,10 @@ def q_substring_dup(sf_dir: str):
     # partials. Gram STRINGS flow only so the oracle can restate
     # membership; at 100 TB exchange a 128-bit gram hash (collision-
     # negligible) — identical topology, ~10x less shuffle payload.
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    # min_blocks=16: per-doc gram assembly is the CPU-heavy stage and a
+    # row-count-sized read would hand the whole corpus to one task (the
+    # q_decontaminate starvation lesson)
+    ds = read(sf_dir, "documents", ["doc_id", "text"], min_blocks=16)
     rows = ds.map_batches(
         lambda t: textops.distinct_ngram_rows_batch(t, 5),
         batch_format="pyarrow")

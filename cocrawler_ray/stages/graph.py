@@ -258,9 +258,14 @@ def triangle_count(edges: rd.Dataset,
     from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
     from cocrawler_ray.stages.joins import auto_join
 
+    canon = edges.map_batches(_canon_edges,
+                              batch_format="pyarrow").materialize()
+    # adapt exchange width to edge volume (the _pick_p rule): a small
+    # graph at cluster-CPU width pays ~P^2 split/reduce fixed costs per
+    # exchange with nothing to parallelize
+    num_partitions = _pick_p(canon.count(), num_partitions)
     und = grouped_shuffle(
-        edges.map_batches(_canon_edges, batch_format="pyarrow"),
-        ["a", "b"], lambda df: df.drop_duplicates(),
+        canon, ["a", "b"], lambda df: df.drop_duplicates(),
         num_partitions=num_partitions).materialize()
 
     def endpoints(t: pa.Table) -> pa.Table:
