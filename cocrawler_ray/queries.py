@@ -3890,6 +3890,247 @@ def q_triangle_count(sf_dir: str):
                          for k, v in stats.items()})
 
 
+@_q("q_skyline", """
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+""")
+def q_skyline(sf_dir: str):
+    # Pareto frontier (skyline): parts not dominated on (cheaper price,
+    # bigger size). The SQL's quadratic NOT-EXISTS becomes the classic
+    # two-phase skyline decomposition: a vectorized per-block local
+    # skyline (agg.py::skyline_min_max, O(n log n) lexsort — every
+    # dominator of a survivor would also survive locally, so
+    # skyline(union) ⊆ union(local skylines)), then one final pass over
+    # the frontier-sized candidate set. Nothing data-sized is gathered:
+    # candidates are bounded by the frontier, not the corpus.
+    ds = read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    local = ds.map_batches(
+        lambda df: agg.skyline_min_max(df, "p_retailprice", "p_size"),
+        batch_format="pandas")
+    out = agg.skyline_min_max(local.to_pandas(), "p_retailprice", "p_size")
+    return out.reset_index(drop=True)
+
+
+@_q("q_cohort_retention", """
+WITH w AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+           FROM events),
+f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1),
+a AS (SELECT DISTINCT w.user_id, f.cohort_week,
+             w.wk - f.cohort_week AS week_offset
+      FROM w JOIN f ON w.user_id = f.user_id)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+""")
+def q_cohort_retention(sf_dir: str):
+    # cohort-retention matrix: users grouped by first-active week, counted
+    # once per later week they return. The SQL min-join-distinct collapses
+    # into ONE entity exchange: each user's full week set co-locates, the
+    # reduce derives cohort (groupwise min) + distinct offsets and emits
+    # per-partition (cohort, offset) counts — exact, since a user never
+    # splits across partitions — and the driver combines a
+    # weeks²-bounded table. The raw event log crosses the wire once.
+    WEEK = np.int64(604_800_000_000)
+
+    def wk(t: pa.Table) -> pa.Table:
+        w = window._ts_us(t["ts"]) // WEEK
+        return pa.table({"user_id": t["user_id"],
+                         "wk": pa.array(w, pa.int64())})
+
+    def retention(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "cohort_week": pd.Series([], dtype=np.int64),
+                "week_offset": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64)})
+        d = df.drop_duplicates()
+        cw = d.groupby("user_id", sort=False)["wk"].transform("min")
+        pairs = pd.DataFrame({"cohort_week": cw,
+                              "week_offset": d["wk"] - cw})
+        return (pairs.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().rename("n_users").reset_index())
+
+    ds = read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        wk, batch_format="pyarrow")
+    parts = exchange.grouped_shuffle(ds, ["user_id"], retention)
+    out = partial_groupby_agg(parts, ["cohort_week", "week_offset"],
+                              {"n_users": ("n_users", "sum")})
+    return out.astype({"cohort_week": np.int64, "week_offset": np.int64,
+                       "n_users": np.int64})
+
+
+@_q("q_markov_next", """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+""")
+def q_markov_next(sf_dir: str):
+    # first-order transition counts (Markov next-event matrix): the SQL
+    # lead() window becomes one entity exchange + a shift-compare inside
+    # each partition — sort by (user, ts, event_id), adjacent rows of the
+    # SAME user form a transition. Per-partition counts are exact because
+    # a user's sequence never splits; the driver combines an
+    # event-type²-bounded table. event_id breaks timestamp ties so both
+    # sides order identically.
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"src": pd.Series([], dtype=str),
+                                 "dst": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = d["user_id"].to_numpy()
+        same = u[1:] == u[:-1]
+        ev = d["event_type"].to_numpy()
+        p = pd.DataFrame({"src": ev[:-1][same], "dst": ev[1:][same]})
+        return (p.groupby(["src", "dst"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]),
+        ["user_id"], trans)
+    out = partial_groupby_agg(parts, ["src", "dst"], {"n": ("n", "sum")})
+    return out.astype({"n": np.int64})
+
+
+@_q("q_large_orders", """
+WITH q AS (SELECT l_orderkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                      AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+       o_totalprice, total_qty
+FROM q JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+""")
+def q_large_orders(sf_dir: str):
+    # TPC-H Q18 shape (large-volume orders): a HAVING over a fact-grain
+    # aggregate joined back to two tables. Plan: per-block combiner
+    # pre-sums quantity at order grain, one exchange finishes the sum and
+    # applies the HAVING inside the reduce (survivors only leave the
+    # partition), the fact-fact orders join takes the size-dispatched
+    # front-end, and customer — a dimension — broadcasts. l_quantity is
+    # integral by domain contract, so the sum is exact int64.
+    def qty(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "qty": pa.array(q, pa.int64())})
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("l_orderkey", sort=False)["qty"].sum()
+             .rename("total_qty").reset_index())
+        return g[g["total_qty"] > 250]
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(qty, batch_format="pyarrow")
+    big = exchange.grouped_shuffle(li, ["l_orderkey"], having)
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = joins.auto_join(big, orders, "l_orderkey", "o_orderkey")
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    out = joins.broadcast_join(joined, cust, "o_custkey",
+                               "c_custkey").to_pandas()
+    return pd.DataFrame({
+        "c_custkey": out["o_custkey"].to_numpy(np.int64),
+        "c_name": out["c_name"],
+        # auto_join drops the right key column (== l_orderkey on every row)
+        "o_orderkey": out["l_orderkey"].to_numpy(np.int64),
+        "o_date_us": out["o_orderdate"].to_numpy("datetime64[us]")
+            .astype(np.int64),
+        "o_totalprice": out["o_totalprice"],
+        "total_qty": out["total_qty"].to_numpy(np.int64)})
+
+
+@_q("q_promo_revenue", """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS cents,
+         p_type = 'PROMO' AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT month,
+       ROUND(SUM(CASE WHEN promo THEN cents ELSE 0 END) * 100.0 /
+             SUM(cents), 4) AS promo_pct
+FROM j GROUP BY 1
+""")
+def q_promo_revenue(sf_dir: str):
+    # TPC-H Q14 shape (promotion revenue share per ship-month): part is a
+    # true dimension so the join broadcasts (lineitem never shuffles);
+    # revenue quantizes to integer cents (same product + same half-away
+    # round both sides) so the two conditional sums are exact through the
+    # combiner, and the month-grain ratio divides identical int64-derived
+    # doubles in the identical order — the q_returned_revenue exactness
+    # rule applied to a ratio aggregate.
+    dim = read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    joined = joins.broadcast_join(li, dim, "l_partkey", "p_partkey")
+
+    def cents(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dsc = t["l_discount"].to_numpy(zero_copy_only=False)
+        c = textops.round_half_away(ext * (1.0 - dsc) * 100.0,
+                                    0).astype(np.int64)
+        month = (window._ts_us(t["l_shipdate"]).astype("datetime64[us]")
+                 .astype("datetime64[M]").astype(str))
+        promo = pc.equal(t["p_type"], pa.scalar("PROMO")) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"month": pa.array(month, pa.string()),
+                         "promo_cents": pa.array(np.where(promo, c, 0),
+                                                 pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    fine = partial_groupby_agg(
+        joined.map_batches(cents, batch_format="pyarrow"),
+        ["month"], {"promo_cents": ("promo_cents", "sum"),
+                    "cents": ("cents", "sum")})
+    pct = textops.round_half_away(
+        fine["promo_cents"].to_numpy(np.float64) * 100.0 /
+        fine["cents"].to_numpy(np.float64), 4)
+    return pd.DataFrame({"month": fine["month"], "promo_pct": pct})
+
+
+@_q("q_string_agg", """
+WITH r AS (SELECT c_mktsegment, c_name,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_name) AS rn
+           FROM customer)
+SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY rn) AS top_names
+FROM r WHERE rn <= 3 GROUP BY 1
+""")
+def q_string_agg(sf_dir: str):
+    # ordered list aggregation (string_agg / LISTAGG) of each segment's
+    # top-3 customers by balance: one exchange co-locates each segment,
+    # the reduce sorts (balance DESC, name — the name tie-break makes the
+    # float order total) and joins the head. The segment domain is
+    # bounded, so the exchange output IS the final table; at scale the
+    # top-3-per-key step would push a per-block partial top-k first
+    # (the q_topk_per_group combiner) — elided here because the reduce
+    # already sees only its key range.
+    def top_names(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=str),
+                                 "top_names": pd.Series([], dtype=str)})
+        d = df.sort_values(["c_mktsegment", "c_acctbal", "c_name"],
+                           ascending=[True, False, True], kind="stable")
+        g = (d.groupby("c_mktsegment", sort=False)["c_name"]
+             .agg(lambda s: ",".join(s.head(3))).rename("top_names")
+             .reset_index())
+        return g
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "customer", ["c_mktsegment", "c_name", "c_acctbal"]),
+        ["c_mktsegment"], top_names)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

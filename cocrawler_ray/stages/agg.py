@@ -309,3 +309,50 @@ def mad_outliers_reduce(df, val_col: str = "value",
         "med": round_half_away(med / 1e6, 6),
         "mad": round_half_away(madv / 1e6, 6),
         "n_outliers": n_out})
+
+
+def skyline_min_max(df: pd.DataFrame, min_col: str,
+                    max_col: str) -> pd.DataFrame:
+    """Pareto frontier: keep rows not dominated on (minimize ``min_col``,
+    maximize ``max_col``). q dominates p iff q.min <= p.min, q.max >=
+    p.max, and q is strictly better on at least one axis; exact
+    (min, max) ties are mutually non-dominating and ALL survive
+    (mirrors the SQL NOT EXISTS restatement in q_skyline).
+
+    Vectorized: after a (min asc, max desc) lexsort every dominator of a
+    row sorts strictly before it, so dominance reduces to two prefix
+    checks — the running max of ``max_col`` over strictly-cheaper
+    prefixes, and a strictly-better ``max`` at the same cost. O(n log n),
+    no pairwise matrix.
+
+    Distributed use is two-phase (the classic skyline decomposition):
+    skyline(union) ⊆ union(local skylines), so run this per block and
+    once more over the concatenated survivors — global candidates are
+    frontier-sized, never data-sized."""
+    if not len(df):
+        return df
+    lo = df[min_col].to_numpy()
+    hi = df[max_col].to_numpy()
+    order = np.lexsort((-hi, lo))
+    lo_s, hi_s = lo[order], hi[order]
+    run_max = np.maximum.accumulate(hi_s)
+    prev_max = np.concatenate(([np.iinfo(np.int64).min
+                                if np.issubdtype(hi_s.dtype, np.integer)
+                                else -np.inf], run_max[:-1]))
+    # dominated by a strictly-cheaper row with max >= ours
+    new_price = np.concatenate(
+        ([True], lo_s[1:] != lo_s[:-1]))  # first row of each price run
+    # best max over STRICTLY cheaper prefixes: freeze prev_max at the
+    # start of each equal-price run
+    run_id = np.cumsum(new_price) - 1
+    price_start_max = prev_max[new_price]
+    cheaper_max = price_start_max[run_id]
+    dom_cheaper = cheaper_max >= hi_s
+    # dominated within the same price by a strictly larger max: rows
+    # after the first of an equal-price run with a smaller max than the
+    # run head are dominated unless they tie the head exactly
+    head_max = hi_s[new_price][run_id]
+    dom_same = (~new_price) & (hi_s < head_max)
+    keep = ~(dom_cheaper | dom_same)
+    out_idx = np.sort(order[keep])
+    return df.iloc[out_idx]

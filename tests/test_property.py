@@ -558,3 +558,28 @@ def test_regex_extract_all_batch_ordinals_and_nulls():
     assert out.column("doc_id").to_pylist() == [1, 1, 1, 2]
     assert out.column("ord").to_pylist() == [1, 2, 3, 1]
     assert out.column("tok").to_pylist() == ["the", "tall", "tree", "to"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=0, max_size=50))
+def test_skyline_min_max_matches_bruteforce(pts):
+    from cocrawler_ray.stages.agg import skyline_min_max
+    df = pd.DataFrame(pts, columns=["lo", "hi"])
+    df["id"] = np.arange(len(df))
+    got = skyline_min_max(df, "lo", "hi")
+    keep = []
+    for i, p in df.iterrows():
+        dom = any(q["lo"] <= p["lo"] and q["hi"] >= p["hi"]
+                  and (q["lo"] < p["lo"] or q["hi"] > p["hi"])
+                  for _, q in df.iterrows())
+        if not dom:
+            keep.append(i)
+    assert list(got["id"]) == keep
+    # two-phase decomposition: skyline(local skylines) == skyline(all)
+    if len(df) > 3:
+        half = len(df) // 2
+        cand = pd.concat([skyline_min_max(df.iloc[:half], "lo", "hi"),
+                          skyline_min_max(df.iloc[half:], "lo", "hi")])
+        two_phase = skyline_min_max(cand, "lo", "hi")
+        assert sorted(two_phase["id"]) == keep
