@@ -95,6 +95,35 @@ def average_phash(img: np.ndarray) -> int:
     return int(val.astype(np.int64).view(np.int64))
 
 
+def difference_dhash(img: np.ndarray) -> int:
+    """64-bit difference-hash (dhash): 8x9 block-mean grayscale grid,
+    bit = right block mean > left block mean — a gradient-direction
+    perceptual hash, robust where average-hash fails (uniform brightness
+    or contrast shifts cancel in the comparison: (S2+kC2)·C1 > (S1+kC1)·C2
+    reduces to S2·C1 > S1·C2).
+
+    Integer-exact: blocks hold gray*3 = r+g+b sums; unequal block sizes
+    (w need not divide by 9) compare via cross-multiplication, so the
+    SQL oracle can restate every bit. Pixel (y, x) maps to block
+    (y*8//h, x*9//w) — the same floor-partition the phash/resize oracles
+    use. Bit order: row-major over the 8x8 comparison grid, MSB first.
+    """
+    h, w = img.shape[:2]
+    s3 = img.reshape(h, w, -1).astype(np.int64).sum(axis=2)
+    bi = (np.arange(h) * 8) // h
+    bj = (np.arange(w) * 9) // w
+    flat = (bi[:, None] * 9 + bj[None, :]).ravel()
+    # sums stay far below 2^53, so float64 bincount weights are exact
+    s = np.bincount(flat, weights=s3.ravel(), minlength=72) \
+        .astype(np.int64).reshape(8, 9)
+    c = np.bincount(flat, minlength=72).astype(np.int64).reshape(8, 9)
+    bits = (s[:, 1:] * c[:, :-1] > s[:, :-1] * c[:, 1:]).ravel()
+    val = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        val |= np.uint64(1) << np.uint64(63 - int(k))
+    return int(val.astype(np.int64).view(np.int64))
+
+
 def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized hamming distance between int64 phash arrays."""
     x = a.astype(np.int64).view(np.uint64) ^ b.astype(np.int64).view(np.uint64)

@@ -500,6 +500,44 @@ FROM stats s JOIN ph ON ph.d = s.d
 """
 
 
+def image_dhash_sql(n: int = N_IMAGES) -> str:
+    """Difference-hash bits via integer cross-multiplication of adjacent
+    8x9-grid block sums/counts (codecs.difference_dhash restated)."""
+    return f"""
+WITH {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+blocks AS (SELECT d, (y * 8) // (16*(1 + (d//2) % 2)) AS bi,
+                  (x * 9) // (16*(1 + d % 2)) AS bj,
+                  sum(s3) AS s, count(*) AS c
+           FROM g3 GROUP BY d, bi, bj),
+pairs AS (SELECT l.d, l.bi, l.bj, (r.s * l.c > l.s * r.c) AS bit
+          FROM blocks l JOIN blocks r
+            ON r.d = l.d AND r.bi = l.bi AND r.bj = l.bj + 1),
+dh AS (SELECT d, CAST(sum(CASE WHEN bit THEN
+         CASE WHEN bi = 0 AND bj = 0 THEN -9223372036854775808::HUGEINT
+              ELSE (2::HUGEINT ^ (63 - (bi * 8 + bj)))::HUGEINT END
+         ELSE 0 END) AS BIGINT) AS dhash
+       FROM pairs GROUP BY d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id, dhash
+FROM dh
+"""
+
+
+def psnr_gate_sql(n: int = N_IMAGES) -> str:
+    """Lossy-roundtrip PSNR>=40dB gate: the qnt re-quantization of the
+    DECODED pixel is (p//8)*8+4, the gate compares integer ssq*10^4
+    against 65025*samples (255^2/10^(40/10) cleared of the fraction)."""
+    return f"""
+WITH {_px_ctes(n)},
+e AS (SELECT d, p - ((p // 8) * 8 + 4) AS err FROM px)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(err * err) AS BIGINT) AS ssq,
+       CAST(count(*) AS BIGINT) AS npx,
+       (sum(err * err) * 10000 <= 65025 * count(*)) AS passed
+FROM e GROUP BY d
+"""
+
+
 def image_resize_sql(n: int = N_IMAGES, out_w: int = 8, out_h: int = 8) -> str:
     """Resized bytes = per-block integer mean (floor; block counts are
     powers of two so the float mean is exact and truncation == //)."""

@@ -4098,6 +4098,35 @@ def q_promo_revenue(sf_dir: str):
     return pd.DataFrame({"month": fine["month"], "promo_pct": pct})
 
 
+@_q("q_dhash", oracles.image_dhash_sql())
+def q_dhash(sf_dir: str):
+    # difference-hash (gradient-direction perceptual hash) per image: the
+    # actor-pool decode pattern of q_image_decode_stats with the second
+    # standard hash family — dhash bits survive the brightness/contrast
+    # shifts that flip average-hash bits (cross-multiplied block-mean
+    # comparisons cancel additive offsets), so near-dup banding can
+    # require agreement of either or both. Integer-exact bit-for-bit
+    # oracle (oracles.image_dhash_sql).
+    from cocrawler_ray.stages.multimodal import ImageDHash
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(ImageDHash, batch_format="pyarrow", batch_size=16,
+                         concurrency=2))
+
+
+@_q("q_psnr_gate", oracles.psnr_gate_sql())
+def q_psnr_gate(sf_dir: str):
+    # the input_hint's per-row invariant as an operator: every fetched
+    # image must survive the lossy codec at PSNR >= 40 dB. The gate is
+    # integer-exact (ssq * 10^4 vs 65025 * samples — no transcendental in
+    # the decision), so the oracle restates every pass/fail bit from the
+    # pixel formulas. Lossless rows re-quantize once (ssq > 0); rows
+    # already on the qnt lattice round-trip exactly (ssq = 0).
+    from cocrawler_ray.stages.multimodal import LossyRoundtripPSNR
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(LossyRoundtripPSNR, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_string_agg", """
 WITH r AS (SELECT c_mktsegment, c_name,
                   row_number() OVER (PARTITION BY c_mktsegment
@@ -4173,10 +4202,12 @@ _PRIORITY = [
     # graph (BSP)
     "q_pagerank", "q_image_clusters",
     # multimodal actor-pool stages (resize is local-checked; the decode
-    # family keeps q_image_decode_stats' driver row)
-    "q_image_decode_stats", "q_clip_score_gate",
+    # family keeps q_image_decode_stats' driver row; q_psnr_gate IS the
+    # north rule's per-row PSNR>=40dB invariant, so it takes the slot
+    # q_date_rollup held — the scalar family keeps q_json_extract)
+    "q_image_decode_stats", "q_clip_score_gate", "q_psnr_gate",
     # scalar function surface
-    "q_json_extract", "q_date_rollup",
+    "q_json_extract",
     # stats (q_heavy_hitters yields its row to q_cdc_chunks: the stats
     # family keeps q_zscore; payload chunking gains driver coverage)
     "q_zscore", "q_cdc_chunks",

@@ -124,6 +124,70 @@ class ImageResize:
         })
 
 
+class ImageDHash:
+    """Decode payloads -> 64-bit difference-hash (gradient-direction
+    perceptual hash; see codecs.difference_dhash). Complements the
+    average-hash phash column: dhash survives brightness/contrast shifts
+    that flip average-hash bits, so a near-dup pass can band on either."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        dh = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in range(batch.num_rows):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            dh[i] = codecs.difference_dhash(img)
+        return pa.table({"image_id": batch.column("image_id"),
+                         "dhash": pa.array(dh)})
+
+
+class LossyRoundtripPSNR:
+    """Quality gate for the input_hint's per-row invariant: decoded
+    pixels must survive the lossy codec at PSNR >= threshold dB.
+
+    Decodes each payload, round-trips it through the lossy ``qnt``
+    codec, and emits the INTEGER sum of squared differences + sample
+    count so the pass/fail bit is exact and SQL-restatable:
+    psnr >= 40  <=>  mse <= 255^2/10^4  <=>  ssq * 10^4 <= 65025 * n.
+    (Float psnr in dB is derivable downstream; the gate never computes a
+    transcendental.) Lossless payloads round-trip onto the quantization
+    lattice only once — already-qnt rows re-quantize exactly (ssq = 0).
+    """
+
+    def __init__(self, threshold_db: float = 40.0):
+        # gate in integer space: ssq * scale <= max_mse_num * n
+        # threshold 40dB -> mse <= 255^2 / 10^(40/10) = 65025/10^4
+        if threshold_db != 40.0:
+            raise ValueError("integer-exact gate is derived for 40 dB; "
+                             "other thresholds need their own rational form")
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n_rows = batch.num_rows
+        ssq = np.zeros(n_rows, dtype=np.int64)
+        npx = np.zeros(n_rows, dtype=np.int64)
+        for i in range(n_rows):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            rt = codecs.decode(codecs.encode(img, "qnt"),
+                               int(ws[i]), int(hs[i]), "qnt")
+            d = img.astype(np.int64) - rt.astype(np.int64)
+            ssq[i] = int((d * d).sum())
+            npx[i] = d.size
+        passed = ssq * 10_000 <= 65_025 * npx
+        return pa.table({"image_id": batch.column("image_id"),
+                         "ssq": pa.array(ssq), "npx": pa.array(npx),
+                         "passed": pa.array(passed)})
+
+
 class AudioFeatures:
     """Audio feature-extraction stub: real Ray plumbing, fake DSP.
 

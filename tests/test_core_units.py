@@ -268,3 +268,64 @@ def test_path_trap_stats_counts_duplicate_segments():
     assert st["n_seg"].tolist() == [3, 3, 4, 5, 2, 0]
     assert st["n_dup"].tolist() == [0, 1, 2, 3, 0, 0]
     assert st["trap"].tolist() == [0, 0, 1, 1, 0, 0]
+
+
+def test_dhash_brightness_invariance_and_bit_sensitivity():
+    img = codecs.make_image("h0001/p000042", 32, 16)
+    base = codecs.difference_dhash(img)
+    # uniform brightness shift cancels in the cross-multiplied comparison
+    brighter = np.clip(img.astype(np.int32) + 37, 0, 255).astype(np.uint8)
+    if (brighter.astype(np.int32) - img.astype(np.int32) == 37).all():
+        assert codecs.difference_dhash(brighter) == base
+    # average-hash flips under the same shift test is NOT asserted (it may
+    # or may not) — dhash's invariance is the contract
+    # a horizontal gradient image sets every left-to-right rising bit
+    ramp = np.repeat(np.arange(0, 255, 255 // 18)[:18], 3).reshape(1, 18, 3)
+    ramp = np.repeat(ramp, 8, axis=0).astype(np.uint8)
+    assert codecs.difference_dhash(ramp) == -1  # all 64 bits set
+
+
+def test_dhash_matches_bruteforce_blocks():
+    img = codecs.make_image("h0002/p000007", 27, 19)  # non-divisible dims
+    h, w = img.shape[:2]
+    s3 = img.astype(np.int64).sum(axis=2)
+    got = codecs.difference_dhash(img)
+    val = 0
+    for i in range(8):
+        for j in range(8):
+            def blk(bi, bj):
+                ys = [y for y in range(h) if (y * 8) // h == bi]
+                xs = [x for x in range(w) if (x * 9) // w == bj]
+                sub = s3[np.ix_(ys, xs)]
+                return sub.sum(), sub.size
+            s1, c1 = blk(i, j)
+            s2, c2 = blk(i, j + 1)
+            if s2 * c1 > s1 * c2:
+                val |= 1 << (63 - (i * 8 + j))
+    want = int(np.uint64(val).astype(np.int64).view(np.int64))
+    assert got == want
+
+
+def test_lossy_roundtrip_psnr_gate_matches_float_psnr():
+    import pyarrow as pa
+    from cocrawler_ray.stages.multimodal import LossyRoundtripPSNR
+    ids, data, ws, hs, fmts = [], [], [], [], []
+    for d in range(9):
+        w, h = 16 + d, 16 + (d * 3) % 7
+        img = codecs.make_image(f"h{d:04d}/p0", w, h)
+        fmt = codecs.FORMATS[d % 3]
+        ids.append(f"i{d}"); data.append(codecs.encode(img, fmt))
+        ws.append(w); hs.append(h); fmts.append(fmt)
+    t = pa.table({"image_id": pa.array(ids), "bytes": pa.array(data, pa.binary()),
+                  "w": pa.array(np.array(ws, np.int32)),
+                  "h": pa.array(np.array(hs, np.int32)),
+                  "fmt": pa.array(fmts)})
+    out = LossyRoundtripPSNR()(t)
+    for i in range(9):
+        img = codecs.decode(data[i], ws[i], hs[i], fmts[i])
+        rt = codecs.decode(codecs.encode(img, "qnt"), ws[i], hs[i], "qnt")
+        p = codecs.psnr(img, rt)
+        assert out.column("passed")[i].as_py() == (p >= 40.0)
+        if fmts[i] == "qnt":  # already on the lattice: exact round-trip
+            assert out.column("ssq")[i].as_py() == 0
+        assert out.column("npx")[i].as_py() == ws[i] * hs[i] * 3
