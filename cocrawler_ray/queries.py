@@ -4098,6 +4098,116 @@ def q_promo_revenue(sf_dir: str):
     return pd.DataFrame({"month": fine["month"], "promo_pct": pct})
 
 
+@_q("q_grouping_sets", """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""")
+def q_grouping_sets(sf_dir: str):
+    # explicit GROUPING SETS (completing the CUBE/ROLLUP family): the
+    # fact table reduces ONCE at the finest requested grain through the
+    # combiner; each coarser set derives from that O(domain) table.
+    # Prices quantize to integer cents so the re-aggregation is
+    # association-order-free (the q_returned_revenue exactness rule —
+    # deriving coarse sums from fine FLOAT sums would diverge from the
+    # oracle's flat sum at last-cent boundaries).
+    def cents(t: pa.Table) -> pa.Table:
+        c = textops.round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"status": t["o_orderstatus"],
+                         "priority": t["o_orderpriority"],
+                         "cents": pa.array(c, pa.int64())})
+
+    fine = partial_groupby_agg(
+        read(sf_dir, "orders",
+             ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow"),
+        ["status", "priority"], {"cents": ("cents", "sum"),
+                                 "n": (None, "count")})
+    by_status = (fine.groupby("status", as_index=False)
+                 .agg(cents=("cents", "sum"), n=("n", "sum")))
+    by_status["priority"] = "ALL"
+    total = pd.DataFrame({"status": ["ALL"], "priority": ["ALL"],
+                          "cents": [fine["cents"].sum()],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_status, total], ignore_index=True)
+    return pd.DataFrame({
+        "status": out["status"], "priority": out["priority"],
+        "n": out["n"].astype(np.int64),
+        "total": textops.round_half_away(
+            out["cents"].to_numpy(np.int64) / 100.0, 2)})
+
+
+@_q("q_bloom_semijoin", """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey
+                AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+""")
+def q_bloom_semijoin(sf_dir: str):
+    # Bloom-prefiltered semi-join — the sketch-pushdown pattern for
+    # fact-fact joins at 100 TB: a KB-scale Bloom filter of the build-side
+    # keys broadcasts to every probe batch and discards definite
+    # non-members BEFORE the join, so only candidate rows (true matches +
+    # the filter's small FP tail) pay the exchange; the join itself then
+    # removes the false positives, keeping the result EXACT. The oracle is
+    # the plain semi-join — the bloom is invisible in the answer, only in
+    # the shuffle volume. n_bits is sized ~10 bits/key (<1% FP at k=7).
+    from cocrawler_ray.stages.sketch import BloomFilter, bloom_from_dataset
+
+    urgent = (read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'")
+              .select_columns(["o_orderkey"])
+              .materialize())  # consumed twice: bloom build + exact join
+    nb = 1 << 15
+    bits = bloom_from_dataset(urgent, "o_orderkey", n_bits=nb, k=7).bits
+    bits_ref = ray.put(bits.tobytes())
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(nb, 7)
+        bf.bits = np.frombuffer(ray.get(bits_ref), np.uint8)
+        keep = bf.contains(t["l_orderkey"].to_numpy())
+        return t.filter(pa.array(keep))
+
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+          .map_batches(prefilter, batch_format="pyarrow"))
+    # exact verify: the join discards bloom false positives (o_orderkey
+    # is unique, so inner == semi); size-dispatched like any keyed join
+    exact = joins.auto_join(li, urgent, "l_orderkey", "o_orderkey")
+
+    def cents(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dsc = t["l_discount"].to_numpy(zero_copy_only=False)
+        c = textops.round_half_away(ext * (1.0 - dsc) * 100.0,
+                                    0).astype(np.int64)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "cents": pa.array(c, pa.int64())})
+
+    fine = partial_groupby_agg(exact.map_batches(cents,
+                                                 batch_format="pyarrow"),
+                               ["l_returnflag"],
+                               {"cents": ("cents", "sum"),
+                                "n": (None, "count")})
+    return pd.DataFrame({
+        "l_returnflag": fine["l_returnflag"],
+        "n": fine["n"].astype(np.int64),
+        "revenue": textops.round_half_away(
+            fine["cents"].to_numpy(np.int64) / 100.0, 2)})
+
+
 @_q("q_dhash", oracles.image_dhash_sql())
 def q_dhash(sf_dir: str):
     # difference-hash (gradient-direction perceptual hash) per image: the
