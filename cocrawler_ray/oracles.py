@@ -360,6 +360,43 @@ QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2, c.cid) = 1
 """
 
 
+def pq_encode_sql(m: int = 4, dim: int = 64, stride: int = 37,
+                  max_centroids: int = 64) -> str:
+    """Mirror of similarity.pq_encode_seeded: per-subspace integer-exact
+    squared-L2 argmin over 1-based inclusive list slices, ties to the
+    smallest centroid id; d2 sums the per-subspace minima."""
+    sub = dim // m
+
+    def d2(s: int, left: str = "a.q", right: str = "c.cq") -> str:
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ls, rs = f"{left}[{lo}:{hi}]", f"{right}[{lo}:{hi}]"
+        return (f"CAST(list_dot_product(CAST({ls} AS DOUBLE[]), "
+                f"CAST({ls} AS DOUBLE[]))"
+                f" - 2 * list_dot_product(CAST({ls} AS DOUBLE[]), "
+                f"CAST({rs} AS DOUBLE[]))"
+                f" + list_dot_product(CAST({rs} AS DOUBLE[]), "
+                f"CAST({rs} AS DOUBLE[])) AS BIGINT)")
+
+    assigns = ",\n".join(
+        f"""a{s} AS (
+  SELECT a.vec_id, c.cid, {d2(s)} AS d2
+  FROM e a CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2, c.cid) = 1)"""
+        for s in range(m))
+    code_cols = ", ".join(f"a{s}.cid AS code_{s}" for s in range(m))
+    d2_sum = " + ".join(f"a{s}.d2" for s in range(m))
+    joins = " ".join(f"JOIN a{s} ON a{s}.vec_id = e.vec_id"
+                     for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         WHERE vec_id % {stride} = 1 AND vec_id < {stride * max_centroids}),
+{assigns}
+SELECT e.vec_id, {code_cols}, CAST({d2_sum} AS BIGINT) AS d2
+FROM e {joins}
+"""
+
+
 def ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 10,
                 max_centroids: int = 256) -> str:
     d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"

@@ -4098,6 +4098,79 @@ def q_promo_revenue(sf_dir: str):
     return pd.DataFrame({"month": fine["month"], "promo_pct": pct})
 
 
+@_q("q_pq_encode", oracles.pq_encode_sql())
+def q_pq_encode(sf_dir: str):
+    # product-quantization encode (PQ, Jégou 2011): each 64-dim embedding
+    # compresses to 4 sub-codebook ids + its integer reconstruction
+    # distance — the memory path that keeps corpus-scale embedding
+    # indexes hot in RAM (completes brute/LSH/IVF in the ANN family with
+    # the compression leg). Codebook is seeded+bounded like
+    # q_kmeans_assign, broadcast once; the scan streams with no shuffle;
+    # every code bit-matches the per-subspace argmin oracle.
+    from cocrawler_ray.stages.similarity import pq_encode_seeded
+    return pq_encode_seeded(read(sf_dir, "embeddings",
+                                 ["vec_id", "embedding"]))
+
+
+@_q("q_reciprocity", """
+WITH nn AS (SELECT count(*) AS N FROM documents),
+e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst
+       FROM documents
+       UNION ALL
+       SELECT doc_id, (doc_id * 13 + 3) % (SELECT N FROM nn)
+       FROM documents),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+r AS (SELECT count(*) AS n_recip
+      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(r.n_recip AS BIGINT) AS n_recip,
+       ROUND(r.n_recip * 1.0 / (SELECT count(*) FROM e), 6) AS reciprocity
+FROM r
+""")
+def q_reciprocity(sf_dir: str):
+    # link-graph reciprocity (what fraction of "a links b" edges are
+    # returned by "b links a" — a crawl-graph health metric): the SQL
+    # reversed self-join becomes ONE exchange on the unordered pair key
+    # (min, max) — both directions of a pair co-locate by construction,
+    # so the reduce counts distinct directions per pair locally and emits
+    # two integers per partition. No edge is compared across partitions;
+    # the driver sums O(P) rows. Same constructed graph as q_pagerank.
+    nodes = read(sf_dir, "documents", ["doc_id"])
+    n_total = nodes.count()
+
+    def make_pairs(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        src = np.concatenate([d, d])
+        dst = np.concatenate([(d * 7 + 1) % n_total,
+                              (d * 13 + 3) % n_total])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table({"a": pa.array(np.minimum(src, dst), pa.int64()),
+                         "b": pa.array(np.maximum(src, dst), pa.int64()),
+                         "fwd": pa.array(src < dst, pa.bool_())})
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_edges": pd.Series([], dtype=np.int64),
+                                 "n_recip": pd.Series([], dtype=np.int64)})
+        d = df.drop_duplicates()  # distinct directed edges
+        g = d.groupby(["a", "b"], sort=False)["fwd"].nunique()
+        n_edges = len(d)
+        n_recip = 2 * int((g == 2).sum())  # both directions present
+        return pd.DataFrame({"n_edges": [n_edges], "n_recip": [n_recip]})
+
+    parts = exchange.grouped_shuffle(
+        nodes.map_batches(make_pairs, batch_format="pyarrow"),
+        ["a", "b"], count_pairs).to_pandas()
+    n_edges = int(parts["n_edges"].sum())
+    n_recip = int(parts["n_recip"].sum())
+    return pd.DataFrame({
+        "n_edges": np.array([n_edges], np.int64),
+        "n_recip": np.array([n_recip], np.int64),
+        "reciprocity": textops.round_half_away(
+            np.array([n_recip * 1.0 / n_edges]), 6)})
+
+
 @_q("q_grouping_sets", """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,

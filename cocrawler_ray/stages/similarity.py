@@ -246,3 +246,62 @@ def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
 
     cand = ds.map_batches(prune, batch_format="pyarrow")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_encode_seeded(ds: rd.Dataset, m: int = 4, stride: int = 37,
+                     max_centroids: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> rd.Dataset:
+    """Product-quantization encode (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each D-dim vector
+    into ``m`` contiguous subspaces and store only the id of the nearest
+    sub-codebook centroid per subspace — the memory-compression path that
+    lets a 100 TB embedding corpus fit hot in RAM (D floats -> m small
+    ints; here the codebook is row-seeded like kmeans_assign_seeded, so
+    every code is integer-exact-restatable in SQL).
+
+    Per-subspace assignment is the quantized squared-L2 argmin with ties
+    to the smallest centroid id; ``d2`` is the total reconstruction
+    distance (sum over subspaces) — the quantization error a recall
+    budget would monitor. Codebook broadcasts once; the scan streams
+    with no shuffle.
+    """
+    from cocrawler_ray.oracles import quantize_vecs
+
+    bound = stride * max_centroids
+    cent_tab = (ds.map_batches(
+        lambda t: t.filter(pa.array(
+            (t.column(id_col).to_numpy() % stride == 1)
+            & (t.column(id_col).to_numpy() < bound))),
+        batch_format="pyarrow").to_pandas())
+    if not len(cent_tab):
+        raise ValueError(
+            f"no seeded centroids below {bound}; raise stride/max_centroids "
+            "or train a codebook from a sample")
+    cent_tab = cent_tab.sort_values(id_col)
+    cids = cent_tab[id_col].to_numpy().astype(np.int64)
+    C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                for v in cent_tab[vec_col]]))
+    if C.shape[1] % m:
+        raise ValueError(f"dim {C.shape[1]} not divisible by m={m}")
+    bref = ray.put((cids, C))
+
+    def encode(t: pa.Table) -> pa.Table:
+        cid_arr, cents = ray.get(bref)
+        X = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in t.column(vec_col).to_pylist()]))
+        sub = X.shape[1] // m
+        cols: dict = {id_col: t.column(id_col)}
+        total = np.zeros(len(X), np.int64)
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            Cs = cents[:, s * sub:(s + 1) * sub]
+            dd = ((Xs * Xs).sum(axis=1)[:, None] - 2 * (Xs @ Cs.T)
+                  + (Cs * Cs).sum(axis=1)[None, :])
+            j = np.argmin(dd, axis=1)  # first min == smallest cid (sorted)
+            cols[f"code_{s}"] = pa.array(cid_arr[j], pa.int64())
+            total += dd[np.arange(len(j)), j].astype(np.int64)
+        cols["d2"] = pa.array(total, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
