@@ -397,6 +397,45 @@ FROM e {joins}
 """
 
 
+def pq_adc_sql(m: int = 4, dim: int = 64, stride: int = 37,
+               max_centroids: int = 64, k: int = 10) -> str:
+    """Mirror of similarity.pq_adc_topk: per-subspace codes as in
+    pq_encode_sql, then the asymmetric distance = sum over subspaces of
+    d2(query slice, assigned centroid slice); top-k ties to vec_id."""
+    sub = dim // m
+
+    def d2(s: int, left: str, right: str) -> str:
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ls, rs = f"{left}[{lo}:{hi}]", f"{right}[{lo}:{hi}]"
+        return (f"CAST(list_dot_product(CAST({ls} AS DOUBLE[]), "
+                f"CAST({ls} AS DOUBLE[]))"
+                f" - 2 * list_dot_product(CAST({ls} AS DOUBLE[]), "
+                f"CAST({rs} AS DOUBLE[]))"
+                f" + list_dot_product(CAST({rs} AS DOUBLE[]), "
+                f"CAST({rs} AS DOUBLE[])) AS BIGINT)")
+
+    assigns = ",\n".join(
+        f"""a{s} AS (
+  SELECT a.vec_id, c.cid, {d2(s, 'a.q', 'c.cq')} AS d2
+  FROM e a CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2, c.cid) = 1)"""
+        for s in range(m))
+    cjoins = " ".join(
+        f"JOIN a{s} ON a{s}.vec_id = e.vec_id "
+        f"JOIN cent c{s} ON c{s}.cid = a{s}.cid" for s in range(m))
+    adist = " + ".join(d2(s, "qv.q", f"c{s}.cq") for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         WHERE vec_id % {stride} = 1 AND vec_id < {stride * max_centroids}),
+{assigns},
+qv AS (SELECT q FROM e WHERE vec_id = 0)
+SELECT e.vec_id, CAST({adist} AS BIGINT) AS adist
+FROM e {cjoins} CROSS JOIN qv
+ORDER BY adist, e.vec_id LIMIT {k}
+"""
+
+
 def ann_ivf_sql(stride: int = 37, nprobe: int = 4, k: int = 10,
                 max_centroids: int = 256) -> str:
     d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"

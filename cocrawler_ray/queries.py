@@ -4112,6 +4112,18 @@ def q_pq_encode(sf_dir: str):
                                  ["vec_id", "embedding"]))
 
 
+@_q("q_pq_topk", oracles.pq_adc_sql())
+def q_pq_topk(sf_dir: str):
+    # PQ asymmetric-distance (ADC) top-k: the search leg of product
+    # quantization — distances are m lookup-table adds against broadcast
+    # integer LUTs, per-block local top-k, driver merges k x blocks rows.
+    # Approximate by design (codes, not raw vectors); the oracle restates
+    # the SAME approximation bit-exactly, so ranking and distances match.
+    from cocrawler_ray.stages.similarity import pq_adc_topk
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_adc_topk(ds, _query_vec(ds), k=10)
+
+
 @_q("q_reciprocity", """
 WITH nn AS (SELECT count(*) AS N FROM documents),
 e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst

@@ -248,6 +248,31 @@ def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _seeded_codebook(ds: rd.Dataset, stride: int, max_centroids: int,
+                     id_col: str, vec_col: str):
+    """Bounded row-seeded codebook (the kmeans_assign_seeded selection):
+    quantized vectors of rows with id % stride == 1 below
+    stride*max_centroids, sorted by id — corpus-size-independent and
+    integer-exact-restatable in SQL."""
+    from cocrawler_ray.oracles import quantize_vecs
+
+    bound = stride * max_centroids
+    cent_tab = (ds.map_batches(
+        lambda t: t.filter(pa.array(
+            (t.column(id_col).to_numpy() % stride == 1)
+            & (t.column(id_col).to_numpy() < bound))),
+        batch_format="pyarrow").to_pandas())
+    if not len(cent_tab):
+        raise ValueError(
+            f"no seeded centroids below {bound}; raise stride/max_centroids "
+            "or train a codebook from a sample")
+    cent_tab = cent_tab.sort_values(id_col)
+    cids = cent_tab[id_col].to_numpy().astype(np.int64)
+    C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                for v in cent_tab[vec_col]]))
+    return cids, C
+
+
 def pq_encode_seeded(ds: rd.Dataset, m: int = 4, stride: int = 37,
                      max_centroids: int = 64,
                      id_col: str = "vec_id",
@@ -268,20 +293,7 @@ def pq_encode_seeded(ds: rd.Dataset, m: int = 4, stride: int = 37,
     """
     from cocrawler_ray.oracles import quantize_vecs
 
-    bound = stride * max_centroids
-    cent_tab = (ds.map_batches(
-        lambda t: t.filter(pa.array(
-            (t.column(id_col).to_numpy() % stride == 1)
-            & (t.column(id_col).to_numpy() < bound))),
-        batch_format="pyarrow").to_pandas())
-    if not len(cent_tab):
-        raise ValueError(
-            f"no seeded centroids below {bound}; raise stride/max_centroids "
-            "or train a codebook from a sample")
-    cent_tab = cent_tab.sort_values(id_col)
-    cids = cent_tab[id_col].to_numpy().astype(np.int64)
-    C = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
-                                for v in cent_tab[vec_col]]))
+    cids, C = _seeded_codebook(ds, stride, max_centroids, id_col, vec_col)
     if C.shape[1] % m:
         raise ValueError(f"dim {C.shape[1]} not divisible by m={m}")
     bref = ray.put((cids, C))
@@ -305,3 +317,55 @@ def pq_encode_seeded(ds: rd.Dataset, m: int = 4, stride: int = 37,
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+                m: int = 4, stride: int = 37, max_centroids: int = 64,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> pd.DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the query stays full-precision,
+    every database vector is represented by its m sub-codebook ids, and
+    distance is the sum of m table lookups — O(m) adds per vector instead
+    of O(D) multiplies, over codes 64x smaller than the raw floats. The
+    lookup table (m x n_centroids integer d2s) is built ONCE on the
+    driver and broadcast; the scan streams per-block local top-k and the
+    driver merges k x n_blocks candidate rows (the cosine_topk shape).
+
+    Integer-exact end to end (quantized query, quantized codebook), so
+    every approximate distance — and therefore the exact candidate
+    ranking, ties to the smallest id — is restatable in SQL.
+    """
+    from cocrawler_ray.oracles import quantize_vecs
+
+    cids, C = _seeded_codebook(ds, stride, max_centroids, id_col, vec_col)
+    D = C.shape[1]
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    sub = D // m
+    q = quantize_vecs(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
+    # LUT[s][c] = ||q_s - C[c]_s||^2 (int64)
+    lut = np.stack([
+        ((q[s * sub:(s + 1) * sub][None, :]
+          - C[:, s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+        for s in range(m)]).astype(np.int64)
+    bref = ray.put((C, lut))
+
+    def score(t: pa.Table) -> pa.Table:
+        cents, table = ray.get(bref)
+        X = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in t.column(vec_col).to_pylist()]))
+        adist = np.zeros(len(X), np.int64)
+        for s in range(m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            Cs = cents[:, s * sub:(s + 1) * sub]
+            dd = ((Xs * Xs).sum(axis=1)[:, None] - 2 * (Xs @ Cs.T)
+                  + (Cs * Cs).sum(axis=1)[None, :])
+            adist += table[s][np.argmin(dd, axis=1)]
+        ids = t.column(id_col).to_numpy()
+        order = np.lexsort((ids, adist))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "adist": pa.array(adist[order], pa.int64())})
+
+    local = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (local.sort_values(["adist", id_col], kind="stable")
+            .head(k).reset_index(drop=True))
