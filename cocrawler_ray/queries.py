@@ -4112,6 +4112,100 @@ def q_pq_encode(sf_dir: str):
                                  ["vec_id", "embedding"]))
 
 
+@_q("q_pld_rollup", """
+WITH h AS (SELECT doc_id,
+    'sub' || CAST(doc_id % 3 AS VARCHAR) || '.site'
+        || CAST(doc_id % 40 AS VARCHAR) || '.'
+        || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                           WHEN 2 THEN 'net' ELSE 'co.uk' END AS host,
+    'site' || CAST(doc_id % 40 AS VARCHAR) || '.'
+        || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                           WHEN 2 THEN 'net' ELSE 'co.uk' END AS pld
+  FROM documents)
+SELECT pld, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM h GROUP BY pld
+""")
+def q_pld_rollup(sf_dir: str):
+    # registrable-domain (eTLD+1) rollup: hosts of one registrant group
+    # together for politeness budgets / domain-level quality stats. The
+    # q_canonicalize two-implementation pattern: both sides construct the
+    # same deterministic hosts, the Ray side runs the REAL extractor
+    # (urls.registrable_domain_batch — vectorized rpartition + two-part-
+    # suffix list, incl. the co.uk rows that break naive last-two-labels)
+    # while the SQL states the expected eTLD+1 analytically. One exchange
+    # on the pld key; distinct-host counting stays inside the reduce.
+    def mk(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        tld = np.array(["com", "org", "net", "co.uk"])[d % 4]
+        hosts = np.char.add(np.char.add(np.char.add(np.char.add(
+            "sub", (d % 3).astype(str)), ".site"),
+            (d % 40).astype(str)), np.char.add(".", tld))
+        pld = urls.registrable_domain_batch(hosts)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "pld": pa.array(pld, pa.string())})
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pld": pd.Series([], dtype=str),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "n_hosts": pd.Series([], dtype=np.int64)})
+        g = (df.groupby("pld", sort=False)
+             .agg(n_docs=("host", "size"), n_hosts=("host", "nunique"))
+             .reset_index())
+        return g
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "documents", ["doc_id"]).map_batches(
+            mk, batch_format="pyarrow"),
+        ["pld"], roll)
+
+
+@_q("q_salted_distinct", """
+SELECT user_id,
+       CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS n_distinct
+FROM events GROUP BY user_id
+""")
+def q_salted_distinct(sf_dir: str):
+    # skew-safe distinct count per key (the query-level twin of the crawl
+    # loop's hot-host splitting): a plain exchange on user_id puts a hot
+    # user's ENTIRE row set on one partition — the straggler that kills
+    # wall-clock at scale. Salting the exchange key with hash(value) % S
+    # splits every user across up to S partitions while keeping the count
+    # EXACT: equal values always carry equal salts, so per-(user, salt)
+    # distinct sets are disjoint and their sizes sum to the true distinct
+    # count. The second combine is over (users x S) COUNT rows, not data.
+    from cocrawler_ray.hashing import splitmix64
+    S = np.uint64(8)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        v = textops.round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        salt = (splitmix64(v.view(np.uint64)) % S).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "v": pa.array(v, pa.int64()),
+                         "salt": pa.array(salt, pa.int64())})
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        d = df[["user_id", "v"]].drop_duplicates()
+        g = (d.groupby("user_id", sort=False).size().rename("n")
+             .reset_index())
+        return g
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(keyed, batch_format="pyarrow"),
+        ["user_id", "salt"], count_distinct)
+    out = partial_groupby_agg(parts, ["user_id"], {"n_distinct": ("n", "sum")},
+                              distributed=True)
+    return out.astype({"user_id": np.int64, "n_distinct": np.int64})
+
+
 @_q("q_pq_topk", oracles.pq_adc_sql())
 def q_pq_topk(sf_dir: str):
     # PQ asymmetric-distance (ADC) top-k: the search leg of product

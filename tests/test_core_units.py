@@ -329,3 +329,13 @@ def test_lossy_roundtrip_psnr_gate_matches_float_psnr():
         if fmts[i] == "qnt":  # already on the lattice: exact round-trip
             assert out.column("ssq")[i].as_py() == 0
         assert out.column("npx")[i].as_py() == ws[i] * hs[i] * 3
+
+
+def test_registrable_domain_batch_psl_cases():
+    from cocrawler_ray.urls import registrable_domain_batch
+    hosts = ["sub1.example.co.uk", "www.example.com", "example.org",
+             "co.uk", "a.b.c.example.com.au", "localhost", "x.co.uk",
+             "deep.a.b.site.org.uk"]
+    want = ["example.co.uk", "example.com", "example.org", "co.uk",
+            "example.com.au", "localhost", "x.co.uk", "site.org.uk"]
+    assert list(registrable_domain_batch(hosts)) == want
