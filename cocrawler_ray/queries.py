@@ -4112,6 +4112,88 @@ def q_pq_encode(sf_dir: str):
                                  ["vec_id", "embedding"]))
 
 
+@_q("q_local_supplier_volume", """
+SELECT n_name,
+       ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""")
+def q_local_supplier_volume(sf_dir: str):
+    # TPC-H Q5 shape (local-supplier volume): a 6-table join tree whose
+    # distinguishing feature is the CROSS-PATH equality c_nationkey =
+    # s_nationkey — the customer's nation arrives via orders, the
+    # supplier's via lineitem, and they must meet. Plan: region⋈nation
+    # prunes to the ASIA nation set on the driver (O(nations)); supplier
+    # and customer project to key→nationkey maps, pre-filtered to ASIA
+    # (dimension contract: broadcast; auto_join would hash-exchange them
+    # at fact scale); orders date-filters at the scan and carries the
+    # customer nation through the one fact-fact exchange with lineitem;
+    # the final filter + nation-grain combiner run inside the scan.
+    nat = read(sf_dir, "nation",
+               ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = nat.merge(reg[reg["r_name"] == "ASIA"],
+                     left_on="n_regionkey", right_on="r_regionkey")
+    asia_keys = set(asia["n_nationkey"].astype(int))
+    names = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(asia_keys)]
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(asia_keys)]
+
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["o_orderdate"])
+        return (pa.table({"o_orderkey": t["o_orderkey"],
+                          "o_custkey": t["o_custkey"]})
+                .filter(pa.array((us >= lo) & (us < hi))))
+
+    orders = (read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(o_filter, batch_format="pyarrow"))
+    # orders pick up the customer's nation (broadcast inner join also
+    # applies the ASIA semi-filter)
+    orders = joins.broadcast_join(orders, cust, "o_custkey", "c_custkey")
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dsc = t["l_discount"].to_numpy(zero_copy_only=False)
+        c = textops.round_half_away(ext * (1.0 - dsc) * 100.0,
+                                    0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "cents": pa.array(c, pa.int64())})
+
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+          .map_batches(li_cents, batch_format="pyarrow"))
+    li = joins.broadcast_join(li, sup, "l_suppkey", "s_suppkey")
+    joined = joins.auto_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+
+    fine = partial_groupby_agg(
+        joined.map_batches(local_only, batch_format="pyarrow"),
+        ["s_nationkey"], {"cents": ("cents", "sum")})
+    return pd.DataFrame({
+        "n_name": fine["s_nationkey"].astype(int).map(names),
+        "revenue": textops.round_half_away(
+            fine["cents"].to_numpy(np.int64) / 100.0, 2)})
+
+
 @_q("q_pld_rollup", """
 WITH h AS (SELECT doc_id,
     'sub' || CAST(doc_id % 3 AS VARCHAR) || '.site'
