@@ -4531,6 +4531,159 @@ def q_string_agg(sf_dir: str):
         ["c_mktsegment"], top_names)
 
 
+@_q("q_exists_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+""")
+def q_exists_priority(sf_dir: str):
+    # TPC-H Q4 shape (order-priority checking): an EXISTS correlated
+    # subquery = a fact-fact SEMI join. Plan: both sides filter at the
+    # scan (orders by date window, lineitem to returned lines projected
+    # to the key column only), then ONE hash exchange runs Acero's
+    # "left semi" per partition — semi never duplicates left rows, so no
+    # distinct pass on the many-per-key right side is needed. The
+    # priority rollup is an O(5)-domain combiner over the survivors.
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-07-01", "us").astype(np.int64)
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["o_orderdate"])
+        return (pa.table({"o_orderkey": t["o_orderkey"],
+                          "o_orderpriority": t["o_orderpriority"]})
+                .filter(pa.array((us >= lo) & (us < hi))))
+
+    orders = (read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_orderdate"])
+              .map_batches(o_filter, batch_format="pyarrow"))
+
+    def returned(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+                .select(["l_orderkey"]))
+
+    li = (read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+          .map_batches(returned, batch_format="pyarrow"))
+    semi = exchange.hash_join(orders, li, on=["o_orderkey"],
+                              right_on=["l_orderkey"], how="left semi",
+                              num_partitions=8)
+    fine = partial_groupby_agg(semi, ["o_orderpriority"],
+                               {"n": (None, "count")})
+    return fine.astype({"n": np.int64})
+
+
+@_q("q_custdist", """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""")
+def q_custdist(sf_dir: str):
+    # TPC-H Q13 shape (customer order-count distribution): a left-outer
+    # join whose only purpose is a two-level COUNT — so the join itself
+    # is elided. Level 1 (orders per customer) runs as a grouped exchange
+    # on o_custkey whose REDUCE emits not the per-customer counts but
+    # each partition's value_counts OF those counts — the driver sees
+    # O(distinct count values) rows per partition, never O(customers).
+    # Level 2 sums the partial distributions. Customers with zero
+    # qualifying orders never appear in the exchange; their bucket is
+    # total_customers - sum(custdist) — one metadata-cheap count, no
+    # outer join materialized. At 100 TB both sides stay distributed and
+    # only the count histogram reaches the driver.
+    def keep(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.not_equal(t["o_orderpriority"],
+                                      pa.scalar("1-URGENT")))
+                .select(["o_custkey"]))
+
+    orders = (read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .map_batches(keep, batch_format="pyarrow"))
+
+    def dist_of_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c_count": pd.Series(dtype=np.int64),
+                                 "custdist": pd.Series(dtype=np.int64)})
+        per_cust = df.groupby("o_custkey", sort=False).size()
+        vc = per_cust.value_counts()
+        return pd.DataFrame({"c_count": vc.index.to_numpy(np.int64),
+                             "custdist": vc.to_numpy(np.int64)})
+
+    parts = exchange.grouped_shuffle(orders, ["o_custkey"], dist_of_counts)
+    out = partial_groupby_agg(parts, ["c_count"],
+                              {"custdist": ("custdist", "sum")})
+    total = read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = total - int(out["custdist"].sum())
+    out = out.astype({"c_count": np.int64, "custdist": np.int64})
+    if zero > 0:
+        out = pd.concat([out, pd.DataFrame({"c_count": [0],
+                                            "custdist": [zero]})],
+                        ignore_index=True)
+    return out
+
+
+@_q("q_small_qty_revenue", """
+WITH th AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#3' GROUP BY 1)
+SELECT ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN th ON l_partkey = pk
+WHERE l_quantity < lim
+""")
+def q_small_qty_revenue(sf_dir: str):
+    # TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    # per-part AVG subquery. Plan: the brand's part set is a broadcast
+    # semi-filter (dimension contract), a first scan reduces (sum, n) of
+    # quantity at part grain through the combiner, the driver derives the
+    # O(brand parts) threshold map 0.2*avg — bounded by the brand's part
+    # count, not the corpus — and a second scan broadcasts it and sums
+    # integer cents under the threshold. Two streaming scans, zero
+    # shuffles; both sides compute the threshold as 0.2*(sum/n) in
+    # float64 over integral quantities.
+    part = read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    keys = np.sort(part.loc[part["p_brand"] == "Brand#3", "p_partkey"]
+                   .to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    def brand_only(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ks = ray.get(keys_ref)
+        idx = np.searchsorted(ks, pk)
+        idx[idx == len(ks)] = 0
+        return t.filter(pa.array(ks[idx] == pk))
+
+    li = (read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+          .map_batches(brand_only, batch_format="pyarrow"))
+    li = li.materialize()  # two consumers below; avoid re-running the scan
+    g = partial_groupby_agg(li, ["l_partkey"],
+                            {"sq": ("l_quantity", "sum"),
+                             "n": (None, "count")})
+    lim = dict(zip(g["l_partkey"].to_numpy(np.int64),
+                   0.2 * (g["sq"].to_numpy(np.float64) /
+                          g["n"].to_numpy(np.float64))))
+    lim_ref = ray.put(lim)
+
+    def under(t: pa.Table) -> pa.Table:
+        lm = ray.get(lim_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        th = np.array([lm[k] for k in pk], np.float64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[q < th]
+        c = textops.round_half_away(ext * 100.0, 0).astype(np.int64)
+        return pa.table({"cents": pa.array([int(c.sum())], pa.int64())})
+
+    tot = int(li.map_batches(under, batch_format="pyarrow")
+              .to_pandas()["cents"].sum())
+    return pd.DataFrame({"avg_yearly": [float(
+        textops.round_half_away(np.array([tot / 100.0 / 7.0]), 2)[0])]})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
