@@ -4684,6 +4684,300 @@ def q_small_qty_revenue(sf_dir: str):
         textops.round_half_away(np.array([tot / 100.0 / 7.0]), 2)[0])]})
 
 
+@_q("q_global_avg_anti", """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+           FROM customer),
+     th AS (SELECT CAST(SUM(bal_c) AS DOUBLE) / COUNT(*) AS lim
+            FROM c WHERE bal_c > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       ROUND(SUM(bal_c) / 100.0, 2) AS totacctbal
+FROM c, th
+WHERE bal_c > lim
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""")
+def q_global_avg_anti(sf_dir: str):
+    # TPC-H Q22 shape (global-customer sales opportunity): a scalar
+    # subquery (global average) gating a NOT EXISTS anti-join. Plan: pass
+    # 1 reduces (sum, n) of positive balances through the combiner — the
+    # threshold is ONE number, computed as the identical double division
+    # of exact integer cents on both sides. Pass 2 filters above-average
+    # customers and anti-joins the orders fact through the hash exchange
+    # ("left anti" per partition — the exclusion side scales with data,
+    # so no broadcast). The nation rollup is an O(nations) combiner.
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                     "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = textops.round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "bal_c": pa.array(c, pa.int64())})
+
+    cust = cust.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        b = t["bal_c"].to_numpy(zero_copy_only=False)
+        b = b[b > 0]
+        return pa.table({"s": pa.array([int(b.sum())], pa.int64()),
+                         "n": pa.array([len(b)], pa.int64())})
+
+    g = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    lim = float(g["s"].sum()) / float(g["n"].sum())
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pa.array(
+            t["bal_c"].to_numpy(zero_copy_only=False) > lim)),
+        batch_format="pyarrow")
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    no_orders = exchange.hash_join(rich, orders, on=["c_custkey"],
+                                   right_on=["o_custkey"], how="left anti",
+                                   num_partitions=8)
+    fine = partial_groupby_agg(no_orders, ["c_nationkey"],
+                               {"numcust": (None, "count"),
+                                "bal": ("bal_c", "sum")})
+    return pd.DataFrame({
+        "c_nationkey": fine["c_nationkey"].astype(np.int64),
+        "numcust": fine["numcust"].astype(np.int64),
+        "totacctbal": textops.round_half_away(
+            fine["bal"].to_numpy(np.int64) / 100.0, 2)})
+
+
+@_q("q_top_supplier", """
+WITH rev AS (SELECT l_suppkey,
+                    SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS cents
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1996-04-01'
+             GROUP BY 1)
+SELECT s_suppkey, s_name, ROUND(cents / 100.0, 2) AS total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE cents = (SELECT max(cents) FROM rev)
+""")
+def q_top_supplier(sf_dir: str):
+    # TPC-H Q15 shape (top supplier): an aggregate-derived GLOBAL MAX
+    # filtering the same aggregate (a view self-join upstream). Plan: the
+    # quarter's revenue reduces to supplier grain through the combiner —
+    # supplier is a bounded dimension, so the combined table is small by
+    # contract; the max and the equality filter run on that O(suppliers)
+    # table; names attach via a broadcast join. Integer cents make the
+    # max/equality exact (ties surface all winners, matching SQL).
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01", "us").astype(np.int64)
+
+    def cents(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["l_shipdate"])
+        t = t.filter(pa.array((us >= lo) & (us < hi)))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dsc = t["l_discount"].to_numpy(zero_copy_only=False)
+        c = textops.round_half_away(ext * (1.0 - dsc) * 100.0,
+                                    0).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "cents": pa.array(c, pa.int64())})
+
+    rev = partial_groupby_agg(
+        read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+        .map_batches(cents, batch_format="pyarrow"),
+        ["l_suppkey"], {"cents": ("cents", "sum")})
+    best = rev[rev["cents"] == rev["cents"].max()]
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype(np.int64),
+        "s_name": out["s_name"],
+        "total_rev": textops.round_half_away(
+            out["cents"].to_numpy(np.int64) / 100.0, 2)})
+
+
+@_q("q_supplier_cnt", """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+           AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""")
+def q_supplier_cnt(sf_dir: str):
+    # TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) per
+    # group under a NOT IN exclusion list. Plan: part attributes and the
+    # excluded-supplier set are dimensions — both broadcast; each block
+    # dedups its (brand, size, suppkey) triples BEFORE the exchange (the
+    # distinct-combiner: shuffle volume is bounded by distinct triples,
+    # not lineitems), then one grouped exchange finishes the distinct
+    # count per (brand, size) in its reduce.
+    part = read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas()
+    part = part[(part["p_brand"] != "Brand#1") &
+                (part["p_size"].isin([1, 5, 9, 13]))]
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"]
+                  .to_numpy(np.int64))
+    bad_ref = ray.put(bad)
+
+    li = joins.broadcast_join(
+        read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        part, "l_partkey", "p_partkey")
+
+    def distinct_triples(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        ex = ray.get(bad_ref)
+        keep = ~np.isin(sk, ex)
+        df = pd.DataFrame({"p_brand": np.asarray(t["p_brand"])[keep],
+                           "p_size": t["p_size"].to_numpy(
+                               zero_copy_only=False)[keep],
+                           "l_suppkey": sk[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    triples = li.map_batches(distinct_triples, batch_format="pyarrow")
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"p_brand": pd.Series(dtype=str),
+                                 "p_size": pd.Series(dtype=np.int64),
+                                 "supplier_cnt": pd.Series(dtype=np.int64)})
+        g = (df.groupby(["p_brand", "p_size"], sort=False)["l_suppkey"]
+             .nunique().rename("supplier_cnt").reset_index())
+        return g.astype({"p_size": np.int64, "supplier_cnt": np.int64})
+
+    return exchange.grouped_shuffle(triples, ["p_brand", "p_size"],
+                                    count_distinct)
+
+
+@_q("q_nation_volume", """
+SELECT sn AS supp_nation, cn AS cust_nation, yr,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue
+FROM (SELECT n1.n_name AS sn, n2.n_name AS cn,
+             CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS yr,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+          OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01')
+GROUP BY 1, 2, 3
+""")
+def q_nation_volume(sf_dir: str):
+    # TPC-H Q7 shape (volume shipping between two nations): like Q5's
+    # cross-path join but grouped on the ORDERED nation PAIR plus ship
+    # year, with a symmetric disjunctive pair filter. Supplier/customer
+    # nation maps broadcast pre-filtered to the two nations (dimension
+    # contract); orders carry the customer nation through the one
+    # fact-fact exchange; the pair filter + year extraction + combiner
+    # run in-scan. Group domain is O(2 x years).
+    nat = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    pick = nat[nat["n_name"].isin(["NATION_3", "NATION_9"])]
+    names = dict(zip(pick["n_nationkey"].astype(int), pick["n_name"]))
+    keys = set(names)
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(keys)]
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(keys)]
+
+    orders = joins.broadcast_join(
+        read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust, "o_custkey", "c_custkey")
+
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["l_shipdate"])
+        t = t.filter(pa.array((us >= lo) & (us < hi)))
+        us = window._ts_us(t["l_shipdate"])
+        yr = us.astype("datetime64[us]").astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dsc = t["l_discount"].to_numpy(zero_copy_only=False)
+        c = textops.round_half_away(ext * (1.0 - dsc) * 100.0,
+                                    0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "yr": pa.array(yr, pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+          .map_batches(li_prep, batch_format="pyarrow"))
+    li = joins.broadcast_join(li, sup, "l_suppkey", "s_suppkey")
+    joined = joins.auto_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(sn != cn))  # both in {a,b}: keep crossed
+
+    fine = partial_groupby_agg(
+        joined.map_batches(pair_filter, batch_format="pyarrow"),
+        ["s_nationkey", "c_nationkey", "yr"],
+        {"cents": ("cents", "sum")})
+    return pd.DataFrame({
+        "supp_nation": fine["s_nationkey"].astype(int).map(names),
+        "cust_nation": fine["c_nationkey"].astype(int).map(names),
+        "yr": fine["yr"].astype(np.int64),
+        "revenue": textops.round_half_away(
+            fine["cents"].to_numpy(np.int64) / 100.0, 2)})
+
+
+@_q("q_disjunctive_rev", """
+SELECT ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q_disjunctive_rev(sf_dir: str):
+    # TPC-H Q19 shape (discounted revenue, disjunctive predicate): an OR
+    # of brand x size x quantity conjunctions that defeats single-column
+    # pushdown — the engine answer is a broadcast dimension join plus ONE
+    # vectorized mask evaluating all three arms per batch (three boolean
+    # and-chains or-ed, no row loop, no per-arm rescan). Scalar result
+    # via integer-cent partials.
+    part = read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas()
+    part = part[part["p_brand"].isin(["Brand#1", "Brand#2", "Brand#3"])]
+    li = joins.broadcast_join(
+        read(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]),
+        part, "l_partkey", "p_partkey")
+
+    def arms(t: pa.Table) -> pa.Table:
+        br = np.asarray(t["p_brand"])
+        sz = t["p_size"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (((br == "Brand#1") & (sz <= 15) & (q >= 1) & (q <= 11)) |
+             ((br == "Brand#2") & (sz <= 25) & (q >= 10) & (q <= 20)) |
+             ((br == "Brand#3") & (sz <= 35) & (q >= 20) & (q <= 30)))
+        m &= sz >= 1
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dsc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        c = textops.round_half_away(ext * (1.0 - dsc) * 100.0,
+                                    0).astype(np.int64)
+        return pa.table({"cents": pa.array([int(c.sum())], pa.int64())})
+
+    tot = int(li.map_batches(arms, batch_format="pyarrow")
+              .to_pandas()["cents"].sum())
+    return pd.DataFrame({"revenue": [float(textops.round_half_away(
+        np.array([tot / 100.0]), 2)[0])]})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
