@@ -614,6 +614,52 @@ FROM e GROUP BY d
 """
 
 
+def channel_norm_sql(n: int = N_IMAGES) -> str:
+    """Dataset-level per-channel normalization constants: exact int64
+    moment sums across ALL images, then the identical double expressions
+    mean = s/n and std = sqrt(ss/n - mean^2) on both sides (sqrt is
+    IEEE-correctly-rounded in DuckDB and numpy alike)."""
+    return f"""
+WITH {_px_ctes(n)},
+a AS (SELECT ch, CAST(SUM(p) AS BIGINT) AS s,
+             CAST(SUM(p * p) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY ch)
+SELECT ch, ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+       ROUND(sqrt(CAST(ss AS DOUBLE) / n -
+                  (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+             6) AS std
+FROM a
+"""
+
+
+def maxbin_gate_sql(n: int = N_IMAGES) -> str:
+    """Flat-image gate: red-channel histogram max bin vs pixel count,
+    decided by the integer comparison maxcnt*8 >= w*h."""
+    return f"""
+WITH {_px_ctes(n)},
+c AS (SELECT d, p, count(*) AS cnt FROM px WHERE ch = 0 GROUP BY d, p),
+m AS (SELECT d, max(cnt) AS maxcnt FROM c GROUP BY d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(maxcnt AS BIGINT) AS maxcnt,
+       maxcnt * 8 >= (16*(1 + d % 2)) * (16*(1 + (d//2) % 2)) AS flat
+FROM m
+"""
+
+
+def tile_stats_sql(n: int = N_IMAGES, tile: int = 8) -> str:
+    """Patchify: exact int64 pixel sum (all channels) per tile x tile
+    patch, one row per (image, ti, tj)."""
+    return f"""
+WITH {_px_ctes(n)}
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(y // {tile} AS BIGINT) AS ti,
+       CAST(x // {tile} AS BIGINT) AS tj,
+       CAST(SUM(p) AS BIGINT) AS tsum
+FROM px GROUP BY d, y // {tile}, x // {tile}
+"""
+
+
 def image_resize_sql(n: int = N_IMAGES, out_w: int = 8, out_h: int = 8) -> str:
     """Resized bytes = per-block integer mean (floor; block counts are
     powers of two so the float mean is exact and truncation == //)."""

@@ -4978,6 +4978,51 @@ def q_disjunctive_rev(sf_dir: str):
         np.array([tot / 100.0]), 2)[0])]})
 
 
+@_q("q_channel_norm", oracles.channel_norm_sql())
+def q_channel_norm(sf_dir: str):
+    # dataset-level RGB normalization constants (the "ImageNet mean/std"
+    # pass every vision-training pipeline runs once over its corpus):
+    # actor-pool decode emits 3 rows of exact int64 moments PER TASK;
+    # the driver combines O(tasks) rows — decoded pixels never leave the
+    # workers, result size is 3 rows at any corpus scale.
+    from cocrawler_ray.stages.multimodal import ChannelStatsPartial
+    parts = (_from_arrow_blocks(oracles.conformance_images(), 4)
+             .map_batches(ChannelStatsPartial, batch_format="pyarrow",
+                          batch_size=16, concurrency=2).to_pandas())
+    g = parts.groupby("ch", sort=True)[["s", "ss", "n"]].sum()
+    s = g["s"].to_numpy(np.int64).astype(np.float64)
+    ss = g["ss"].to_numpy(np.int64).astype(np.float64)
+    n = g["n"].to_numpy(np.int64).astype(np.float64)
+    mean = s / n
+    std = np.sqrt(ss / n - mean * mean)
+    return pd.DataFrame({"ch": g.index.to_numpy(np.int64),
+                         "mean": textops.round_half_away(mean, 6),
+                         "std": textops.round_half_away(std, 6)})
+
+
+@_q("q_maxbin_gate", oracles.maxbin_gate_sql())
+def q_maxbin_gate(sf_dir: str):
+    # flat/low-information image gate: integer-exact histogram-peak
+    # decision (maxcnt*8 >= npixels) — the entropy-gate stand-in whose
+    # every pass/fail bit the oracle restates from the pixel formulas.
+    from cocrawler_ray.stages.multimodal import MaxBinGate
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(MaxBinGate, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_tile_stats", oracles.tile_stats_sql())
+def q_tile_stats(sf_dir: str):
+    # ViT-style patchify: one row per 8x8 patch with its exact pixel
+    # sum; the row expansion happens inside the actor task (flat_map
+    # shape) so patch tables stream partition-aligned into per-patch
+    # transforms without a shuffle.
+    from cocrawler_ray.stages.multimodal import TileStats
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(TileStats, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

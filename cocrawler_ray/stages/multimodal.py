@@ -188,6 +188,116 @@ class LossyRoundtripPSNR:
                          "passed": pa.array(passed)})
 
 
+class ChannelStatsPartial:
+    """Per-batch (channel, sum, sumsq, n) partials for the DATASET-level
+    normalization-constant job (the "compute the corpus RGB mean/std once,
+    bake into the training transform" pass). Each task decodes its batch
+    and emits THREE rows of exact int64 moments — the driver (or a final
+    reduce) combines O(tasks x 3) rows into mean/std per channel, so the
+    decoded pixels never leave the worker and nothing scales with corpus
+    size. Use: ds.map_batches(ChannelStatsPartial, concurrency=N,
+    batch_size=64, batch_format="pyarrow")."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        s = np.zeros(3, dtype=np.int64)
+        ss = np.zeros(3, dtype=np.int64)
+        n = 0
+        for i in range(batch.num_rows):
+            px = self.decode(data[i], int(ws[i]), int(hs[i]),
+                             fmts[i]).reshape(-1, 3).astype(np.int64)
+            s += px.sum(axis=0)
+            ss += (px * px).sum(axis=0)
+            n += px.shape[0]
+        return pa.table({"ch": pa.array([0, 1, 2], pa.int64()),
+                         "s": pa.array(s), "ss": pa.array(ss),
+                         "n": pa.array(np.full(3, n, dtype=np.int64))})
+
+
+class MaxBinGate:
+    """Low-information (flat/synthetic) image gate: an image whose red-
+    channel histogram concentrates >= 1/8 of its pixels in ONE bin is
+    flagged flat — the integer-exact stand-in for entropy gating (the
+    decision ``maxcnt * 8 >= npixels`` never computes a log, so every
+    pass/fail bit is SQL-restatable). Real curation pipelines drop solid
+    borders, blank thumbnails and single-color placeholders this way."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n_rows = batch.num_rows
+        maxcnt = np.zeros(n_rows, dtype=np.int64)
+        npx = np.zeros(n_rows, dtype=np.int64)
+        for i in range(n_rows):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            red = img[:, :, 0].ravel()
+            maxcnt[i] = int(np.bincount(red, minlength=256).max())
+            npx[i] = red.size
+        return pa.table({"image_id": batch.column("image_id"),
+                         "maxcnt": pa.array(maxcnt),
+                         "flat": pa.array(maxcnt * 8 >= npx)})
+
+
+class TileStats:
+    """ViT-style patchify: split each decoded image into ``tile`` x
+    ``tile`` pixel patches and emit one row per patch with its exact
+    int64 pixel sum (all channels). Row expansion happens INSIDE the
+    actor task (flat_map shape): a batch of B images becomes
+    sum(w_i*h_i)/tile^2 patch rows, so patch tables inherit the input's
+    partitioning and stream straight into per-patch transforms (token
+    embedding, patch dedup) without a shuffle. Dims must be tile-aligned
+    (the resize stage is the aligner upstream)."""
+
+    def __init__(self, tile: int = 8):
+        self.tile = tile
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.tile
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        ids = batch.column("image_id").to_pylist()
+        out_id: list[str] = []
+        out_ti: list[np.ndarray] = []
+        out_tj: list[np.ndarray] = []
+        out_sum: list[np.ndarray] = []
+        for i in range(batch.num_rows):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            h, w = img.shape[:2]
+            if h % t or w % t:
+                raise ValueError(f"{ids[i]}: {w}x{h} not {t}-aligned")
+            sums = (img.astype(np.int64)
+                    .reshape(h // t, t, w // t, t, 3)
+                    .sum(axis=(1, 3, 4)))
+            ti, tj = np.meshgrid(np.arange(h // t), np.arange(w // t),
+                                 indexing="ij")
+            out_id.extend([ids[i]] * sums.size)
+            out_ti.append(ti.ravel().astype(np.int64))
+            out_tj.append(tj.ravel().astype(np.int64))
+            out_sum.append(sums.ravel())
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "ti": pa.array(np.concatenate(out_ti) if out_ti else
+                           np.array([], np.int64)),
+            "tj": pa.array(np.concatenate(out_tj) if out_tj else
+                           np.array([], np.int64)),
+            "tsum": pa.array(np.concatenate(out_sum) if out_sum else
+                             np.array([], np.int64))})
+
+
 class AudioFeatures:
     """Audio feature-extraction stub: real Ray plumbing, fake DSP.
 
