@@ -660,6 +660,56 @@ FROM px GROUP BY d, y // {tile}, x // {tile}
 """
 
 
+N_VIDEOS = 12
+VIDEO_FRAMES = 8
+VIDEO_W = VIDEO_H = 16
+
+
+def conformance_videos(n: int = N_VIDEOS, frames: int = VIDEO_FRAMES):
+    """Arrow table of synthetic videos: each payload is ``frames``
+    raw16-encoded 16x16 formula images concatenated, frame f of video v
+    drawn with formula seed d = v*101 + f (so adjacent-frame deltas are
+    SQL-restatable)."""
+    import pyarrow as pa
+    ids, data = [], []
+    for v in range(n):
+        ids.append(f"vid{v:04d}")
+        data.append(b"".join(
+            formula_image(v * 101 + f, (VIDEO_W, VIDEO_H)).tobytes()
+            for f in range(frames)))
+    return pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(data, pa.binary()),
+        "w": pa.array(np.full(n, VIDEO_W, dtype=np.int32)),
+        "h": pa.array(np.full(n, VIDEO_H, dtype=np.int32)),
+        "n_frames": pa.array(np.full(n, frames, dtype=np.int32)),
+    })
+
+
+def scene_cut_sql(n: int = N_VIDEOS, frames: int = VIDEO_FRAMES,
+                  threshold: int = 45) -> str:
+    """Adjacent-frame sum-of-absolute-differences per frame pair, cut
+    decided by the integer comparison sad >= threshold * w * h * 3."""
+    px = ("(x*3 + y*5 + ch*11 + {d}*17 + ((x*y + {d}) % 31) * 7) % 256")
+    cur = px.format(d="(vid*101 + fi)")
+    prev = px.format(d="(vid*101 + fi - 1)")
+    npx = VIDEO_W * VIDEO_H * 3
+    return f"""
+WITH v AS (SELECT unnest(generate_series(0, {n - 1})) AS vid),
+f AS (SELECT vid, unnest(generate_series(1, {frames - 1})) AS fi FROM v),
+xs AS (SELECT vid, fi, unnest(generate_series(0, {VIDEO_W - 1})) AS x FROM f),
+ys AS (SELECT vid, fi, x, unnest(generate_series(0, {VIDEO_H - 1})) AS y
+       FROM xs),
+px AS (SELECT vid, fi, abs(({cur}) - ({prev})) AS ad
+       FROM ys CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c)
+SELECT 'vid' || lpad(CAST(vid AS VARCHAR), 4, '0') AS video_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(sum(ad) AS BIGINT) AS sad,
+       sum(ad) >= {threshold} * {npx} AS cut
+FROM px GROUP BY vid, fi
+"""
+
+
 def image_resize_sql(n: int = N_IMAGES, out_w: int = 8, out_h: int = 8) -> str:
     """Resized bytes = per-block integer mean (floor; block counts are
     powers of two so the float mean is exact and truncation == //)."""

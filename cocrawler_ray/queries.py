@@ -5023,6 +5023,18 @@ def q_tile_stats(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_scene_cut", oracles.scene_cut_sql())
+def q_scene_cut(sf_dir: str):
+    # shot-boundary detection over frame-concatenated video payloads:
+    # adjacent-frame SAD + integer-exact cut gate, one output row per
+    # frame pair produced inside the actor task (the keyframe-per-shot
+    # selector of a video curation pipeline feeds off the cut rows).
+    from cocrawler_ray.stages.multimodal import SceneCut
+    return (_from_arrow_blocks(oracles.conformance_videos(), 4)
+            .map_batches(SceneCut, batch_format="pyarrow",
+                         batch_size=4, concurrency=2))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

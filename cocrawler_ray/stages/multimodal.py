@@ -356,6 +356,56 @@ class FrameSample:
         })
 
 
+class SceneCut:
+    """Shot-boundary (scene-cut) detection over raw-frame video payloads:
+    per adjacent frame pair, the exact int64 sum of absolute pixel
+    differences (SAD); a cut fires when ``sad >= threshold * w * h * 3``
+    — integer-exact, so every cut bit is SQL-restatable. The real-video
+    swap-in replaces the raw16 frame splitter with a pyav/ffmpeg decode
+    in ``_frames`` (state built once per actor); the per-pair SAD kernel,
+    row-expansion output (one row per frame pair, inside the task — no
+    shuffle) and gate stay identical. Video curation uses the cut rows
+    to pick one keyframe per shot instead of every k-th frame."""
+
+    def __init__(self, threshold: int = 45):
+        self.threshold = threshold
+
+    def _frames(self, data: bytes, w: int, h: int) -> np.ndarray:
+        fsz = w * h * 3
+        n = len(data) // fsz
+        return np.frombuffer(data[:n * fsz], dtype=np.uint8) \
+            .reshape(n, h, w, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("video_id").to_pylist()
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        out_id: list[str] = []
+        out_fi: list[np.ndarray] = []
+        out_sad: list[np.ndarray] = []
+        out_cut: list[np.ndarray] = []
+        for i in range(batch.num_rows):
+            fr = self._frames(data[i], int(ws[i]), int(hs[i])) \
+                .astype(np.int64)
+            if len(fr) < 2:
+                continue
+            sad = np.abs(fr[1:] - fr[:-1]).sum(axis=(1, 2, 3))
+            npx = int(ws[i]) * int(hs[i]) * 3
+            out_id.extend([ids[i]] * len(sad))
+            out_fi.append(np.arange(1, len(fr), dtype=np.int64))
+            out_sad.append(sad)
+            out_cut.append(sad >= self.threshold * npx)
+        empty = np.array([], np.int64)
+        return pa.table({
+            "video_id": pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(np.concatenate(out_fi) if out_fi
+                                  else empty),
+            "sad": pa.array(np.concatenate(out_sad) if out_sad else empty),
+            "cut": pa.array(np.concatenate(out_cut) if out_cut
+                            else np.array([], bool))})
+
+
 class ClipScoreGate:
     """Image-caption alignment scoring + gate — the LAION-style CLIP-score
     filter of an image-corpus build: embed both modalities, keep pairs
