@@ -176,3 +176,26 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
         if score[i] > 0:
             out |= _U64(1) << _U64(i)
     return int(out)
+
+
+def zorder_key(x: np.ndarray, y: np.ndarray, bits: int = 12) -> np.ndarray:
+    """Morton (Z-order) interleave of two ``bits``-wide integer columns:
+    bit b of x lands at position 2b, bit b of y at 2b+1. The standard
+    multi-column clustering key for data layout — sorting / range-
+    partitioning by the z-value co-locates rows close in BOTH dimensions,
+    so min-max pruning works on either column (Delta/Iceberg OPTIMIZE
+    ZORDER semantics). Vectorized magic-constant bit spreading; exact
+    int64 output (2*bits <= 48)."""
+    if bits > 16:
+        raise ValueError("bits > 16 would overflow the 32-bit spread")
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64) & _U64((1 << bits) - 1)
+        v = (v | (v << _U64(8))) & _U64(0x00FF00FF)
+        v = (v | (v << _U64(4))) & _U64(0x0F0F0F0F)
+        v = (v | (v << _U64(2))) & _U64(0x33333333)
+        v = (v | (v << _U64(1))) & _U64(0x55555555)
+        return v
+
+    z = spread(x) | (spread(y) << _U64(1))
+    return z.astype(np.int64)

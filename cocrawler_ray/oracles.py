@@ -812,6 +812,35 @@ def pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
             + f"\nSELECT node, ROUND(r, 6) AS pr FROM {prev}")
 
 
+def hits_sql(iters: int = 2) -> str:
+    """Unrolled fixed-iteration unnormalized HITS over the constructed doc
+    link graph (same edges as pagerank_sql) — SQL restatement of
+    stages/graph.py::hits; every score is an exact BIGINT."""
+    ctes = [
+        "nn AS (SELECT count(*) AS N FROM documents)",
+        """edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT N FROM nn) FROM documents)""",
+        "h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS c FROM documents)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT e.dst AS node, CAST(sum(p.c) AS BIGINT) AS c
+  FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst)""")
+        ctes.append(f"""h{i} AS (
+  SELECT e.src AS node, CAST(sum(p.c) AS BIGINT) AS c
+  FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY e.src)""")
+        prev_h = f"h{i}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT d.doc_id AS node,
+       COALESCE(a.c, 0) AS auth, COALESCE(h.c, 0) AS hub
+FROM documents d
+LEFT JOIN a{iters} a ON a.node = d.doc_id
+LEFT JOIN h{iters} h ON h.node = d.doc_id""")
+
+
 # ---------------------------------------------------------------------------
 # Sketch oracles (HLL / Count-Min / Bloom): both sides construct the same
 # bounded key domain from table columns; per-key hash derivatives (register

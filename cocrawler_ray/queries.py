@@ -5035,6 +5035,71 @@ def q_scene_cut(sf_dir: str):
                          batch_size=4, concurrency=2))
 
 
+@_q("q_hits", oracles.hits_sql(2))
+def q_hits(sf_dir: str):
+    # 2-iteration HITS hubs/authorities over the constructed doc link
+    # graph (stages/graph.py::hits) — completes the link-analysis family
+    # (PageRank, components, triangles, reciprocity) with the second
+    # classic score pair. Unnormalized iterations keep every score an
+    # exact int64, so the unrolled SQL oracle matches bit-for-bit.
+    from cocrawler_ray.stages.graph import hits
+    nodes = (read(sf_dir, "documents", ["doc_id"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow"))
+    n_total = nodes.count()
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([(d * 7 + 1) % n_total,
+                                            (d * 13 + 3) % n_total]),
+                            pa.int64())})
+
+    edges = nodes.map_batches(make_edges, batch_format="pyarrow")
+    out = hits(nodes, edges, iters=2)
+    return out.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "auth": t.column("a"),
+                            "hub": t.column("h")}),
+        batch_format="pyarrow")
+
+
+_ZORDER_SQL = " + ".join(
+    [f"(((user_id % 4096) // {1 << b}) % 2) * {1 << (2 * b)}"
+     for b in range(12)]
+    + [f"(((event_id % 4096) // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+       for b in range(12)])
+
+
+@_q("q_zorder", f"""
+SELECT event_id, CAST({_ZORDER_SQL} AS BIGINT) AS zval,
+       CAST(({_ZORDER_SQL}) // 262144 AS BIGINT) AS zbucket
+FROM events
+""")
+def q_zorder(sf_dir: str):
+    # Z-order (Morton) clustering key over (user_id, event_id): the
+    # multi-column data-layout primitive — range-partitioning by zval
+    # (zbucket = top 6 bits here) co-locates rows close in BOTH key
+    # dimensions so min-max pruning serves either predicate, which is how
+    # a 100 TB table cuts scans without maintaining two sort orders.
+    # Vectorized magic-constant bit spread per batch, zero shuffles (the
+    # layout rewrite itself would be ONE range repartition by zbucket);
+    # the oracle restates all 24 bit placements as integer arithmetic.
+    from cocrawler_ray.hashing import zorder_key
+
+    def z(t: pa.Table) -> pa.Table:
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["user_id"].to_numpy(zero_copy_only=False)
+        zv = zorder_key(us % 4096, ev % 4096, bits=12)
+        return pa.table({"event_id": t["event_id"],
+                         "zval": pa.array(zv, pa.int64()),
+                         "zbucket": pa.array(zv >> 18, pa.int64())})
+
+    return read(sf_dir, "events", ["event_id", "user_id"]) \
+        .map_batches(z, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

@@ -308,3 +308,84 @@ def triangle_count(edges: rd.Dataset,
                        num_partitions=num_partitions)
     return {"n_nodes": deg.count(), "n_edges": und.count(),
             "n_triangles": closed.count()}
+
+
+def _hits_send(join_key: str, msg_key: str, score_col: str, P: int,
+               E: pa.Table, S: pa.Table) -> list[pa.Table]:
+    """HITS superstep send half: join this partition's edges (pre-split by
+    ``join_key``'s hash — the same hash the node state uses, so the join
+    is local) with the current score column and emit (node, c) integer
+    messages pre-split by the receiving end's hash."""
+    e = E.to_pandas()
+    s = S.to_pandas()
+    j = e.merge(s[["node", score_col]], left_on=join_key, right_on="node",
+                how="inner")
+    msgs = pa.table({
+        "node": pa.array(j[msg_key].to_numpy(), pa.int64()),
+        "c": pa.array(j[score_col].to_numpy().astype(np.int64), pa.int64())})
+    return _split_by_hash(msgs, ["node"], P)
+
+
+def _hits_fold(score_col: str, S: pa.Table, *subs: pa.Table) -> pa.Table:
+    """HITS superstep receive half: REPLACE the score column with the sum
+    of incoming messages (nodes receiving none score 0 — synchronous
+    update, not accumulation)."""
+    s = S.to_pandas()
+    m = _merge(*subs).to_pandas() if subs else pd.DataFrame(
+        {"node": [], "c": []})
+    v = np.zeros(len(s), np.int64)
+    if len(m):
+        agg = m.groupby("node", sort=False)["c"].sum()
+        pos = s.set_index("node").index.get_indexer(agg.index)
+        ok = pos >= 0
+        v[pos[ok]] = agg.to_numpy()[ok].astype(np.int64)
+    s = s.copy()
+    s[score_col] = v
+    return pa.Table.from_pandas(s, preserve_index=False)
+
+
+def hits(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 2,
+         num_partitions: int | None = None) -> rd.Dataset:
+    """Fixed-iteration UNNORMALIZED HITS (Kleinberg hubs/authorities):
+    from h0 = 1 at every node, alternate a := A^T h (authority = sum of
+    pointing hubs) and h := A a (hub = sum of pointed authorities).
+    Skipping the usual per-iteration normalization keeps every score an
+    exact int64 — normalization is a single downstream scalar divide, and
+    rankings are scale-invariant — so the whole computation is
+    SQL-restatable (oracles.hits_sql unrolls the same iterations).
+
+    Same BSP discipline as ``pagerank``: edges pre-split ONCE in each
+    direction (by hash(src) for the authority step, by hash(dst) for the
+    hub step — the hub step's messages flow dst -> src), node state
+    pre-split once by the same hash; each superstep ships only (node, c)
+    message rows. Returns (node, auth, hub) int64."""
+    n_total = nodes.count()
+    P = _pick_p(n_total, num_partitions)
+
+    def init(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t.column("node"),
+                         "h": pa.array(np.ones(n, np.int64)),
+                         "a": pa.array(np.zeros(n, np.int64))})
+
+    state = _presplit(nodes.map_batches(init, batch_format="pyarrow"),
+                      ["node"], P)
+    fwd = _presplit(edges, ["src"], P)
+    rev = _presplit(edges, ["dst"], P)
+
+    send = ray.remote(num_returns=P)(_hits_send)
+    fold = ray.remote(_hits_fold)
+
+    def superstep(parts, jk, mk, col, outcol, state):
+        outs = [send.remote(jk, mk, col, P, parts[p], state[p])
+                for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        return [fold.remote(outcol, state[p], *[outs[q][p]
+                                                for q in range(P)])
+                for p in range(P)]
+
+    for _ in range(iters):
+        state = superstep(fwd, "src", "dst", "h", "a", state)
+        state = superstep(rev, "dst", "src", "a", "h", state)
+    return rd.from_arrow_refs(state)
