@@ -660,6 +660,100 @@ FROM px GROUP BY d, y // {tile}, x // {tile}
 """
 
 
+def conformance_dup_images(n: int = 64, mod: int = 48,
+                           n_flat: int = 4, n_noisy: int = 4):
+    """Image corpus for curation-pipeline conformance, with every failure
+    mode present: rows 0..n-1 carry formula image e = d % mod (rows
+    mod..n-1 are true byte-duplicates of rows 0..n-mod-1, so dhash
+    first-wins dedup has real work); then ``n_flat`` constant-color
+    images (flat-gate casualties: one histogram bin holds everything)
+    and ``n_noisy`` images snapped to lattice offset 0 (qnt roundtrip
+    error -4 per sample -> mse 16 > 255^2/10^4, PSNR-gate casualties).
+    Specials are 16x16 raw16 so their decoded pixels are exactly the
+    stated formulas."""
+    import pyarrow as pa
+
+    from cocrawler_ray import codecs
+    ids, data, ws, hs, fmts = [], [], [], [], []
+    for d in range(n):
+        e = d % mod
+        w, h = image_dims(e)
+        fmt = codecs.FORMATS[e % 3]
+        ids.append(f"img{d:04d}")
+        data.append(codecs.encode(formula_image(e, (w, h)), fmt))
+        ws.append(w); hs.append(h); fmts.append(fmt)
+    for d in range(n, n + n_flat):
+        ids.append(f"img{d:04d}")
+        data.append(np.full((16, 16, 3), 100, dtype=np.uint8).tobytes())
+        ws.append(16); hs.append(16); fmts.append("raw16")
+    for d in range(n + n_flat, n + n_flat + n_noisy):
+        img = (formula_image(d, (16, 16)).astype(np.int64) // 8 * 8) \
+            .astype(np.uint8)
+        ids.append(f"img{d:04d}")
+        data.append(img.tobytes())
+        ws.append(16); hs.append(16); fmts.append("raw16")
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(data, pa.binary()),
+        "w": pa.array(np.array(ws, dtype=np.int32)),
+        "h": pa.array(np.array(hs, dtype=np.int32)),
+        "fmt": pa.array(fmts, pa.string()),
+    })
+
+
+def curate_images_sql(n: int = 64, mod: int = 48,
+                      n_flat: int = 4, n_noisy: int = 4) -> str:
+    """End-to-end image-curation restatement: PSNR>=40dB qnt-roundtrip
+    gate AND not-flat histogram gate, then first-wins (min image_id)
+    dedup on the exact 64-bit dhash. Every stage reuses the established
+    integer-exact forms (psnr_gate_sql, maxbin_gate_sql,
+    image_dhash_sql), parametrized on the duplicated seed e = d % mod
+    for the base rows and the stated constant / lattice-0 formulas for
+    the adversarial rows."""
+    e = f"(d % {mod})"
+    pixel = f"(x*3 + y*5 + ch*11 + {e}*17 + ((x*y + {e}) % 31) * 7) % 256"
+    pixel_d = "(x*3 + y*5 + ch*11 + d*17 + ((x*y + d) % 31) * 7) % 256"
+    base = (f"CASE WHEN {e} % 3 = 2 THEN (({pixel}) // 8) * 8 + 4 "
+            f"ELSE {pixel} END")
+    decoded = (f"CASE WHEN d < {n} THEN ({base}) "
+               f"WHEN d < {n + n_flat} THEN 100 "
+               f"ELSE (({pixel_d}) // 8) * 8 END")
+    w = f"(CASE WHEN d < {n} THEN 16*(1 + {e} % 2) ELSE 16 END)"
+    h = f"(CASE WHEN d < {n} THEN 16*(1 + ({e}//2) % 2) ELSE 16 END)"
+    total = n + n_flat + n_noisy
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {total - 1})) AS d),
+xs AS (SELECT d, unnest(generate_series(0, {w} - 1)) AS x FROM ids),
+ys AS (SELECT d, x, unnest(generate_series(0, {h} - 1)) AS y FROM xs),
+px AS (SELECT d, x, y, ch, {decoded} AS p
+       FROM ys CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c),
+psnr AS (SELECT d, sum((p - ((p // 8) * 8 + 4)) *
+                       (p - ((p // 8) * 8 + 4))) * 10000
+                    <= 65025 * count(*) AS ok
+         FROM px GROUP BY d),
+mb AS (SELECT d, max(cnt) * 8 >= {w} * {h} AS flat
+       FROM (SELECT d, p, count(*) AS cnt FROM px WHERE ch = 0
+             GROUP BY d, p) GROUP BY d),
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+blocks AS (SELECT d, (y * 8) // {h} AS bi, (x * 9) // {w} AS bj,
+                  sum(s3) AS s, count(*) AS c
+           FROM g3 GROUP BY d, bi, bj),
+pairs AS (SELECT l.d, l.bi, l.bj, (r.s * l.c > l.s * r.c) AS bit
+          FROM blocks l JOIN blocks r
+            ON r.d = l.d AND r.bi = l.bi AND r.bj = l.bj + 1),
+dh AS (SELECT d, CAST(sum(CASE WHEN bit THEN
+         CASE WHEN bi = 0 AND bj = 0 THEN -9223372036854775808::HUGEINT
+              ELSE (2::HUGEINT ^ (63 - (bi * 8 + bj)))::HUGEINT END
+         ELSE 0 END) AS BIGINT) AS dhash
+       FROM pairs GROUP BY d),
+surv AS (SELECT dh.d, dh.dhash FROM dh
+         JOIN psnr ON psnr.d = dh.d JOIN mb ON mb.d = dh.d
+         WHERE psnr.ok AND NOT mb.flat)
+SELECT min('img' || lpad(CAST(d AS VARCHAR), 4, '0')) AS image_id, dhash
+FROM surv GROUP BY dhash
+"""
+
+
 N_VIDEOS = 12
 VIDEO_FRAMES = 8
 VIDEO_W = VIDEO_H = 16

@@ -5100,6 +5100,40 @@ def q_zorder(sf_dir: str):
         .map_batches(z, batch_format="pyarrow")
 
 
+@_q("q_curate_images", oracles.curate_images_sql())
+def q_curate_images(sf_dir: str):
+    # the IMAGE-axis end-to-end curation pipeline: fused single-decode
+    # feature pass (PSNR ints + histogram peak + dhash in one actor-pool
+    # stage — 1x the dominant decode cost instead of 3x) -> integer-exact
+    # quality gates (PSNR>=40dB roundtrip, not-flat) -> first-wins dedup
+    # on the exact dhash through ONE grouped exchange (the corpus has
+    # true byte-duplicates by construction). The oracle restates every
+    # gate bit and the winner choice from the pixel formulas.
+    from cocrawler_ray.stages.multimodal import CurateImageFeatures
+    feats = (_from_arrow_blocks(oracles.conformance_dup_images(), 4)
+             .map_batches(CurateImageFeatures, batch_format="pyarrow",
+                          batch_size=16, concurrency=2))
+
+    def gates(t: pa.Table) -> pa.Table:
+        ssq = t["ssq"].to_numpy(zero_copy_only=False)
+        npx = t["npx"].to_numpy(zero_copy_only=False)
+        mc = t["maxcnt"].to_numpy(zero_copy_only=False)
+        keep = (ssq * 10_000 <= 65_025 * npx) & (mc * 8 < npx)
+        return t.filter(pa.array(keep)).select(["image_id", "dhash"])
+
+    def first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"image_id": pd.Series(dtype=str),
+                                 "dhash": pd.Series(dtype=np.int64)})
+        g = (df.sort_values(["dhash", "image_id"], kind="stable")
+             .groupby("dhash", sort=False, as_index=False).first())
+        return g[["image_id", "dhash"]]
+
+    return exchange.grouped_shuffle(
+        feats.map_batches(gates, batch_format="pyarrow"),
+        ["dhash"], first_wins)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

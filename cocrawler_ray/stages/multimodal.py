@@ -356,6 +356,44 @@ class FrameSample:
         })
 
 
+class CurateImageFeatures:
+    """ONE decode per image feeding every curation gate: emits the
+    qnt-roundtrip PSNR integers (ssq, npx), the flat-image histogram
+    peak (maxcnt) and the 64-bit dhash in a single actor-pool pass.
+    The composition rule at 100 TB: decode dominates, so gates that each
+    re-decode (LossyRoundtripPSNR + MaxBinGate + ImageDHash as separate
+    stages) pay 3x the dominant cost — a curation pipeline fuses the
+    feature extraction and leaves filtering/dedup to cheap downstream
+    column ops."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+        ssq = np.zeros(n, dtype=np.int64)
+        npx = np.zeros(n, dtype=np.int64)
+        maxcnt = np.zeros(n, dtype=np.int64)
+        dh = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            rt = (img.astype(np.int64) // 8) * 8 + 4  # qnt lattice
+            d = img.astype(np.int64) - rt
+            ssq[i] = int((d * d).sum())
+            npx[i] = d.size
+            maxcnt[i] = int(np.bincount(img[:, :, 0].ravel(),
+                                        minlength=256).max())
+            dh[i] = codecs.difference_dhash(img)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "ssq": pa.array(ssq), "npx": pa.array(npx),
+            "maxcnt": pa.array(maxcnt), "dhash": pa.array(dh)})
+
+
 class SceneCut:
     """Shot-boundary (scene-cut) detection over raw-frame video payloads:
     per adjacent frame pair, the exact int64 sum of absolute pixel
