@@ -114,6 +114,9 @@ BENCH_QUERIES_R3 = [
     "q_cdc_chunks",        # content-defined chunking over binary payloads
     "q_substring_dup",     # exact substring-dup fractions (gram exchange)
     "q_triangle_count",    # degree-oriented wedge-closure triangle count
+    "q_local_supplier_volume",  # TPC-H Q5 6-table join tree (1 fact-fact exchange)
+    "q_custdist",          # TPC-H Q13 two-level count distribution
+    "q_curate_images",     # image axis: fused decode features -> gates -> dhash dedup
 ]
 
 

@@ -5134,6 +5134,41 @@ def q_curate_images(sf_dir: str):
         ["dhash"], first_wins)
 
 
+@_q("q_watermark_late", """
+WITH wm AS (SELECT max(epoch_us(ts)) - 86400000000 AS w FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_late
+FROM events, wm WHERE epoch_us(ts) < w
+GROUP BY 1
+""")
+def q_watermark_late(sf_dir: str):
+    # event-time watermark semantics (the streaming-ingest primitive): the
+    # watermark is max(event time) - allowed lateness (24h here), rows
+    # behind it are "late" and routed to a side output — in a streaming
+    # engine this decides window finalization; in batch backfill it
+    # quantifies out-of-order arrival per type. Plan: pass 1 reduces the
+    # global max through O(blocks) partials (one int64 per block); pass 2
+    # broadcasts the scalar and counts late rows per type in the
+    # combiner. Integer microsecond timestamps keep both sides exact.
+    ev = read(sf_dir, "events", ["ts", "event_type"]).materialize()
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["ts"])
+        return pa.table({"m": pa.array([int(us.max()) if len(us) else
+                                        np.iinfo(np.int64).min],
+                                       pa.int64())})
+
+    wm = int(ev.map_batches(ts_max, batch_format="pyarrow")
+             .to_pandas()["m"].max()) - 86_400_000_000
+
+    def late(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["ts"])
+        return t.filter(pa.array(us < wm)).select(["event_type"])
+
+    fine = partial_groupby_agg(ev.map_batches(late, batch_format="pyarrow"),
+                               ["event_type"], {"n_late": (None, "count")})
+    return fine.astype({"n_late": np.int64})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
