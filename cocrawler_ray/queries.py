@@ -5169,6 +5169,70 @@ def q_watermark_late(sf_dir: str):
     return fine.astype({"n_late": np.int64})
 
 
+@_q("q_merge_upsert", """
+WITH all_rows AS (
+  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+         CAST(-1 AS BIGINT) AS seq, 'U' AS op
+  FROM customer
+  UNION ALL
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT),
+         o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END
+  FROM orders),
+last AS (SELECT k, v, op,
+                row_number() OVER (PARTITION BY k
+                                   ORDER BY seq DESC) AS rn
+         FROM all_rows)
+SELECT k AS c_custkey, v AS bal_c FROM last WHERE rn = 1 AND op = 'U'
+""")
+def q_merge_upsert(sf_dir: str):
+    # CDC MERGE (upsert/delete log application — the Delta/Iceberg MERGE
+    # INTO and Debezium-compaction primitive): a base snapshot (seq -1)
+    # unions with a change log (seq = change id, op U/D); per key, the
+    # highest-seq row wins; a winning delete drops the key. Plan: both
+    # sides tag in-scan, ONE hash exchange co-locates each key, the
+    # reduce takes the lexsort-last row per key (vectorized; no window
+    # materialization) — exactly how log compaction shards at 100 TB:
+    # data crosses once, keyed by the merge key.
+    def base_rows(t: pa.Table) -> pa.Table:
+        v = textops.round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        n = t.num_rows
+        return pa.table({"k": t["c_custkey"], "v": pa.array(v, pa.int64()),
+                         "seq": pa.array(np.full(n, -1), pa.int64()),
+                         "op": pa.array(["U"] * n, pa.string())})
+
+    def change_rows(t: pa.Table) -> pa.Table:
+        v = textops.round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        dele = pc.equal(t["o_orderstatus"], pa.scalar("F")) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"k": t["o_custkey"], "v": pa.array(v, pa.int64()),
+                         "seq": t["o_orderkey"],
+                         "op": pa.array(np.where(dele, "D", "U"))})
+
+    base = read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(base_rows, batch_format="pyarrow")
+    chg = read(sf_dir, "orders",
+               ["o_custkey", "o_totalprice", "o_orderkey",
+                "o_orderstatus"]) \
+        .map_batches(change_rows, batch_format="pyarrow")
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                                 "bal_c": pd.Series(dtype=np.int64)})
+        d = df.sort_values(["k", "seq"], kind="stable") \
+            .groupby("k", sort=False, as_index=False).last()
+        d = d[d["op"] == "U"]
+        return pd.DataFrame({"c_custkey": d["k"].to_numpy(np.int64),
+                             "bal_c": d["v"].to_numpy(np.int64)})
+
+    return exchange.grouped_shuffle(base.union(chg), ["k"], compact)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
