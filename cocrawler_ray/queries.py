@@ -5233,6 +5233,55 @@ def q_merge_upsert(sf_dir: str):
     return exchange.grouped_shuffle(base.union(chg), ["k"], compact)
 
 
+@_q("q_priority_case_counts", """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+""")
+def q_priority_case_counts(sf_dir: str):
+    # TPC-H Q12 shape (shipping-mode priority counts): conditional CASE
+    # aggregation straight after a fact-fact join. Plan: lineitem
+    # date-filters and projects at the scan, orders projects to
+    # (orderkey, priority); ONE hash exchange joins them; the conditional
+    # counts collapse through the combiner at the O(statuses) grain —
+    # the CASE arms become two masked int sums, never two scans.
+    lo = np.datetime64("1997-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    def li_f(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["l_shipdate"])
+        return (pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_linestatus": t["l_linestatus"]})
+                .filter(pa.array((us >= lo) & (us < hi))))
+
+    li = (read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"])
+          .map_batches(li_f, batch_format="pyarrow"))
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = joins.auto_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def cases(t: pa.Table) -> pa.Table:
+        pri = np.asarray(t["o_orderpriority"])
+        high = np.isin(pri, ["1-URGENT", "2-HIGH"])
+        return pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high": pa.array(high.astype(np.int64)),
+            "low": pa.array((~high).astype(np.int64))})
+
+    fine = partial_groupby_agg(
+        joined.map_batches(cases, batch_format="pyarrow"),
+        ["l_linestatus"], {"high_line_count": ("high", "sum"),
+                           "low_line_count": ("low", "sum")})
+    return fine.astype({"high_line_count": np.int64,
+                        "low_line_count": np.int64})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
