@@ -5282,6 +5282,58 @@ def q_priority_case_counts(sf_dir: str):
                         "low_line_count": np.int64})
 
 
+@_q("q_min_cost_supplier", """
+WITH u AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                  min(l_extendedprice / l_quantity) AS up
+           FROM lineitem GROUP BY 1, 2),
+best AS (SELECT pk, sk, up,
+                row_number() OVER (PARTITION BY pk
+                                   ORDER BY up, sk) AS rn
+         FROM u)
+SELECT pk AS p_partkey, sk AS s_suppkey, ROUND(up, 4) AS unit_price
+FROM best WHERE rn = 1
+""")
+def q_min_cost_supplier(sf_dir: str):
+    # TPC-H Q2 shape (minimum-cost supplier): a correlated MIN subquery
+    # joined back to pick the row attaining it, per part. Plan: a
+    # per-block combiner collapses lineitems to (part, supplier) -> min
+    # unit price BEFORE the exchange (shuffle volume bounded by distinct
+    # pairs, not lineitems); ONE grouped exchange by part; the reduce
+    # does a vectorized lexsort argmin (price, then supplier id — the
+    # deterministic tie-break row_number states in SQL). Both sides take
+    # the identical double division, so min/order compare equal bits.
+    def pair_min(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pk": pd.Series(dtype=np.int64),
+                                 "sk": pd.Series(dtype=np.int64),
+                                 "up": pd.Series(dtype=np.float64)})
+        df = df.assign(up=df["l_extendedprice"].to_numpy(np.float64)
+                       / df["l_quantity"].to_numpy(np.float64))
+        return (df.groupby(["l_partkey", "l_suppkey"], sort=False)["up"]
+                .min().reset_index()
+                .rename(columns={"l_partkey": "pk", "l_suppkey": "sk"}))
+
+    li = read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]) \
+        .map_batches(pair_min, batch_format="pandas")
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                                 "s_suppkey": pd.Series(dtype=np.int64),
+                                 "unit_price": pd.Series(dtype=np.float64)})
+        g = (df.groupby(["pk", "sk"], sort=False)["up"].min().reset_index()
+             .sort_values(["pk", "up", "sk"], kind="stable")
+             .groupby("pk", sort=False, as_index=False).first())
+        return pd.DataFrame({
+            "p_partkey": g["pk"].to_numpy(np.int64),
+            "s_suppkey": g["sk"].to_numpy(np.int64),
+            "unit_price": textops.round_half_away(
+                g["up"].to_numpy(np.float64), 4)})
+
+    return exchange.grouped_shuffle(li, ["pk"], argmin)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
