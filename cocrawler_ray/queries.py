@@ -5334,6 +5334,73 @@ def q_min_cost_supplier(sf_dir: str):
     return exchange.grouped_shuffle(li, ["pk"], argmin)
 
 
+@_q("q_skew_hybrid_join", """
+WITH l AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+                       ELSE l_orderkey END AS k,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+r AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 0
+                  ELSE o_orderkey END AS k,
+             CAST(count(*) AS BIGINT) AS n_ord
+      FROM orders GROUP BY 1)
+SELECT l.k % 97 AS bucket,
+       CAST(sum(l.cents * r.n_ord) AS BIGINT) AS weighted_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM l JOIN r ON l.k = r.k
+GROUP BY 1
+""")
+def q_skew_hybrid_join(sf_dir: str):
+    # skew-aware hybrid join (exchange.skew_hybrid_join): 10% of lineitem
+    # rows collapse onto key 0 — a power-law head that would serialize
+    # one partition of a plain hash join. detect_hot_keys finds key 0 by
+    # exact bounded two-pass counting; its rows join via broadcast of the
+    # right hot slice (hot rows never move), the cold tail takes the
+    # normal hash exchange; the union is exactly the SQL inner join.
+    def l_rows(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        k = np.where(ok % 10 == 0, 0, ok).astype(np.int64)
+        c = textops.round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"k": pa.array(k), "cents": pa.array(c)})
+
+    def r_rows(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        k = np.where(ok % 10 == 0, 0, ok).astype(np.int64)
+        v, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(v, pa.int64()),
+                         "n_ord": pa.array(c.astype(np.int64))})
+
+    left = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]) \
+        .map_batches(l_rows, batch_format="pyarrow")
+    right_parts = read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(r_rows, batch_format="pyarrow")
+    # finish the per-key count across blocks (keys can repeat per block)
+    right = exchange.grouped_shuffle(
+        right_parts, ["k"],
+        lambda df: (df.groupby("k", sort=False)["n_ord"].sum()
+                    .reset_index()) if len(df) else df)
+
+    # threshold 400: key 0 holds 10% of lineitem (600 rows even at
+    # sf0.001), every other key <= ~7 rows — the hybrid path engages at
+    # every test scale while cold keys stay on the hash exchange
+    joined = exchange.skew_hybrid_join(left, right, "k",
+                                       hot_threshold=400)
+
+    def buckets(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        w = (t["cents"].to_numpy(zero_copy_only=False)
+             * t["n_ord"].to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(k % 97, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    fine = partial_groupby_agg(
+        joined.map_batches(buckets, batch_format="pyarrow"),
+        ["bucket"], {"weighted_cents": ("w", "sum"), "n": (None, "count")})
+    return fine.astype({"bucket": np.int64, "weighted_cents": np.int64,
+                        "n": np.int64})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

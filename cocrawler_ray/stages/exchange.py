@@ -530,3 +530,94 @@ def grouped_shuffle_hierarchical(ds: rd.Dataset, keys: list[str],
              else round1.remote(*[s[p] for s in subs]))
             for p in range(P))
     return grouped_shuffle(rd.from_arrow_refs(partials), keys, reduce_fn, P)
+
+
+def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> np.ndarray:
+    """Two-pass exact hot-key detection with bounded driver state.
+
+    Pass 1: each block emits keys that are LOCALLY frequent (count >
+    hot_threshold / n_blocks) — a key with global count > hot_threshold
+    must exceed that local bar in at least one block (pigeonhole), so the
+    candidate set has full recall while staying tiny (bounded by
+    n_blocks x rows/local_bar, not by distinct keys). Pass 2: exact
+    global counts for the candidates only (per-block masked value_counts,
+    summed on the driver — O(candidates) rows per block). Returns the
+    sorted array of keys with exact global count > hot_threshold."""
+    refs = ds.to_arrow_refs()
+    local_bar = max(1, hot_threshold // max(1, len(refs)))
+
+    def local_heavy(t: pa.Table) -> np.ndarray:
+        v, c = np.unique(t.column(key).to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return v[c > local_bar]
+
+    cands = ray.get([ray.remote(local_heavy).remote(r) for r in refs])
+    cand = np.unique(np.concatenate(cands)) if cands else np.array([])
+    if not len(cand):
+        return cand.astype(np.int64)
+    cand_ref = ray.put(np.sort(cand))
+
+    def cand_counts(t: pa.Table) -> np.ndarray:
+        ks = ray.get(cand_ref)
+        v = t.column(key).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, v)
+        idx[idx == len(ks)] = 0
+        hit = ks[idx] == v
+        return np.bincount(idx[hit], minlength=len(ks)).astype(np.int64)
+
+    totals = sum(ray.get([ray.remote(cand_counts).remote(r) for r in refs]))
+    return np.sort(cand)[totals > hot_threshold].astype(np.int64)
+
+
+def skew_hybrid_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                     hot_threshold: int = 100_000,
+                     num_partitions: int | None = None) -> rd.Dataset:
+    """Skew-aware inner join (both sides share the key column name).
+
+    A plain hash exchange sends ALL rows of a key to one partition — a
+    single hot key (the crawl loop's mega-host, a null-ish default id,
+    a power-law head URL) serializes the join no matter how wide the
+    cluster. This hybrid routes around it: exact hot keys (global count >
+    ``hot_threshold`` on the left, via ``detect_hot_keys``'s bounded
+    two-pass) join via BROADCAST of the right side's hot slice — hot left
+    rows never move, every task streams them against the replicated
+    slice — while the cold remainder takes the standard hash exchange.
+    Assumes the right side is dimension-like per key (bounded rows per
+    hot key), the usual fact-dim skew case; the result is the exact union
+    of both paths.
+    """
+    hot = detect_hot_keys(left, key, hot_threshold)
+    if not len(hot):
+        return hash_join(left, right, on=[key],
+                         num_partitions=num_partitions)
+    from cocrawler_ray.stages import joins
+    left = left.materialize()
+    right = right.materialize()
+    hot_arr = hot  # closed over; tiny by construction
+    hot_ref = ray.put(np.sort(hot_arr))
+
+    def split(flag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ks = ray.get(hot_ref)
+            v = t.column(key).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, v)
+            idx[idx == len(ks)] = 0
+            is_hot = ks[idx] == v
+            return t.filter(pa.array(is_hot if flag else ~is_hot))
+        return f
+
+    right_hot = pa.concat_tables(
+        [t for t in ray.get([ray.remote(lambda r, f=split(True): f(r))
+                             .remote(rr) for rr in right.to_arrow_refs()])])
+    hot_joined = joins.broadcast_join(
+        left.map_batches(split(True), batch_format="pyarrow"),
+        right_hot, key, key)
+    cold_joined = hash_join(
+        left.map_batches(split(False), batch_format="pyarrow"),
+        right.map_batches(split(False), batch_format="pyarrow"),
+        on=[key], num_partitions=num_partitions)
+    cols = sorted(set(hot_joined.schema().names))
+    return (hot_joined.map_batches(lambda t: t.select(cols),
+                                   batch_format="pyarrow")
+            .union(cold_joined.map_batches(lambda t: t.select(cols),
+                                           batch_format="pyarrow")))
