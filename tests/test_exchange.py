@@ -625,3 +625,49 @@ def test_hash_join_budget_targets_match_pandas(ray_session, monkeypatch):
     assert len(out) == len(want)
     assert sorted(out["a"] * 1000 + out["b"]) == sorted(
         want["a"] * 1000 + want["b"])
+
+
+def test_detect_hot_keys_pigeonhole_recall(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages import exchange
+
+    # key 42: 13 rows in each of 8 blocks (104 > threshold 100) -> hot,
+    # even though no single block is dominated by it; key 7: 12 per block
+    # (96 <= 100) -> candidate at the local bar but rejected by the exact
+    # second-pass count; unique keys stay cold.
+    blocks = []
+    uid = 1000
+    for b in range(8):
+        ks = [42] * 13 + [7] * 12 + list(range(uid, uid + 20))
+        uid += 20
+        blocks.append(pd.DataFrame({"k": ks}))
+    ds = rd.from_pandas(blocks)
+    hot = exchange.detect_hot_keys(ds, "k", 100)
+    assert list(hot) == [42]
+
+
+def test_skew_hybrid_join_matches_hash_join(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages import exchange
+
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({
+        "k": np.where(rng.random(4000) < 0.3, 5,
+                      rng.integers(0, 500, 4000)).astype(np.int64),
+        "a": np.arange(4000, dtype=np.int64)})
+    r = pd.DataFrame({"k": np.arange(0, 500, dtype=np.int64),
+                      "b": np.arange(0, 5000, 10, dtype=np.int64)})
+    out = exchange.skew_hybrid_join(
+        rd.from_pandas(l).repartition(8), rd.from_pandas(r).repartition(4),
+        "k", hot_threshold=300, num_partitions=4).to_pandas()
+    want = l.merge(r, on="k", how="inner")
+    assert len(out) == len(want)
+    assert sorted(out["a"] * 10_000 + out["b"]) == sorted(
+        want["a"] * 10_000 + want["b"])
+    # the hot key must really have been detected (hybrid path taken)
+    assert list(exchange.detect_hot_keys(
+        rd.from_pandas(l).repartition(8), "k", 300)) == [5]
