@@ -5401,6 +5401,51 @@ def q_skew_hybrid_join(sf_dir: str):
                         "n": np.int64})
 
 
+@_q("q_readability", """
+WITH c AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+                      AS n_words,
+                  CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                       AS BIGINT) AS n_syll
+           FROM documents)
+SELECT doc_id, n_words, n_syll,
+       (206835 * n_words - 1015 * n_words * n_words - 84600 * n_syll)
+           // n_words AS flesch_milli
+FROM c
+""")
+def q_readability(sf_dir: str):
+    # Flesch reading-ease scoring (the classic readability quality signal
+    # in text-curation stacks): words and syllable groups are counted
+    # with the same explicit ASCII classes on both sides ([a-z]+ words,
+    # [aeiouy]+ vowel groups as the standard syllable proxy — spelled
+    # out, not class shorthands, because Python and RE2 disagree on
+    # Unicode). The score ships as an exact INTEGER milli-score: the
+    # formula 206.835 - 1.015*w - 84.6*s/w times 1000*w is an integer
+    # numerator, and both sides take the same floor division — no float
+    # ever crosses the comparison (a ROUND(..., 4) float form diverged on
+    # a half-in-double edge, the known round_half_away/DuckDB split).
+    # One streaming scan, compiled patterns bound once; docs count as
+    # one sentence each (the corpus has no terminators).
+    import re
+    w_re = re.compile(r"[a-z]+")
+    s_re = re.compile(r"[aeiouy]+")
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        nw = np.array([len(w_re.findall(x)) for x in texts], np.int64)
+        ns = np.array([len(s_re.findall(x)) for x in texts], np.int64)
+        num = 206_835 * nw - 1_015 * nw * nw - 84_600 * ns
+        # DuckDB integer // truncates toward zero; numpy // floors —
+        # truncate explicitly so negative scores agree
+        milli = np.sign(num) * (np.abs(num) // nw)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": pa.array(nw), "n_syll": pa.array(ns),
+                         "flesch_milli": pa.array(milli, pa.int64())})
+
+    return read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
