@@ -5446,6 +5446,110 @@ def q_readability(sf_dir: str):
         .map_batches(score, batch_format="pyarrow")
 
 
+@_q("q_simpson_diversity", """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(n * (n - 1)) AS BIGINT) AS pair_same
+FROM c GROUP BY 1
+""")
+def q_simpson_diversity(sf_dir: str):
+    # behavioral-diversity scoring via the Simpson index's exact integer
+    # core: per user, N = event count and S = sum n_i*(n_i-1) over event
+    # types (the probability two draws share a type is S/(N*(N-1)) — the
+    # integer-exact stand-in for Shannon entropy, which would put a
+    # transcendental in the comparison). Plan: per-block combiner at
+    # (user, type) grain, one grouped exchange finishes both sums —
+    # two-level aggregation, data crosses once.
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "event_type": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64)})
+        return (df.groupby(["user_id", "event_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(pair_counts, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64),
+                                 "pair_same": pd.Series(dtype=np.int64)})
+        g = (df.groupby(["user_id", "event_type"], sort=False)["n"].sum()
+             .reset_index())
+        n = g["n"].to_numpy(np.int64)
+        out = g.assign(pair=n * (n - 1)).groupby("user_id", sort=False) \
+            .agg(n_events=("n", "sum"), pair_same=("pair", "sum")) \
+            .reset_index()
+        return out.astype({"n_events": np.int64, "pair_same": np.int64})
+
+    return exchange.grouped_shuffle(parts, ["user_id"], finish)
+
+
+@_q("q_snapshot_diff", """
+WITH v1 AS (SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders WHERE o_orderkey % 3 <> 0),
+v2 AS (SELECT o_orderkey AS k,
+              CAST(round(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS v
+       FROM orders WHERE o_orderkey % 7 <> 0)
+SELECT CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            WHEN v1.v <> v2.v THEN 'changed' ELSE 'same' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+GROUP BY 1
+""")
+def q_snapshot_diff(sf_dir: str):
+    # snapshot/time-travel diff (the lakehouse "what changed between
+    # version A and B" audit): two derived versions of the orders table
+    # full-outer join on the key through ONE hash exchange; each row
+    # classifies added / removed / changed / same; counts collapse via
+    # the combiner. At 100 TB this is exactly how table-format diffs
+    # run: co-partition both snapshots by key, classify locally.
+    def v1_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = textops.round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        m = k % 3 != 0
+        return pa.table({"k": pa.array(k[m], pa.int64()),
+                         "v1": pa.array(v[m], pa.int64())})
+
+    def v2_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = textops.round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64) + np.where(k % 5 == 0, 100, 0)
+        m = k % 7 != 0
+        return pa.table({"k2": pa.array(k[m], pa.int64()),
+                         "v2": pa.array(v[m], pa.int64())})
+
+    ords = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .materialize()
+    v1 = ords.map_batches(v1_rows, batch_format="pyarrow")
+    v2 = ords.map_batches(v2_rows, batch_format="pyarrow")
+    j = exchange.hash_join(v1, v2, on=["k"], right_on=["k2"],
+                           how="full outer", num_partitions=8)
+
+    def classify(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        a1 = d["v1"].to_numpy(np.float64)  # nulls -> NaN
+        a2 = d["v2"].to_numpy(np.float64)
+        status = np.where(np.isnan(a1), "added",
+                          np.where(np.isnan(a2), "removed",
+                                   np.where(a1 != a2, "changed", "same")))
+        return pa.table({"status": pa.array(status)})
+
+    fine = partial_groupby_agg(
+        j.map_batches(classify, batch_format="pyarrow"),
+        ["status"], {"n": (None, "count")})
+    return fine.astype({"n": np.int64})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
