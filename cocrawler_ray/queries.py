@@ -5550,6 +5550,75 @@ def q_snapshot_diff(sf_dir: str):
     return fine.astype({"n": np.int64})
 
 
+def _maxsim_query_tokens(n_tokens: int = 3, dim: int = 64) -> np.ndarray:
+    """Deterministic integer query-token matrix, restatable as SQL
+    literals: qf[t][j] = ((t*13 + j*7) % 11) - 5."""
+    t, j = np.mgrid[0:n_tokens, 0:dim]
+    return ((t * 13 + j * 7) % 11 - 5).astype(np.int64)
+
+
+def _maxsim_sql(n_tokens: int = 3, k: int = 10) -> str:
+    from cocrawler_ray.oracles import _quant_sql
+    qf = _maxsim_query_tokens(n_tokens)
+    dots = ", ".join(
+        "CAST(list_dot_product(CAST(q AS DOUBLE[]), ["
+        + ", ".join(str(v) for v in qf[t]) + f"]) AS BIGINT) AS d{t}"
+        for t in range(n_tokens))
+    maxes = " + ".join(f"max(d{t})" for t in range(n_tokens))
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings),
+d AS (SELECT vec_id // 4 AS doc, {dots} FROM e),
+m AS (SELECT doc, CAST({maxes} AS BIGINT) AS maxsim FROM d GROUP BY doc)
+SELECT doc AS doc_id, maxsim FROM m ORDER BY maxsim DESC, doc LIMIT {k}
+"""
+
+
+@_q("q_maxsim", _maxsim_sql())
+def q_maxsim(sf_dir: str):
+    # ColBERT-style late-interaction retrieval (MaxSim): each "document"
+    # owns 4 token vectors (vec_id // 4); score = sum over query tokens
+    # of the max dot product against any document token. Integer-exact
+    # via the family's floor(v*1000+0.5) quantization and an integer
+    # query matrix, so the oracle restates every dot. Plan: per-token
+    # dots are a streaming scan (3 matmul columns per batch); per-doc
+    # maxes finish through ONE doc-keyed exchange whose reduce also takes
+    # its partition top-k — the driver merges <= k x P rows, never the
+    # doc table.
+    from cocrawler_ray.oracles import quantize_vecs
+    qf = _maxsim_query_tokens()
+    qf_ref = ray.put(qf)
+
+    def dots(t: pa.Table) -> pa.Table:
+        Q = ray.get(qf_ref)
+        X = quantize_vecs(np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in t.column("embedding").to_pylist()]))
+        D = X @ Q.T  # (rows, n_tokens) exact int64
+        cols = {"doc": pa.array(
+            t["vec_id"].to_numpy(zero_copy_only=False) // 4, pa.int64())}
+        for i in range(Q.shape[0]):
+            cols[f"d{i}"] = pa.array(D[:, i], pa.int64())
+        return pa.table(cols)
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(dots, batch_format="pyarrow")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "maxsim": pd.Series(dtype=np.int64)})
+        g = df.groupby("doc", sort=False)[["d0", "d1", "d2"]].max()
+        ms = g.sum(axis=1).astype(np.int64).rename("maxsim").reset_index()
+        return (ms.sort_values(["maxsim", "doc"], ascending=[False, True])
+                .head(10).rename(columns={"doc": "doc_id"}))
+
+    parts = exchange.grouped_shuffle(ds, ["doc"], topk).to_pandas()
+    return (parts.sort_values(["maxsim", "doc_id"],
+                              ascending=[False, True])
+            .head(10).reset_index(drop=True)
+            .astype({"doc_id": np.int64, "maxsim": np.int64}))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
