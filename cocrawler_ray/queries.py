@@ -5619,6 +5619,61 @@ def q_maxsim(sf_dir: str):
             .astype({"doc_id": np.int64, "maxsim": np.int64}))
 
 
+def _histeq_sql(n: int = 64) -> str:
+    from cocrawler_ray.oracles import _px_ctes
+    return f"""
+WITH {_px_ctes(n)},
+r AS (SELECT d, p FROM px WHERE ch = 0),
+c AS (SELECT d, p, count(*) AS cnt FROM r GROUP BY d, p),
+cum AS (SELECT d, p, cnt,
+               sum(cnt) OVER (PARTITION BY d ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS cdf
+        FROM c),
+npx AS (SELECT d, sum(cnt) AS n FROM c GROUP BY d)
+SELECT 'img' || lpad(CAST(cum.d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(((cum.cdf * 255) // npx.n) * cum.cnt) AS BIGINT)
+           AS eq_sum
+FROM cum JOIN npx ON npx.d = cum.d
+GROUP BY cum.d
+"""
+
+
+@_q("q_hist_equalize", _histeq_sql())
+def q_hist_equalize(sf_dir: str):
+    # histogram equalization (contrast normalization before feature
+    # extraction): remap each red-channel value p to (cdf(p)*255)//npx —
+    # all integers, so the per-image sum of equalized pixels is exact
+    # and the oracle restates the whole CDF remap. One actor-pool decode
+    # pass; per-image bincount/cumsum is O(256) numpy work.
+    from cocrawler_ray import codecs
+
+    class HistEq:
+        def __init__(self):
+            self.decode = codecs.decode
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            data = batch.column("bytes").to_pylist()
+            ws = batch.column("w").to_numpy()
+            hs = batch.column("h").to_numpy()
+            fmts = batch.column("fmt").to_pylist()
+            n = batch.num_rows
+            eq = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                                  fmts[i])
+                red = img[:, :, 0].ravel().astype(np.int64)
+                cnt = np.bincount(red, minlength=256)
+                cdf = np.cumsum(cnt)
+                remap = (cdf * 255) // red.size
+                eq[i] = int((remap[red]).sum())
+            return pa.table({"image_id": batch.column("image_id"),
+                             "eq_sum": pa.array(eq)})
+
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(HistEq, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
