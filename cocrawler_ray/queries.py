@@ -5674,6 +5674,66 @@ def q_hist_equalize(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+def _dominant_color_sql(n: int = 64) -> str:
+    from cocrawler_ray.oracles import _px_ctes
+    return f"""
+WITH {_px_ctes(n)},
+rgb AS (SELECT d, x, y,
+               max(CASE WHEN ch = 0 THEN p END) AS r,
+               max(CASE WHEN ch = 1 THEN p END) AS g,
+               max(CASE WHEN ch = 2 THEN p END) AS b
+        FROM px GROUP BY d, x, y),
+cubes AS (SELECT d, (r // 32) * 64 + (g // 32) * 8 + (b // 32) AS cube,
+                 count(*) AS cnt
+          FROM rgb GROUP BY 1, 2)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(cube AS BIGINT) AS cube, CAST(cnt AS BIGINT) AS cnt
+FROM cubes
+QUALIFY row_number() OVER (PARTITION BY d
+                           ORDER BY cnt DESC, cube) = 1
+"""
+
+
+@_q("q_dominant_color", _dominant_color_sql())
+def q_dominant_color(sf_dir: str):
+    # dominant-color extraction (the palette/thumbnail-color feature of
+    # an image index): vector-quantize each pixel to a 512-cube RGB
+    # lattice (r//32, g//32, b//32) and take the modal cube per image,
+    # ties to the smallest cube id — integer-exact argmax, restated by
+    # the oracle from the pixel formulas. One actor-pool decode pass;
+    # the per-image mode is an O(512) bincount.
+    from cocrawler_ray import codecs
+
+    class DominantColor:
+        def __init__(self):
+            self.decode = codecs.decode
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            data = batch.column("bytes").to_pylist()
+            ws = batch.column("w").to_numpy()
+            hs = batch.column("h").to_numpy()
+            fmts = batch.column("fmt").to_pylist()
+            n = batch.num_rows
+            cube = np.zeros(n, dtype=np.int64)
+            cnt = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                                  fmts[i]).astype(np.int64)
+                cubes = ((img[:, :, 0] // 32) * 64
+                         + (img[:, :, 1] // 32) * 8
+                         + (img[:, :, 2] // 32)).ravel()
+                bc = np.bincount(cubes, minlength=512)
+                cube[i] = int(bc.argmax())  # first max = smallest cube
+                cnt[i] = int(bc[cube[i]])
+            return pa.table({"image_id": batch.column("image_id"),
+                             "cube": pa.array(cube),
+                             "cnt": pa.array(cnt)})
+
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(DominantColor, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
