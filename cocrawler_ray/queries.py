@@ -5734,6 +5734,97 @@ def q_dominant_color(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_decay_score", """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+e AS (SELECT user_id,
+             CAST((m - epoch_us(ts)) // 86400000000 AS BIGINT) AS age
+      FROM events, mx)
+SELECT user_id,
+       CAST(sum(CAST(floor(power(2.0, -CAST(age AS DOUBLE)) * 1000000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS decay_micro
+FROM e GROUP BY 1
+""")
+def q_decay_score(sf_dir: str):
+    # recency-weighted activity scoring (the exponential-decay feature of
+    # ranking/churn models): each event contributes 2^(-age_days),
+    # quantized to integer micro-units so the per-user sum is exact and
+    # order-independent (raw dyadic terms would overflow double's 53-bit
+    # window when summed). 2^-age is EXACT in float64 for any age, and
+    # both sides take the identical *1e6 + 0.5 floor. Plan: O(blocks)
+    # global-max partials -> broadcast scalar -> per-user combiner.
+    ev = read(sf_dir, "events", ["ts", "user_id"]).materialize()
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["ts"])
+        return pa.table({"m": pa.array([int(us.max()) if len(us) else
+                                        np.iinfo(np.int64).min],
+                                       pa.int64())})
+
+    m = int(ev.map_batches(ts_max, batch_format="pyarrow")
+            .to_pandas()["m"].max())
+
+    def score(t: pa.Table) -> pa.Table:
+        age = (m - window._ts_us(t["ts"])) // 86_400_000_000
+        term = np.floor(np.power(2.0, -age.astype(np.float64)) * 1e6
+                        + 0.5).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "decay_micro": pa.array(term, pa.int64())})
+
+    fine = partial_groupby_agg(
+        ev.map_batches(score, batch_format="pyarrow"),
+        ["user_id"], {"decay_micro": ("decay_micro", "sum")})
+    return fine.astype({"user_id": np.int64, "decay_micro": np.int64})
+
+
+def _checksum_sql() -> str:
+    from cocrawler_ray.oracles import splitmix_ctes
+    M64 = 1 << 64
+    sm, final = splitmix_ctes("base", "one", "m", "h", "cs")
+    return f"""
+WITH base AS (SELECT ((o_orderkey * 2654435761)
+                      + CAST(round(o_totalprice * 100) AS BIGINT))
+                     % {M64} AS m, 1 AS one
+              FROM orders),
+{sm},
+s AS (SELECT CAST(sum(h) AS HUGEINT) % {M64}::HUGEINT AS t FROM {final})
+SELECT CAST(CASE WHEN t >= {1 << 63}::HUGEINT THEN t - {M64}::HUGEINT
+            ELSE t END AS BIGINT) AS checksum,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows
+FROM s
+""", sm  # noqa: B012 — second element unused, kept for debuggability
+
+
+@_q("q_table_checksum", _checksum_sql()[0])
+def q_table_checksum(sf_dir: str):
+    # order-insensitive table fingerprint (the migration/replication
+    # audit primitive: "did every row survive the move?"): each row
+    # hashes to splitmix64(key*prime + value-cents) and the checksum is
+    # the mod-2^64 SUM of row hashes — commutative, so it distributes as
+    # per-block uint64 wraparound partials with no shuffle and no order
+    # sensitivity, and any single-row change flips it with probability
+    # ~1. Restated exactly in SQL via the splitmix HUGEINT CTE chain.
+    from cocrawler_ray.hashing import splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cents = textops.round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64).astype(np.uint64)
+        h = splitmix64(ok * np.uint64(2654435761) + cents)
+        s = h.sum(dtype=np.uint64)  # uint64 accumulator wraps mod 2^64
+        return pa.table({"s": pa.array([int(s.astype(np.int64))],
+                                       pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = (parts["s"].to_numpy(np.int64).astype(np.uint64)
+             .sum(dtype=np.uint64))
+    return pd.DataFrame({"checksum": [int(total.astype(np.int64))],
+                         "n_rows": [int(parts["n"].sum())]})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
