@@ -5825,6 +5825,38 @@ def q_table_checksum(sf_dir: str):
                          "n_rows": [int(parts["n"].sum())]})
 
 
+def _audio_zcr_sql(n: int = 32, length: int = 1024) -> str:
+    b = "(d*31 + i*7 + ((i*i) % 97)*5) % 256"
+    bn = "(d*31 + (i+1)*7 + (((i+1)*(i+1)) % 97)*5) % 256"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+xs AS (SELECT d, unnest(generate_series(0, {length - 1})) AS i FROM ids),
+s AS (SELECT d, i, ({b}) - 128 AS v,
+             CASE WHEN i < {length - 1} THEN ({bn}) - 128 END AS vn
+      FROM xs)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(CASE WHEN v * vn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zcr,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM s GROUP BY d
+"""
+
+
+@_q("q_audio_zcr", _audio_zcr_sql())
+def q_audio_zcr(sf_dir: str):
+    # real signal-domain audio features over the formula payloads:
+    # zero-crossing count (the VAD / pitch-band primitive — strict sign
+    # product < 0, so the 128-DC sample contributes no crossing) and
+    # integer energy (sum of squared centered samples). Both exact
+    # int64, fully restated by the oracle from the payload formula; the
+    # librosa swap-in replaces the byte view with a PCM decode, keeping
+    # the batch signature. One actor-pool pass, no shuffle.
+    from cocrawler_ray.stages.multimodal import AudioZcr
+    return (_from_arrow_blocks(oracles.conformance_payloads(), 4)
+            .map_batches(AudioZcr, batch_format="pyarrow",
+                         batch_size=8, concurrency=2))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

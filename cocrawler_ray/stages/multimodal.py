@@ -326,6 +326,30 @@ class AudioFeatures:
         })
 
 
+class AudioZcr:
+    """Signal-domain audio features with exact integer outputs: zero-
+    crossing count (strict sign-product test — a DC-level sample neither
+    makes nor breaks a crossing) and energy (sum of squared centered
+    samples). Real DSP over the byte-stream view; swapping in a PCM
+    decode (librosa/torchaudio, absent in this sandbox) changes only the
+    sample extraction line. One batch pass, vectorized per payload."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        n = batch.num_rows
+        zcr = np.zeros(n, dtype=np.int64)
+        energy = np.zeros(n, dtype=np.int64)
+        for i, payload in enumerate(data):
+            v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) \
+                - 128
+            if len(v) > 1:
+                zcr[i] = int((v[:-1] * v[1:] < 0).sum())
+            energy[i] = int((v * v).sum())
+        return pa.table({"image_id": batch.column("image_id"),
+                         "zcr": pa.array(zcr),
+                         "energy": pa.array(energy)})
+
+
 class FrameSample:
     """Video frame-sampling stub: real Ray plumbing, fake decoder.
 
