@@ -5857,6 +5857,47 @@ def q_audio_zcr(sf_dir: str):
                          batch_size=8, concurrency=2))
 
 
+@_q("q_quantile_rank", """
+SELECT event_id,
+       CAST(rank() OVER (ORDER BY value) - 1 AS BIGINT) AS n_smaller
+FROM events
+""")
+def q_quantile_rank(sf_dir: str):
+    # quantile normalization (map every value to its exact global rank —
+    # the preprocessing step behind rank-based feature scaling and
+    # quantile-matching across datasets): a per-block value-count
+    # combiner collapses the scan to the DISTINCT-value histogram
+    # (bounded by the quantized value domain, the exact_quantile_cont
+    # contract), the driver takes one exclusive cumsum over the sorted
+    # domain, and a second streaming scan broadcasts the value ->
+    # n_smaller map. Ranks are exact integers; ties share a rank, as
+    # SQL's rank() states.
+    ev = read(sf_dir, "events", ["event_id", "value"]).materialize()
+
+    def vcounts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"value": pd.Series(dtype=np.float64),
+                                 "c": pd.Series(dtype=np.int64)})
+        vc = df["value"].value_counts()
+        return pd.DataFrame({"value": vc.index.to_numpy(np.float64),
+                             "c": vc.to_numpy(np.int64)})
+
+    hist = (ev.map_batches(vcounts, batch_format="pandas").to_pandas()
+            .groupby("value", sort=True)["c"].sum())
+    vals = hist.index.to_numpy(np.float64)
+    smaller = np.concatenate([[0], np.cumsum(hist.to_numpy(np.int64))[:-1]])
+    map_ref = ray.put((vals, smaller))
+
+    def assign(t: pa.Table) -> pa.Table:
+        vs, sm = ray.get(map_ref)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vs, v)
+        return pa.table({"event_id": t["event_id"],
+                         "n_smaller": pa.array(sm[idx], pa.int64())})
+
+    return ev.map_batches(assign, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
