@@ -339,3 +339,49 @@ def test_registrable_domain_batch_psl_cases():
     want = ["example.co.uk", "example.com", "example.org", "co.uk",
             "example.com.au", "localhost", "x.co.uk", "site.org.uk"]
     assert list(registrable_domain_batch(hosts)) == want
+
+
+def test_zorder_key_interleave_and_bounds():
+    import numpy as np
+    import pytest
+    from cocrawler_ray.hashing import zorder_key
+
+    # bit b of x -> position 2b; bit b of y -> 2b+1
+    z = zorder_key(np.array([0b101]), np.array([0b011]), bits=4)
+    assert z[0] == 0b011011  # x2 y1 x1(0) y0 x0 interleaved LSB-first
+    assert zorder_key(np.array([4095]), np.array([4095]), bits=12)[0] \
+        == (1 << 24) - 1
+    with pytest.raises(ValueError):
+        zorder_key(np.array([1]), np.array([1]), bits=17)
+
+
+def test_tile_stats_rejects_misaligned_dims():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from cocrawler_ray.stages.multimodal import TileStats
+
+    img = np.zeros((10, 16, 3), dtype=np.uint8)  # h=10 not 8-aligned
+    batch = pa.table({
+        "image_id": pa.array(["a"]),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([16], pa.int32()), "h": pa.array([10], pa.int32()),
+        "fmt": pa.array(["raw16"])})
+    with pytest.raises(ValueError, match="not 8-aligned"):
+        TileStats()(batch)
+
+
+def test_scene_cut_single_frame_is_empty():
+    import numpy as np
+    import pyarrow as pa
+    from cocrawler_ray.stages.multimodal import SceneCut
+
+    one = np.zeros((4, 4, 3), dtype=np.uint8).tobytes()
+    batch = pa.table({
+        "video_id": pa.array(["v"]),
+        "bytes": pa.array([one], pa.binary()),
+        "w": pa.array([4], pa.int32()), "h": pa.array([4], pa.int32()),
+        "n_frames": pa.array([1], pa.int32())})
+    out = SceneCut()(batch)
+    assert out.num_rows == 0
+    assert out.column_names == ["video_id", "frame_idx", "sad", "cut"]
