@@ -4657,10 +4657,13 @@ def q_small_qty_revenue(sf_dir: str):
         idx[idx == len(ks)] = 0
         return t.filter(pa.array(ks[idx] == pk))
 
+    # two consumers: the threshold combiner and the final sum. Lineage
+    # re-executes the (deterministic) brand filter per consumer — two
+    # column-pruned streaming scans, which at fact scale beats pinning
+    # the filtered slice in the object store.
     li = (read(sf_dir, "lineitem",
                ["l_partkey", "l_quantity", "l_extendedprice"])
           .map_batches(brand_only, batch_format="pyarrow"))
-    li = li.materialize()  # two consumers below; avoid re-running the scan
     g = partial_groupby_agg(li, ["l_partkey"],
                             {"sq": ("l_quantity", "sum"),
                              "n": (None, "count")})
