@@ -5901,6 +5901,82 @@ def q_quantile_rank(sf_dir: str):
     return ev.map_batches(assign, batch_format="pyarrow")
 
 
+def _kcore_sql(k: int = 5, rounds: int = 3) -> str:
+    ctes = ["nn AS (SELECT count(*) AS N FROM documents)",
+            """e0 AS (
+  SELECT s AS src, t AS dst FROM (
+    SELECT doc_id AS s, (doc_id*7+1) % (SELECT N FROM nn) AS t FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+3) % (SELECT N FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id+1) % ((SELECT N FROM nn)//10) FROM documents
+    WHERE doc_id < (SELECT N FROM nn)//10
+    UNION ALL
+    SELECT doc_id, (doc_id+2) % ((SELECT N FROM nn)//10) FROM documents
+    WHERE doc_id < (SELECT N FROM nn)//10
+    UNION ALL
+    SELECT doc_id, (doc_id+3) % ((SELECT N FROM nn)//10) FROM documents
+    WHERE doc_id < (SELECT N FROM nn)//10)
+  UNION ALL
+  SELECT t, s FROM (
+    SELECT doc_id AS s, (doc_id*7+1) % (SELECT N FROM nn) AS t FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+3) % (SELECT N FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id+1) % ((SELECT N FROM nn)//10) FROM documents
+    WHERE doc_id < (SELECT N FROM nn)//10
+    UNION ALL
+    SELECT doc_id, (doc_id+2) % ((SELECT N FROM nn)//10) FROM documents
+    WHERE doc_id < (SELECT N FROM nn)//10
+    UNION ALL
+    SELECT doc_id, (doc_id+3) % ((SELECT N FROM nn)//10) FROM documents
+    WHERE doc_id < (SELECT N FROM nn)//10))"""]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"d{r} AS (SELECT src, count(*) AS c FROM {prev} "
+                    f"GROUP BY 1)")
+        ctes.append(f"a{r} AS (SELECT src FROM d{r} WHERE c >= {k})")
+        ctes.append(f"""e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN a{r} s ON s.src = e.src JOIN a{r} t ON t.src = e.dst)""")
+        prev = f"e{r}"
+    return ("WITH " + ",\n".join(ctes) + f""",
+fd AS (SELECT src, count(*) AS c FROM {prev} GROUP BY 1)
+SELECT doc_id AS node, COALESCE(c, 0) >= {k} AS in_core,
+       CAST(COALESCE(c, 0) AS BIGINT) AS deg
+FROM documents LEFT JOIN fd ON fd.src = doc_id""")
+
+
+@_q("q_kcore", _kcore_sql())
+def q_kcore(sf_dir: str):
+    # fixed-round k-core peeling (stages/graph.py::kcore_peel) over a
+    # core/periphery doc graph (the base 2-out graph plus a dense ring
+    # on the first N/10 nodes): link-farm detection by repeated
+    # degree-5 pruning — the periphery dies in round 1, the ring's
+    # intra-core degree 6 survives every round. Each round is one
+    # degree exchange + two semi-join exchanges; the oracle unrolls the
+    # identical three rounds.
+    from cocrawler_ray.stages.graph import kcore_peel
+    nodes = (read(sf_dir, "documents", ["doc_id"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow"))
+    n_total = nodes.count()
+    ring = n_total // 10
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy()
+        r = d[d < ring]
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d, r, r, r]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(d * 7 + 1) % n_total, (d * 13 + 3) % n_total,
+                 (r + 1) % ring, (r + 2) % ring, (r + 3) % ring]),
+                pa.int64())})
+
+    edges = nodes.map_batches(make_edges, batch_format="pyarrow")
+    return kcore_peel(nodes, edges, k=5, rounds=3)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -389,3 +390,71 @@ def hits(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 2,
         state = superstep(fwd, "src", "dst", "h", "a", state)
         state = superstep(rev, "dst", "src", "a", "h", state)
     return rd.from_arrow_refs(state)
+
+
+def kcore_peel(nodes: rd.Dataset, edges: rd.Dataset, k: int = 4,
+               rounds: int = 3,
+               num_partitions: int | None = None) -> rd.Dataset:
+    """Fixed-round k-core peeling (link-farm / spam-cluster detection:
+    nodes that survive repeated degree-k pruning form densely linked
+    cores). Each round recomputes degrees over the surviving subgraph
+    (per-block combiner -> one grouped exchange) and drops nodes with
+    degree < k; edges survive only if BOTH endpoints do (two semi-join
+    exchanges per round — the exclusion set scales with the graph, so no
+    broadcast). Fixed ``rounds`` keeps semantics identical on both
+    oracle sides whether or not the peel converged. Returns
+    (node, in_core:bool, deg:int64 — final-round degree, 0 if peeled)."""
+    from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "deg": pd.Series(dtype=np.int64)})
+        return (df.groupby("src", sort=False).size().rename("deg")
+                .reset_index())
+
+    def deg_finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "deg": pd.Series(dtype=np.int64)})
+        return (df.groupby("src", sort=False)["deg"].sum().reset_index()
+                .astype({"deg": np.int64}))
+
+    deg = None
+    for _ in range(rounds):
+        deg = grouped_shuffle(
+            und.map_batches(deg_partial, batch_format="pandas"),
+            ["src"], deg_finish, num_partitions=num_partitions)
+        alive = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["deg"],
+                                                pa.scalar(k)))
+            .select(["src"]),
+            batch_format="pyarrow").materialize()
+        und = hash_join(und, alive, on=["src"], how="left semi",
+                        num_partitions=num_partitions)
+        und = hash_join(und, alive.map_batches(
+            lambda t: t.rename_columns(["dst_k"]), batch_format="pyarrow"),
+            on=["dst"], right_on=["dst_k"], how="left semi",
+            num_partitions=num_partitions).materialize()
+    final_deg = grouped_shuffle(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        ["src"], deg_finish, num_partitions=num_partitions)
+    out = hash_join(nodes, final_deg, on=["node"], right_on=["src"],
+                    how="left outer", num_partitions=num_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].fillna(0).to_numpy(np.int64) if len(df) else \
+            np.array([], np.int64)
+        return pd.DataFrame({"node": df["node"].to_numpy(np.int64)
+                             if len(df) else np.array([], np.int64),
+                             "in_core": d >= k, "deg": d})
+
+    return out.map_batches(finish, batch_format="pandas")
