@@ -618,17 +618,21 @@ def channel_norm_sql(n: int = N_IMAGES) -> str:
     """Dataset-level per-channel normalization constants: exact int64
     moment sums across ALL images, then the identical double expressions
     mean = s/n and std = sqrt(ss/n - mean^2) on both sides (sqrt is
-    IEEE-correctly-rounded in DuckDB and numpy alike)."""
+    IEEE-correctly-rounded in DuckDB and numpy alike). Outputs ship as
+    floor(x * 1e6) integers — floor of an identical double is exact,
+    where ROUND could split on a half-in-double edge."""
     return f"""
 WITH {_px_ctes(n)},
 a AS (SELECT ch, CAST(SUM(p) AS BIGINT) AS s,
              CAST(SUM(p * p) AS BIGINT) AS ss,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM px GROUP BY ch)
-SELECT ch, ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
-       ROUND(sqrt(CAST(ss AS DOUBLE) / n -
-                  (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
-             6) AS std
+SELECT ch,
+       CAST(floor(CAST(s AS DOUBLE) / n * 1000000) AS BIGINT)
+           AS mean_micro,
+       CAST(floor(sqrt(CAST(ss AS DOUBLE) / n -
+                       (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                  * 1000000) AS BIGINT) AS std_micro
 FROM a
 """
 

@@ -4653,6 +4653,8 @@ def q_small_qty_revenue(sf_dir: str):
     def brand_only(t: pa.Table) -> pa.Table:
         pk = t["l_partkey"].to_numpy(zero_copy_only=False)
         ks = ray.get(keys_ref)
+        if not len(ks):  # brand absent: empty semi-filter, not ks[idx] OOB
+            return t.slice(0, 0)
         idx = np.searchsorted(ks, pk)
         idx[idx == len(ks)] = 0
         return t.filter(pa.array(ks[idx] == pk))
@@ -4998,9 +5000,10 @@ def q_channel_norm(sf_dir: str):
     n = g["n"].to_numpy(np.int64).astype(np.float64)
     mean = s / n
     std = np.sqrt(ss / n - mean * mean)
-    return pd.DataFrame({"ch": g.index.to_numpy(np.int64),
-                         "mean": textops.round_half_away(mean, 6),
-                         "std": textops.round_half_away(std, 6)})
+    return pd.DataFrame({
+        "ch": g.index.to_numpy(np.int64),
+        "mean_micro": np.floor(mean * 1e6).astype(np.int64),
+        "std_micro": np.floor(std * 1e6).astype(np.int64)})
 
 
 @_q("q_maxbin_gate", oracles.maxbin_gate_sql())
@@ -5121,7 +5124,11 @@ def q_curate_images(sf_dir: str):
         ssq = t["ssq"].to_numpy(zero_copy_only=False)
         npx = t["npx"].to_numpy(zero_copy_only=False)
         mc = t["maxcnt"].to_numpy(zero_copy_only=False)
-        keep = (ssq * 10_000 <= 65_025 * npx) & (mc * 8 < npx)
+        # npx counts ALL samples (w*h*3, the PSNR denominator); the flat
+        # gate's histogram is red-channel only, so its pixel count is
+        # npx // 3 — using npx directly would be a 3x-looser gate than
+        # MaxBinGate/the oracle
+        keep = (ssq * 10_000 <= 65_025 * npx) & (mc * 8 < npx // 3)
         return t.filter(pa.array(keep)).select(["image_id", "dhash"])
 
     def first_wins(df: pd.DataFrame) -> pd.DataFrame:
@@ -5293,7 +5300,8 @@ best AS (SELECT pk, sk, up,
                 row_number() OVER (PARTITION BY pk
                                    ORDER BY up, sk) AS rn
          FROM u)
-SELECT pk AS p_partkey, sk AS s_suppkey, ROUND(up, 4) AS unit_price
+SELECT pk AS p_partkey, sk AS s_suppkey,
+       CAST(floor(up * 1000000) AS BIGINT) AS unit_micro
 FROM best WHERE rn = 1
 """)
 def q_min_cost_supplier(sf_dir: str):
@@ -5304,7 +5312,10 @@ def q_min_cost_supplier(sf_dir: str):
     # pairs, not lineitems); ONE grouped exchange by part; the reduce
     # does a vectorized lexsort argmin (price, then supplier id — the
     # deterministic tie-break row_number states in SQL). Both sides take
-    # the identical double division, so min/order compare equal bits.
+    # the identical double division, so min/order compare equal bits;
+    # the output ships as floor(up * 1e6) — an exact integer of an
+    # identical double, immune to the ROUND-vs-round_half_away
+    # half-in-double split (the q_readability lesson).
     def pair_min(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({"pk": pd.Series(dtype=np.int64),
@@ -5324,15 +5335,15 @@ def q_min_cost_supplier(sf_dir: str):
         if not len(df):
             return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
                                  "s_suppkey": pd.Series(dtype=np.int64),
-                                 "unit_price": pd.Series(dtype=np.float64)})
+                                 "unit_micro": pd.Series(dtype=np.int64)})
         g = (df.groupby(["pk", "sk"], sort=False)["up"].min().reset_index()
              .sort_values(["pk", "up", "sk"], kind="stable")
              .groupby("pk", sort=False, as_index=False).first())
         return pd.DataFrame({
             "p_partkey": g["pk"].to_numpy(np.int64),
             "s_suppkey": g["sk"].to_numpy(np.int64),
-            "unit_price": textops.round_half_away(
-                g["up"].to_numpy(np.float64), 4)})
+            "unit_micro": np.floor(g["up"].to_numpy(np.float64)
+                                   * 1_000_000.0).astype(np.int64)})
 
     return exchange.grouped_shuffle(li, ["pk"], argmin)
 
@@ -5439,11 +5450,14 @@ def q_readability(sf_dir: str):
         ns = np.array([len(s_re.findall(x)) for x in texts], np.int64)
         num = 206_835 * nw - 1_015 * nw * nw - 84_600 * ns
         # DuckDB integer // truncates toward zero; numpy // floors —
-        # truncate explicitly so negative scores agree
-        milli = np.sign(num) * (np.abs(num) // nw)
+        # truncate explicitly so negative scores agree. A zero-word doc
+        # divides by zero: NULL in SQL, so emit a null here too.
+        safe = np.where(nw > 0, nw, 1)
+        milli = np.sign(num) * (np.abs(num) // safe)
         return pa.table({"doc_id": t["doc_id"],
                          "n_words": pa.array(nw), "n_syll": pa.array(ns),
-                         "flesch_milli": pa.array(milli, pa.int64())})
+                         "flesch_milli": pa.array(
+                             np.ma.masked_array(milli, mask=nw == 0))})
 
     return read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(score, batch_format="pyarrow")
@@ -5648,32 +5662,9 @@ def q_hist_equalize(sf_dir: str):
     # all integers, so the per-image sum of equalized pixels is exact
     # and the oracle restates the whole CDF remap. One actor-pool decode
     # pass; per-image bincount/cumsum is O(256) numpy work.
-    from cocrawler_ray import codecs
-
-    class HistEq:
-        def __init__(self):
-            self.decode = codecs.decode
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            data = batch.column("bytes").to_pylist()
-            ws = batch.column("w").to_numpy()
-            hs = batch.column("h").to_numpy()
-            fmts = batch.column("fmt").to_pylist()
-            n = batch.num_rows
-            eq = np.zeros(n, dtype=np.int64)
-            for i in range(n):
-                img = self.decode(data[i], int(ws[i]), int(hs[i]),
-                                  fmts[i])
-                red = img[:, :, 0].ravel().astype(np.int64)
-                cnt = np.bincount(red, minlength=256)
-                cdf = np.cumsum(cnt)
-                remap = (cdf * 255) // red.size
-                eq[i] = int((remap[red]).sum())
-            return pa.table({"image_id": batch.column("image_id"),
-                             "eq_sum": pa.array(eq)})
-
+    from cocrawler_ray.stages.multimodal import HistEqualize
     return (_from_arrow_blocks(oracles.conformance_images(), 4)
-            .map_batches(HistEq, batch_format="pyarrow",
+            .map_batches(HistEqualize, batch_format="pyarrow",
                          batch_size=16, concurrency=2))
 
 
@@ -5705,33 +5696,7 @@ def q_dominant_color(sf_dir: str):
     # ties to the smallest cube id — integer-exact argmax, restated by
     # the oracle from the pixel formulas. One actor-pool decode pass;
     # the per-image mode is an O(512) bincount.
-    from cocrawler_ray import codecs
-
-    class DominantColor:
-        def __init__(self):
-            self.decode = codecs.decode
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            data = batch.column("bytes").to_pylist()
-            ws = batch.column("w").to_numpy()
-            hs = batch.column("h").to_numpy()
-            fmts = batch.column("fmt").to_pylist()
-            n = batch.num_rows
-            cube = np.zeros(n, dtype=np.int64)
-            cnt = np.zeros(n, dtype=np.int64)
-            for i in range(n):
-                img = self.decode(data[i], int(ws[i]), int(hs[i]),
-                                  fmts[i]).astype(np.int64)
-                cubes = ((img[:, :, 0] // 32) * 64
-                         + (img[:, :, 1] // 32) * 8
-                         + (img[:, :, 2] // 32)).ravel()
-                bc = np.bincount(cubes, minlength=512)
-                cube[i] = int(bc.argmax())  # first max = smallest cube
-                cnt[i] = int(bc[cube[i]])
-            return pa.table({"image_id": batch.column("image_id"),
-                             "cube": pa.array(cube),
-                             "cnt": pa.array(cnt)})
-
+    from cocrawler_ray.stages.multimodal import DominantColor
     return (_from_arrow_blocks(oracles.conformance_images(), 4)
             .map_batches(DominantColor, batch_format="pyarrow",
                          batch_size=16, concurrency=2))

@@ -544,7 +544,11 @@ def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> np.ndarray:
     summed on the driver — O(candidates) rows per block). Returns the
     sorted array of keys with exact global count > hot_threshold."""
     refs = ds.to_arrow_refs()
-    local_bar = max(1, hot_threshold // max(1, len(refs)))
+    # floor(T/B) — NOT clamped to 1: with more blocks than the threshold
+    # the bar is 0 and every present key is a candidate (large candidate
+    # set, full recall); clamping would silently miss a key spread one
+    # row per block, breaking the pigeonhole guarantee below
+    local_bar = hot_threshold // max(1, len(refs))
 
     def local_heavy(t: pa.Table) -> np.ndarray:
         v, c = np.unique(t.column(key).to_numpy(zero_copy_only=False),
@@ -554,7 +558,7 @@ def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> np.ndarray:
     cands = ray.get([ray.remote(local_heavy).remote(r) for r in refs])
     cand = np.unique(np.concatenate(cands)) if cands else np.array([])
     if not len(cand):
-        return cand.astype(np.int64)
+        return cand  # dtype-generic (int or string keys)
     cand_ref = ray.put(np.sort(cand))
 
     def cand_counts(t: pa.Table) -> np.ndarray:
@@ -566,7 +570,7 @@ def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> np.ndarray:
         return np.bincount(idx[hit], minlength=len(ks)).astype(np.int64)
 
     totals = sum(ray.get([ray.remote(cand_counts).remote(r) for r in refs]))
-    return np.sort(cand)[totals > hot_threshold].astype(np.int64)
+    return np.sort(cand)[totals > hot_threshold]
 
 
 def skew_hybrid_join(left: rd.Dataset, right: rd.Dataset, key: str,
@@ -586,12 +590,13 @@ def skew_hybrid_join(left: rd.Dataset, right: rd.Dataset, key: str,
     hot key), the usual fact-dim skew case; the result is the exact union
     of both paths.
     """
+    left = left.materialize()  # consumed by the census AND both splits:
+    # without this the full left lineage (scan + maps) would execute twice
     hot = detect_hot_keys(left, key, hot_threshold)
     if not len(hot):
         return hash_join(left, right, on=[key],
                          num_partitions=num_partitions)
     from cocrawler_ray.stages import joins
-    left = left.materialize()
     right = right.materialize()
     hot_arr = hot  # closed over; tiny by construction
     hot_ref = ray.put(np.sort(hot_arr))

@@ -371,6 +371,8 @@ def hits(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 2,
 
     state = _presplit(nodes.map_batches(init, batch_format="pyarrow"),
                       ["node"], P)
+    edges = edges.materialize()  # two pre-splits below — without this the
+    # edge lineage (the dominant input) would execute once per direction
     fwd = _presplit(edges, ["src"], P)
     rev = _presplit(edges, ["dst"], P)
 

@@ -326,6 +326,61 @@ class AudioFeatures:
         })
 
 
+class HistEqualize:
+    """Histogram equalization (contrast normalization before feature
+    extraction): remap each red-channel value p to (cdf(p)*255)//npx —
+    all integers, so the per-image sum of equalized pixels is exact and
+    SQL-restatable. O(256) bincount/cumsum per decoded image."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+        eq = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            red = img[:, :, 0].ravel().astype(np.int64)
+            cnt = np.bincount(red, minlength=256)
+            remap = (np.cumsum(cnt) * 255) // red.size
+            eq[i] = int(remap[red].sum())
+        return pa.table({"image_id": batch.column("image_id"),
+                         "eq_sum": pa.array(eq)})
+
+
+class DominantColor:
+    """Dominant-color extraction (the palette/thumbnail-color feature of
+    an image index): vector-quantize each pixel to a 512-cube RGB
+    lattice (r//32, g//32, b//32) and take the modal cube per image,
+    ties to the smallest cube id — integer-exact argmax."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n = batch.num_rows
+        cube = np.zeros(n, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            cubes = ((img[:, :, 0] // 32) * 64 + (img[:, :, 1] // 32) * 8
+                     + (img[:, :, 2] // 32)).ravel()
+            bc = np.bincount(cubes, minlength=512)
+            cube[i] = int(bc.argmax())  # first max = smallest cube
+            cnt[i] = int(bc[cube[i]])
+        return pa.table({"image_id": batch.column("image_id"),
+                         "cube": pa.array(cube), "cnt": pa.array(cnt)})
+
+
 class AudioZcr:
     """Signal-domain audio features with exact integer outputs: zero-
     crossing count (strict sign-product test — a DC-level sample neither

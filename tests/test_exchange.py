@@ -671,3 +671,17 @@ def test_skew_hybrid_join_matches_hash_join(ray_session):
     # the hot key must really have been detected (hybrid path taken)
     assert list(exchange.detect_hot_keys(
         rd.from_pandas(l).repartition(8), "k", 300)) == [5]
+
+
+def test_detect_hot_keys_string_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from cocrawler_ray.stages import exchange
+
+    # the motivating skew case is host/URL-keyed — keys must not be
+    # coerced to int64
+    blocks = [pd.DataFrame({"host": ["big.com"] * 40
+                            + [f"h{i}-{j}.net" for j in range(10)]})
+              for i in range(4)]
+    hot = exchange.detect_hot_keys(rd.from_pandas(blocks), "host", 100)
+    assert list(hot) == ["big.com"]
