@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tokens per training pack for --curate")
     ap.add_argument("--curate-shards", type=int, default=16,
                     help="output shard count for --curate")
+    ap.add_argument("--curate-images", nargs=2, metavar=("SRC", "DEST"),
+                    help="image-corpus curation: fetched cells/parquet -> "
+                         "PSNR + flat gates -> dhash near-dup removal -> "
+                         "resumable image shards")
     return ap
 
 
@@ -117,6 +121,28 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "counts": res["counts"],
             "ppl_threshold": res["ppl_threshold"],
+            "shards": res["manifest"].to_dict("records")}))
+        return 0
+
+    if args.curate_images:
+        import os
+
+        import ray
+
+        if not ray.is_initialized():  # standalone; ray job submit attaches
+            kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR", **kw)
+        from cocrawler_ray.pipelines.curate_images import curate_image_shards
+        from cocrawler_ray.storage import Storage
+
+        src = args.curate_images[0]
+        files = Storage(src).table_files("fetched") \
+            if os.path.isdir(src) else [src]
+        res = curate_image_shards(files, args.curate_images[1],
+                                  num_shards=args.curate_shards)
+        print(json.dumps({
+            "counts": res["counts"],
             "shards": res["manifest"].to_dict("records")}))
         return 0
 
