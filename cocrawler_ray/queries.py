@@ -5942,6 +5942,66 @@ def q_kcore(sf_dir: str):
     return kcore_peel(nodes, edges, k=5, rounds=3)
 
 
+@_q("q_tokenize_apply", f"""
+WITH tok0 AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                  AS term
+              FROM documents WHERE trim(text) <> ''),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok0 GROUP BY 1
+        HAVING count(*) >= {_VOCAB_MIN}),
+v AS (SELECT term,
+             CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT)
+                 AS id
+      FROM cnt QUALIFY id <= {_VOCAB_V}),
+dtok AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         FROM documents WHERE trim(text) <> '')
+SELECT d.doc_id,
+       CAST(count(v.term) AS BIGINT) AS n_known,
+       CAST(count(*) - count(v.term) AS BIGINT) AS n_unk,
+       CAST(COALESCE(sum(v.id), 0) AS BIGINT) AS id_sum
+FROM dtok d LEFT JOIN v ON v.term = d.term
+GROUP BY d.doc_id
+""")
+def q_tokenize_apply(sf_dir: str):
+    # tokenizer APPLY (the encode step after q_vocab_build): the learned
+    # vocabulary (term -> rank id, bounded at V entries) broadcasts once
+    # per task; each doc's tokens map to ids via one vectorized
+    # searchsorted, OOV tokens count as unk. The oracle checks the
+    # known/unk split AND the exact id-sum checksum of every encoded
+    # sequence — sequence equality without a list compare. One streaming
+    # scan over documents; the vocab table is the only shared state.
+    vb = QUERIES["q_vocab_build"](sf_dir)
+    terms = np.sort(vb["term"].to_numpy(object))
+    order = np.argsort(vb["term"].to_numpy(object), kind="stable")
+    ids = vb["rank"].to_numpy(np.int64)[order]
+    vref = ray.put((terms, ids))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        ts, vi = ray.get(vref)
+        out = {"doc_id": [], "n_known": [], "n_unk": [], "id_sum": []}
+        for did, text in zip(df["doc_id"].to_numpy(),
+                             df["text"].to_numpy()):
+            toks = np.asarray(text.split(), object)
+            if len(ts) and len(toks):
+                idx = np.searchsorted(ts, toks)
+                idx[idx == len(ts)] = 0
+                known = ts[idx] == toks
+            else:
+                known = np.zeros(len(toks), bool)
+                idx = np.zeros(len(toks), np.int64)
+            out["doc_id"].append(did)
+            out["n_known"].append(int(known.sum()))
+            out["n_unk"].append(int(len(toks) - known.sum()))
+            out["id_sum"].append(int(vi[idx[known]].sum()) if len(ts)
+                                 else 0)
+        return pd.DataFrame(out).astype({"n_known": np.int64,
+                                         "n_unk": np.int64,
+                                         "id_sum": np.int64})
+
+    return read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(encode, batch_format="pandas")
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
