@@ -14,8 +14,11 @@ the same deterministic URL/HTML inputs from table columns, then the Ray
 side runs the REAL operator while the SQL side states the expected result
 analytically — a genuine two-implementation oracle.
 
-Queries with no SQL entry (language-ID, MinHash-LSH, SimHash, winnowing
-fingerprints, LSH-ANN, image stages) are checked rows-only by the driver.
+EVERY registered query carries a full SQL oracle (the conformance test
+asserts set(ORACLE) == set(QUERIES)) — including the hash-heavy ones
+(MinHash-LSH, SimHash, winnowing, LSH-ANN: integer hash math restated
+over HUGEINT) and the image/audio/video stages (pixel/payload formulas
+restated analytically).
 """
 
 from __future__ import annotations
