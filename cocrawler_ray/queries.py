@@ -6005,6 +6005,89 @@ def q_tokenize_apply(sf_dir: str):
         .map_batches(encode, batch_format="pandas")
 
 
+def _filtered_ann_sql(stride: int = 37, max_centroids: int = 256,
+                      k: int = 10) -> str:
+    from cocrawler_ray.oracles import _quant_sql
+    qv = ((np.arange(64) * 5) % 13 - 6).astype(np.int64)
+    qlit = "[" + ", ".join(str(v) for v in qv) + "]"
+    d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), "
+          "CAST(a.q AS DOUBLE[]))"
+          " - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), "
+          "CAST(c.cq AS DOUBLE[]))"
+          " + list_dot_product(CAST(c.cq AS DOUBLE[]), "
+          "CAST(c.cq AS DOUBLE[])) AS BIGINT)")
+    qd2 = (f"CAST(list_dot_product({qlit}, {qlit})"
+           f" - 2 * list_dot_product({qlit}, CAST(c.cq AS DOUBLE[]))"
+           " + list_dot_product(CAST(c.cq AS DOUBLE[]), "
+           "CAST(c.cq AS DOUBLE[])) AS BIGINT)")
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         WHERE vec_id % {stride} = 1 AND vec_id < {stride * max_centroids}),
+assign AS (SELECT a.vec_id, c.cid, {d2} AS d2
+           FROM e a CROSS JOIN cent c
+           QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY d2, c.cid) = 1),
+qstar AS (SELECT cid FROM (SELECT c.cid, {qd2} AS d2 FROM cent c)
+          QUALIFY row_number() OVER (ORDER BY d2, cid) = 1),
+dots AS (SELECT vec_id, CAST(list_dot_product(CAST(q AS DOUBLE[]),
+                                              {qlit}) AS BIGINT) AS dot
+         FROM e)
+SELECT d.vec_id, d.dot
+FROM dots d JOIN assign a ON a.vec_id = d.vec_id, qstar
+WHERE a.cid <> qstar.cid
+ORDER BY dot DESC, d.vec_id LIMIT {k}
+"""
+
+
+@_q("q_filtered_ann", _filtered_ann_sql())
+def q_filtered_ann(sf_dir: str):
+    # FILTERED vector search (top-k under a metadata predicate — here
+    # "not in the query's own k-means cluster", the hard-negative-mining
+    # / diversity-retrieval shape): one scan broadcasts (centroids,
+    # query, excluded cid) and per batch assigns clusters (the
+    # integer-exact kmeans argmin), filters, takes integer-dot top-k;
+    # the driver merges <= k x blocks rows. Composes two established
+    # integer-exact kernels, so the oracle restates both.
+    from cocrawler_ray.oracles import quantize_vecs
+    stride, maxc, k = 37, 256, 10
+    qv = ((np.arange(64) * 5) % 13 - 6).astype(np.int64)
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_tab = (ds.map_batches(
+        lambda t: t.filter(pa.array(
+            (t.column("vec_id").to_numpy() % stride == 1)
+            & (t.column("vec_id").to_numpy() < stride * maxc))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    cids = cent_tab["vec_id"].to_numpy(np.int64)
+    C = quantize_vecs(np.stack([np.asarray(v, np.float64)
+                                for v in cent_tab["embedding"]]))
+    qd2 = (qv @ qv) - 2 * (C @ qv) + (C * C).sum(axis=1)
+    cstar = int(cids[np.argmin(qd2)])  # first min == smallest cid
+    bref = ray.put((cids, C, qv, cstar))
+
+    def score(t: pa.Table) -> pa.Table:
+        cid_arr, cents, q, excl = ray.get(bref)
+        X = quantize_vecs(np.stack(
+            [np.asarray(v, np.float64)
+             for v in t.column("embedding").to_pylist()]))
+        dd = ((X * X).sum(axis=1)[:, None] - 2 * (X @ cents.T)
+              + (cents * cents).sum(axis=1)[None, :])
+        cid = cid_arr[np.argmin(dd, axis=1)]
+        dots = X @ q
+        keep = cid != excl
+        df = pd.DataFrame({"vec_id": t["vec_id"].to_numpy()[keep],
+                           "dot": dots[keep]})
+        df = df.sort_values(["dot", "vec_id"],
+                            ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    local = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (local.sort_values(["dot", "vec_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True)
+            .astype({"vec_id": np.int64, "dot": np.int64}))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
