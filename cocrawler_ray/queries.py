@@ -6088,6 +6088,41 @@ def q_filtered_ann(sf_dir: str):
             .astype({"vec_id": np.int64, "dot": np.int64}))
 
 
+@_q("q_gini_mix", """
+WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents GROUP BY 1),
+r AS (SELECT chars,
+             row_number() OVER (ORDER BY chars, source) AS i,
+             count(*) OVER () AS n, sum(chars) OVER () AS tot
+      FROM w)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(floor((2.0 * sum(i * chars) - (max(n) + 1) * max(tot))
+                  / (max(n) * max(tot)) * 1000000) AS BIGINT)
+           AS gini_micro
+FROM r
+""")
+def q_gini_mix(sf_dir: str):
+    # source-mix inequality audit (the "is my corpus dominated by one
+    # source?" curation metric): Gini over per-source character mass via
+    # the sorted-rank identity G = (2*sum(i*x_(i)) - (n+1)*sum(x)) /
+    # (n*sum(x)) — every term an exact int64 (chars are ints, ranks are
+    # ints), one float division at the end, shipped as the floor-micro
+    # integer of an identical double. Plan: per-block (source, chars)
+    # combiner -> O(sources) driver table -> rank identity. Ties rank by
+    # (chars, source) identically on both sides.
+    fine = partial_groupby_agg(
+        read(sf_dir, "documents", ["source", "n_chars"]),
+        ["source"], {"chars": ("n_chars", "sum")})
+    x = fine.sort_values(["chars", "source"], kind="stable")["chars"] \
+        .to_numpy(np.int64)
+    n = len(x)
+    tot = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini = (2.0 * float((i * x).sum()) - (n + 1) * tot) / (n * tot)
+    return pd.DataFrame({"n_sources": [n],
+                         "gini_micro": [int(np.floor(gini * 1e6))]})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
