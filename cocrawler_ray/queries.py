@@ -6123,6 +6123,74 @@ def q_gini_mix(sf_dir: str):
                          "gini_micro": [int(np.floor(gini * 1e6))]})
 
 
+_DBSCAN_EPS2, _DBSCAN_MINPTS = 1_350_000, 3
+
+
+@_q("q_density_cores", f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 1000 + 0.5)
+                                           AS BIGINT)) AS q
+           FROM embeddings),
+p AS (SELECT a.vec_id AS va,
+             CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                   CAST(a.q AS DOUBLE[]))
+                  - 2 * list_dot_product(CAST(a.q AS DOUBLE[]),
+                                         CAST(b.q AS DOUBLE[]))
+                  + list_dot_product(CAST(b.q AS DOUBLE[]),
+                                     CAST(b.q AS DOUBLE[]))
+                  AS BIGINT) AS d2
+      FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id)
+SELECT va AS vec_id,
+       CAST(sum(CASE WHEN d2 <= {_DBSCAN_EPS2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neighbors,
+       sum(CASE WHEN d2 <= {_DBSCAN_EPS2} THEN 1 ELSE 0 END)
+           >= {_DBSCAN_MINPTS} AS is_core
+FROM p GROUP BY 1
+""")
+def q_density_cores(sf_dir: str):
+    # DBSCAN core-point labeling (the density half of density-based
+    # clustering/outlier splits): a point is core when >= minPts
+    # neighbors sit within eps. Same block-pair cartesian as the exact
+    # embedding near-dup scan — blocks stay in the object store, one
+    # task per unordered block pair counts BOTH sides' neighbors, and
+    # only O(block-rows) count partials return; a combiner finishes the
+    # per-point sums. Integer-exact squared-L2 over the family's
+    # quantized vectors, so every neighbor bit restates in SQL.
+    from cocrawler_ray.oracles import quantize_vecs
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def pair_counts(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        ia = ta.column("vec_id").to_numpy()
+        ib = tb.column("vec_id").to_numpy()
+        A = quantize_vecs(np.stack([np.asarray(v, np.float64)
+                                    for v in ta["embedding"].to_pylist()]))
+        B = quantize_vecs(np.stack([np.asarray(v, np.float64)
+                                    for v in tb["embedding"].to_pylist()]))
+        d2 = ((A * A).sum(1)[:, None] - 2 * (A @ B.T)
+              + (B * B).sum(1)[None, :])
+        within = d2 <= _DBSCAN_EPS2
+        if same:
+            np.fill_diagonal(within, False)
+            return pd.DataFrame({"vec_id": ia,
+                                 "n": within.sum(1).astype(np.int64)})
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ia, ib]),
+            "n": np.concatenate([within.sum(1), within.sum(0)])
+            .astype(np.int64)})
+
+    futs = [pair_counts.remote(refs[i], refs[j], i == j)
+            for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = rd.from_pandas(ray.get(futs))
+    fine = partial_groupby_agg(parts, ["vec_id"], {"n": ("n", "sum")})
+    nb = fine["n"].to_numpy(np.int64)
+    return pd.DataFrame({"vec_id": fine["vec_id"].to_numpy(np.int64),
+                         "n_neighbors": nb,
+                         "is_core": nb >= _DBSCAN_MINPTS})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
