@@ -6207,9 +6207,12 @@ _PRIORITY = [
     # crawl-semantic operators (urls/parse/seeds/content)
     "q_canonicalize", "q_link_extract", "q_redirect_chain",
     "q_content_gate", "q_seed_expand", "q_frontier_order",
-    # joins: broadcast, anti, hash-exchange, asof, range, full outer
+    # joins: broadcast, anti, hash-exchange, asof, range, full outer,
+    # skew-aware hybrid (hot keys broadcast, cold keys hashed — takes the
+    # slot q_full_outer_join held; the outer-join family keeps
+    # q_left_join's local check and test_exchange coverage)
     "q_anti_join_seen", "q_robots_join", "q_fetch_join", "q_asof_join",
-    "q_range_join", "q_full_outer_join",
+    "q_range_join", "q_skew_hybrid_join",
     # dedup family: exact, MinHash-LSH, SimHash, phash-Hamming,
     # embedding-LSH, semantic (SemDeDup), keep-best
     "q_exact_dedup", "q_minhash_dedup", "q_simhash",
@@ -6236,7 +6239,10 @@ _PRIORITY = [
     # family keeps q_image_decode_stats' driver row; q_psnr_gate IS the
     # north rule's per-row PSNR>=40dB invariant, so it takes the slot
     # q_date_rollup held — the scalar family keeps q_json_extract)
-    "q_image_decode_stats", "q_clip_score_gate", "q_psnr_gate",
+    # (q_image_decode_stats yields its row to q_curate_images — the
+    # end-to-end image pipeline subsumes decode+gates+dedup; the decode
+    # family keeps local checks + T coverage)
+    "q_curate_images", "q_clip_score_gate", "q_psnr_gate",
     # scalar function surface
     "q_json_extract",
     # stats (q_heavy_hitters yields its row to q_cdc_chunks: the stats
