@@ -6191,6 +6191,42 @@ def q_density_cores(sf_dir: str):
                          "is_core": nb >= _DBSCAN_MINPTS})
 
 
+@_q("q_lang_confusion", """
+WITH pred AS (LANGID_BODY)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred GROUP BY 1, 2
+""")
+def q_lang_confusion(sf_dir: str):
+    # classifier-evaluation family: the confusion matrix of the langid
+    # operator against the labeled `lang` column — (truth, prediction)
+    # cell counts, from which precision/recall/F1 per language derive.
+    # The prediction scan is the REAL langid stage; the rollup is an
+    # O(langs^2)-domain combiner. The oracle embeds the full langid
+    # restatement as a CTE so every cell is independently derived.
+    preds = (read(sf_dir, "documents", ["doc_id", "text", "lang"])
+             .map_batches(textops.langid_batch, batch_format="pyarrow"))
+
+    def cells(t: pa.Table) -> pa.Table:
+        correct = pc.equal(t["lang"], t["lang_pred"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lang": t["lang"], "lang_pred": t["lang_pred"],
+                         "correct": pa.array(correct, pa.int64())})
+
+    fine = partial_groupby_agg(
+        preds.map_batches(cells, batch_format="pyarrow"),
+        ["lang", "lang_pred"], {"n": (None, "count"),
+                                "n_correct": ("correct", "sum")})
+    return fine.astype({"n": np.int64, "n_correct": np.int64})
+
+
+# splice the registered langid oracle in as the prediction CTE (single
+# source of truth for the prediction semantics)
+ORACLE["q_lang_confusion"] = ORACLE["q_lang_confusion"].replace(
+    "LANGID_BODY", ORACLE["q_langid"])
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
