@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="tokens per training pack for --curate")
     ap.add_argument("--curate-shards", type=int, default=16,
-                    help="output shard count for --curate")
+                    help="output shard count for --curate / --curate-images")
     ap.add_argument("--curate-images", nargs=2, metavar=("SRC", "DEST"),
                     help="image-corpus curation: fetched cells/parquet -> "
                          "PSNR + flat gates -> dhash near-dup removal -> "

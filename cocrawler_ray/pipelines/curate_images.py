@@ -88,8 +88,11 @@ def curate_image_shards(fetched_files: list[str], dest: str,
     def first_wins(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df
+        # drop_duplicates keeps WHOLE rows — groupby().first() would take
+        # each column's first non-null independently, splicing fields
+        # from losing rows into the winner when nullable columns appear
         return (df.sort_values(["dhash", "image_id"], kind="stable")
-                .groupby("dhash", sort=False, as_index=False).first())
+                .drop_duplicates("dhash", keep="first"))
 
     # local combiner bounds the exchange by distinct (block, dhash) rows
     deduped = grouped_shuffle(

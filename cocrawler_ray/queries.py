@@ -5139,7 +5139,7 @@ def q_curate_images(sf_dir: str):
             return pd.DataFrame({"image_id": pd.Series(dtype=str),
                                  "dhash": pd.Series(dtype=np.int64)})
         g = (df.sort_values(["dhash", "image_id"], kind="stable")
-             .groupby("dhash", sort=False, as_index=False).first())
+             .drop_duplicates("dhash", keep="first"))  # whole-row winner
         return g[["image_id", "dhash"]]
 
     return exchange.grouped_shuffle(
@@ -5979,12 +5979,23 @@ def q_tokenize_apply(sf_dir: str):
     ids = vb["rank"].to_numpy(np.int64)[order]
     vref = ray.put((terms, ids))
 
+    import re as _re
+    # RE2 \s is the ASCII class [\t\n\f\r ]; DuckDB trim() strips SPACES
+    # only. Mirror both exactly so whitespace-edged docs can't diverge
+    # (the established "spell out whitespace" rule).
+    ws_split = _re.compile(r"[\t\n\f\r ]+")
+
     def encode(df: pd.DataFrame) -> pd.DataFrame:
         ts, vi = ray.get(vref)
         out = {"doc_id": [], "n_known": [], "n_unk": [], "id_sum": []}
         for did, text in zip(df["doc_id"].to_numpy(),
                              df["text"].to_numpy()):
-            toks = np.asarray(text.split(), object)
+            trimmed = text.strip(" ")
+            if trimmed == "":
+                continue  # SQL's WHERE trim(text) <> '' drops these docs
+            # leading non-space whitespace yields a leading '' token in
+            # regexp_split_to_array — keep it (counts as unk, like SQL)
+            toks = np.asarray(ws_split.split(trimmed), object)
             if len(ts) and len(toks):
                 idx = np.searchsorted(ts, toks)
                 idx[idx == len(ts)] = 0
@@ -6005,8 +6016,12 @@ def q_tokenize_apply(sf_dir: str):
         .map_batches(encode, batch_format="pandas")
 
 
-def _filtered_ann_sql(stride: int = 37, max_centroids: int = 256,
-                      k: int = 10) -> str:
+_FANN_STRIDE, _FANN_MAXC, _FANN_K = 37, 256, 10
+
+
+def _filtered_ann_sql(stride: int = _FANN_STRIDE,
+                      max_centroids: int = _FANN_MAXC,
+                      k: int = _FANN_K) -> str:
     from cocrawler_ray.oracles import _quant_sql
     qv = ((np.arange(64) * 5) % 13 - 6).astype(np.int64)
     qlit = "[" + ", ".join(str(v) for v in qv) + "]"
@@ -6050,7 +6065,7 @@ def q_filtered_ann(sf_dir: str):
     # the driver merges <= k x blocks rows. Composes two established
     # integer-exact kernels, so the oracle restates both.
     from cocrawler_ray.oracles import quantize_vecs
-    stride, maxc, k = 37, 256, 10
+    stride, maxc, k = _FANN_STRIDE, _FANN_MAXC, _FANN_K
     qv = ((np.arange(64) * 5) % 13 - 6).astype(np.int64)
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -6059,6 +6074,12 @@ def q_filtered_ann(sf_dir: str):
             (t.column("vec_id").to_numpy() % stride == 1)
             & (t.column("vec_id").to_numpy() < stride * maxc))),
         batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    if not len(cent_tab):
+        # same remedy message as similarity.kmeans_assign_seeded, whose
+        # stride/bound/tie-break semantics this scan mirrors
+        raise ValueError(
+            f"no seeded centroids: no vec_id satisfies id % {stride} == 1 "
+            f"and id < {stride * maxc}")
     cids = cent_tab["vec_id"].to_numpy(np.int64)
     C = quantize_vecs(np.stack([np.asarray(v, np.float64)
                                 for v in cent_tab["embedding"]]))
@@ -6079,7 +6100,7 @@ def q_filtered_ann(sf_dir: str):
         df = pd.DataFrame({"vec_id": t["vec_id"].to_numpy()[keep],
                            "dot": dots[keep]})
         df = df.sort_values(["dot", "vec_id"],
-                            ascending=[False, True]).head(10)
+                            ascending=[False, True]).head(_FANN_K)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     local = ds.map_batches(score, batch_format="pyarrow").to_pandas()
@@ -6127,10 +6148,7 @@ _DBSCAN_EPS2, _DBSCAN_MINPTS = 1_350_000, 3
 
 
 @_q("q_density_cores", f"""
-WITH e AS (SELECT vec_id,
-                  list_transform(CAST(embedding AS DOUBLE[]),
-                                 x -> CAST(floor(x * 1000 + 0.5)
-                                           AS BIGINT)) AS q
+WITH e AS (SELECT vec_id, {oracles._quant_sql('embedding')} AS q
            FROM embeddings),
 p AS (SELECT a.vec_id AS va,
              CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
@@ -6183,7 +6201,9 @@ def q_density_cores(sf_dir: str):
 
     futs = [pair_counts.remote(refs[i], refs[j], i == j)
             for i in range(len(refs)) for j in range(i, len(refs))]
-    parts = rd.from_pandas(ray.get(futs))
+    # from_pandas_refs: the ~N x B count partials stay in the object
+    # store — ray.get + from_pandas would gather them all on the driver
+    parts = rd.from_pandas_refs(futs)
     fine = partial_groupby_agg(parts, ["vec_id"], {"n": ("n", "sum")})
     nb = fine["n"].to_numpy(np.int64)
     return pd.DataFrame({"vec_id": fine["vec_id"].to_numpy(np.int64),
