@@ -2996,8 +2996,14 @@ def q_vocab_build(sf_dir: str):
     # partition ALSO applies the min-count gate and takes its local top-V
     # -> driver merges <= V*P rows and ranks. The full vocabulary table
     # never reaches the driver (q_topk_hosts shape over an open vocab).
+    import re as _re
+    ws_split = _re.compile(r"[\t\n\f\r ]+")  # RE2 \s, spelled out
+
     def local_counts(df: pd.DataFrame) -> pd.DataFrame:
-        chunks = [t.split() for t in df["text"].to_numpy()]
+        # mirror the oracle's trim(text) (space-strip) + regexp_split —
+        # str.split() would diverge on whitespace-edged/Unicode-ws docs
+        chunks = [ws_split.split(t.strip(" "))
+                  for t in df["text"].to_numpy() if t.strip(" ") != ""]
         words = [w for ts in chunks for w in ts]
         if not words:
             return pd.DataFrame({"term": np.array([], object),
