@@ -6253,6 +6253,60 @@ ORACLE["q_lang_confusion"] = ORACLE["q_lang_confusion"].replace(
     "LANGID_BODY", ORACLE["q_langid"])
 
 
+@_q("q_zonemap_prune", f"""
+WITH z AS (SELECT user_id % 4096 AS x, event_id % 4096 AS y,
+                  CAST(({_ZORDER_SQL}) // 262144 AS BIGINT) AS zbucket
+           FROM events),
+b AS (SELECT zbucket, min(x) AS mnx, max(x) AS mxx,
+             min(y) AS mny, max(y) AS mxy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM z GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN mxx < 1000 OR mnx > 1999
+                       OR mxy < 500 OR mny > 1499
+                     THEN 0 ELSE 1 END) AS BIGINT) AS cand_buckets,
+       CAST(sum(CASE WHEN mxx < 1000 OR mnx > 1999
+                       OR mxy < 500 OR mny > 1499
+                     THEN 0 ELSE n END) AS BIGINT) AS cand_rows
+FROM b
+""")
+def q_zonemap_prune(sf_dir: str):
+    # zone-map pruning effectiveness over the Z-order layout (the payoff
+    # audit for q_zorder): per zbucket, min-max stats of BOTH key
+    # dimensions — exactly the per-file zone maps a lakehouse writer
+    # persists — then the 2D rectangle query [1000,1999]x[500,1499]
+    # keeps only buckets whose ranges intersect it. Because zbuckets
+    # interleave both dimensions, candidate rows collapse toward the
+    # true selectivity; the same stats on a single-column sort would
+    # prune only that column. One combiner pass; O(buckets) driver math.
+    from cocrawler_ray.hashing import zorder_key
+
+    def z(t: pa.Table) -> pa.Table:
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["user_id"].to_numpy(zero_copy_only=False)
+        x = us % 4096
+        y = ev % 4096
+        zb = zorder_key(x, y, bits=12) >> 18
+        return pa.table({"zbucket": pa.array(zb, pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    b = partial_groupby_agg(
+        read(sf_dir, "events", ["event_id", "user_id"])
+        .map_batches(z, batch_format="pyarrow"),
+        ["zbucket"], {"mnx": ("x", "min"), "mxx": ("x", "max"),
+                      "mny": ("y", "min"), "mxy": ("y", "max"),
+                      "n": (None, "count")})
+    miss = ((b["mxx"] < 1000) | (b["mnx"] > 1999)
+            | (b["mxy"] < 500) | (b["mny"] > 1499))
+    n = b["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "n_buckets": [len(b)], "n_rows": [int(n.sum())],
+        "cand_buckets": [int((~miss).sum())],
+        "cand_rows": [int(n[~miss.to_numpy()].sum())]})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
