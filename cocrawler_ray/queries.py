@@ -6307,6 +6307,48 @@ def q_zonemap_prune(sf_dir: str):
         "cand_rows": [int(n[~miss.to_numpy()].sum())]})
 
 
+@_q("q_schema_profile", """
+SELECT 'event_id' AS col,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS mn,
+       CAST(max(event_id) AS VARCHAR) AS mx
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(DISTINCT event_type) AS BIGINT),
+       min(event_type), max(event_type)
+FROM events
+""")
+def q_schema_profile(sf_dir: str):
+    # table profiling (the dbt/expectations "describe" pass every
+    # ingestion pipeline runs): per column, exact distinct count + min +
+    # max in ONE scan. Distincts use the per-block distinct-set partial
+    # (the q_distinct_hosts combiner — shuffle volume bounded by distinct
+    # values, not rows); min/max fold per block. Integer min/max render
+    # through repr (identical to SQL's CAST AS VARCHAR for integers);
+    # strings compare bytewise on both sides.
+    ev = read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col in ("event_id", "user_id", "event_type"):
+            vals = df[col].unique()
+            rows.append({"col": col, "vals": list(vals)})
+        return pd.DataFrame(rows)
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for col in ("event_id", "user_id", "event_type"):
+        sets = parts.loc[parts["col"] == col, "vals"]
+        allv = sorted(set(v for s in sets for v in s))
+        out.append({"col": col, "n_distinct": len(allv),
+                    "mn": str(allv[0]), "mx": str(allv[-1])})
+    return pd.DataFrame(out).astype({"n_distinct": np.int64})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
