@@ -6325,27 +6325,32 @@ FROM events
 def q_schema_profile(sf_dir: str):
     # table profiling (the dbt/expectations "describe" pass every
     # ingestion pipeline runs): per column, exact distinct count + min +
-    # max in ONE scan. Distincts use the per-block distinct-set partial
-    # (the q_distinct_hosts combiner — shuffle volume bounded by distinct
-    # values, not rows); min/max fold per block. Integer min/max render
-    # through repr (identical to SQL's CAST AS VARCHAR for integers);
-    # strings compare bytewise on both sides.
-    ev = read(sf_dir, "events", ["event_id", "user_id", "event_type"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for col in ("event_id", "user_id", "event_type"):
-            vals = df[col].unique()
-            rows.append({"col": col, "vals": list(vals)})
-        return pd.DataFrame(rows)
-
-    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    # max. A unique-per-row column (event_id) makes any driver-side
+    # distinct-set gather O(rows), so distincts go DISTRIBUTED: each
+    # block emits its unique values, one hash exchange lands every
+    # distinct value in exactly one partition, each partition counts its
+    # uniques, the driver sums O(P) counts. Min/max fold from per-block
+    # partials. Integer min/max render through str() (== SQL's CAST AS
+    # VARCHAR for integers); strings compare bytewise on both sides.
+    ev = read(sf_dir, "events",
+              ["event_id", "user_id", "event_type"]).materialize()
     out = []
     for col in ("event_id", "user_id", "event_type"):
-        sets = parts.loc[parts["col"] == col, "vals"]
-        allv = sorted(set(v for s in sets for v in s))
-        out.append({"col": col, "n_distinct": len(allv),
-                    "mn": str(allv[0]), "mx": str(allv[-1])})
+        uniq = ev.map_batches(
+            lambda df, c=col: pd.DataFrame({"v": df[c].unique()}),
+            batch_format="pandas")
+
+        def pcount(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [df["v"].nunique()]})
+
+        nd = int(exchange.grouped_shuffle(uniq, ["v"], pcount)
+                 .to_pandas()["n"].sum())
+        mm = ev.map_batches(
+            lambda df, c=col: pd.DataFrame({"mn": [df[c].min()],
+                                            "mx": [df[c].max()]}),
+            batch_format="pandas").to_pandas()
+        out.append({"col": col, "n_distinct": nd,
+                    "mn": str(mm["mn"].min()), "mx": str(mm["mx"].max())})
     return pd.DataFrame(out).astype({"n_distinct": np.int64})
 
 
