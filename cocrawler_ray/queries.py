@@ -6354,6 +6354,52 @@ def q_schema_profile(sf_dir: str):
     return pd.DataFrame(out).astype({"n_distinct": np.int64})
 
 
+@_q("q_hot_keys", """
+SELECT k, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+                  ELSE l_orderkey END AS k
+      FROM lineitem)
+GROUP BY 1 HAVING count(*) > 400
+""")
+def q_hot_keys(sf_dir: str):
+    # the skew census as a first-class result (what you run BEFORE
+    # choosing a partitioning): exact keys with global count above the
+    # threshold, via detect_hot_keys' bounded two-pass (locally-frequent
+    # candidates by pigeonhole, then exact candidate counts) — driver
+    # state is O(candidates), never O(distinct keys). Exact counts for
+    # the reported keys come from the same candidate-count pass.
+    def l_rows(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(
+            np.where(ok % 10 == 0, 0, ok).astype(np.int64))})
+
+    ds = read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(l_rows, batch_format="pyarrow").materialize()
+    hot = exchange.detect_hot_keys(ds, "k", 400)
+    if not len(hot):
+        return pd.DataFrame({"k": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    hot_ref = ray.put(np.sort(hot))
+
+    def counts(t: pa.Table) -> pa.Table:
+        ks = ray.get(hot_ref)
+        v = t["k"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, v)
+        idx[idx == len(ks)] = 0
+        hit = ks[idx] == v
+        return pa.table({"i": pa.array(np.arange(len(ks)), pa.int64()),
+                         "c": pa.array(np.bincount(
+                             idx[hit], minlength=len(ks)).astype(np.int64))})
+
+    fine = partial_groupby_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["i"], {"n": ("c", "sum")})
+    ks = np.sort(hot)
+    return pd.DataFrame({
+        "k": ks[fine["i"].to_numpy(np.int64)],
+        "n": fine["n"].to_numpy(np.int64)})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
