@@ -6400,6 +6400,66 @@ def q_hot_keys(sf_dir: str):
         "n": fine["n"].to_numpy(np.int64)})
 
 
+def _box_blur_sql(n: int = 64) -> str:
+    from cocrawler_ray.oracles import _px_ctes
+    w = "(16*(1 + d % 2))"
+    h = "(16*(1 + (d//2) % 2))"
+    return f"""
+WITH {_px_ctes(n)},
+r AS (SELECT d, x, y, p FROM px WHERE ch = 0)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(p * (least(x + 1, {w} - 1) - greatest(x - 1, 0) + 1)
+                  * (least(y + 1, {h} - 1) - greatest(y - 1, 0) + 1))
+            AS BIGINT) AS box_total
+FROM r GROUP BY d
+"""
+
+
+@_q("q_box_blur", _box_blur_sql())
+def q_box_blur(sf_dir: str):
+    # 3x3 box-filter (blur) checksum with a genuinely DIFFERENT
+    # algorithm on each side: the engine computes the real convolution
+    # via an integral image (two cumsums + four clamped gathers — the
+    # O(1)-per-pixel box-sum technique every vision pipeline leans on)
+    # and sums all box sums; the oracle uses the closed form
+    # sum(p * boxes_containing(x, y)) — each pixel weighted by how many
+    # clamped 3x3 windows cover it. Equal exact integers only if the
+    # convolution is right.
+    from cocrawler_ray import codecs
+
+    class BoxBlur:
+        def __init__(self):
+            self.decode = codecs.decode
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            data = batch.column("bytes").to_pylist()
+            ws = batch.column("w").to_numpy()
+            hs = batch.column("h").to_numpy()
+            fmts = batch.column("fmt").to_pylist()
+            nb = batch.num_rows
+            tot = np.zeros(nb, dtype=np.int64)
+            for i in range(nb):
+                img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                                  fmts[i])
+                red = img[:, :, 0].astype(np.int64)
+                h, w = red.shape
+                ii = np.zeros((h + 1, w + 1), np.int64)
+                ii[1:, 1:] = red.cumsum(0).cumsum(1)
+                y0 = np.clip(np.arange(h) - 1, 0, None)
+                y1 = np.clip(np.arange(h) + 1, None, h - 1)
+                x0 = np.clip(np.arange(w) - 1, 0, None)
+                x1 = np.clip(np.arange(w) + 1, None, w - 1)
+                box = (ii[y1 + 1][:, x1 + 1] - ii[y0][:, x1 + 1]
+                       - ii[y1 + 1][:, x0] + ii[y0][:, x0])
+                tot[i] = int(box.sum())
+            return pa.table({"image_id": batch.column("image_id"),
+                             "box_total": pa.array(tot)})
+
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(BoxBlur, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
