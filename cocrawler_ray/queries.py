@@ -6431,6 +6431,52 @@ def q_box_blur(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_outlink_diversity", """
+SELECT doc_id,
+       CAST(1 + CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_domains
+FROM documents
+""")
+def q_outlink_diversity(sf_dir: str):
+    # outlink-domain diversity per page (the spam/quality signal "does
+    # this page link beyond its own ecosystem?"): REAL extract ->
+    # canonicalize -> registrable-domain (eTLD+1) -> per-doc distinct
+    # count, composed from four production operators in one scan. The
+    # constructed page links to shop{d%7}.co.uk (always), TWO hosts of
+    # news{d%3}.com when d%3 != 1 (www + cdn — must collapse to ONE
+    # registrable domain, exercising the eTLD+1 fold), and blog.org when
+    # d is even; the oracle states the resulting distinct-domain count
+    # analytically.
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        htmls = []
+        for d in doc_id:
+            h = f'<a href="http://a.shop{d % 7}.co.uk/x">s</a>'
+            if d % 3 != 1:
+                h += (f'<a href="http://www.news{d % 3}.com/y">n</a>'
+                      f'<a href="http://cdn.news{d % 3}.com/z">c</a>')
+            if d % 2 == 0:
+                h += '<a href="http://blog.org/w">b</a>'
+            htmls.append(h)
+        base = [f"http://docs.test/page{d}" for d in doc_id]
+        ex = parse.extract_links_batch(htmls, base)
+        res = urls.canonicalize_batch(ex["raw"], ex["base"])
+        keep = res["valid"]
+        plds = urls.registrable_domain_batch(res["host"][keep])
+        df = pd.DataFrame({"doc_id": doc_id[ex["src_idx"][keep]],
+                           "pld": plds})
+        g = (df.groupby("doc_id", sort=False)["pld"].nunique()
+             .rename("n_domains").reset_index())
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": np.int64, "n_domains": np.int64}),
+            preserve_index=False)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
