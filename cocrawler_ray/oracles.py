@@ -910,6 +910,41 @@ def pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
             + f"\nSELECT node, ROUND(r, 6) AS pr FROM {prev}")
 
 
+def pagerank_personalized_sql(iters: int = 3, damping: float = 0.85,
+                              seed_mod: int = 20) -> str:
+    """Unrolled personalized PageRank over the constructed doc graph:
+    identical to pagerank_sql except the teleport base is per-node
+    (seeds = doc_id % seed_mod == 0) and r0 = the teleport
+    distribution."""
+    ctes = [
+        "nn AS (SELECT count(*) AS N FROM documents)",
+        f"ns AS (SELECT CAST((count(*) + {seed_mod - 1}) // {seed_mod} "
+        f"AS BIGINT) AS S FROM documents)",
+        """edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT N FROM nn) FROM documents)""",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src)",
+        f"""r0 AS (SELECT doc_id AS node,
+  CASE WHEN doc_id % {seed_mod} = 0
+       THEN {1.0 - damping} / (SELECT S FROM ns) ELSE 0.0 END AS r
+  FROM documents)""",
+    ]
+    b = (f"CASE WHEN d.doc_id % {seed_mod} = 0 "
+         f"THEN {1.0 - damping} / (SELECT S FROM ns) ELSE 0.0 END")
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""i{i} AS (
+  SELECT d.doc_id AS node, {b} + {damping} * COALESCE(c.s, 0) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / g.outdeg) AS s
+    FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) c ON c.node = d.doc_id)""")
+        prev = f"i{i}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, ROUND(r, 8) AS ppr FROM {prev}")
+
+
 def hits_sql(iters: int = 2) -> str:
     """Unrolled fixed-iteration unnormalized HITS over the constructed doc
     link graph (same edges as pagerank_sql) — SQL restatement of

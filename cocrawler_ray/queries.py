@@ -6477,6 +6477,38 @@ def q_outlink_diversity(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+@_q("q_pagerank_personalized", oracles.pagerank_personalized_sql(3, 0.85))
+def q_pagerank_personalized(sf_dir: str):
+    # seed-biased (personalized) PageRank — the crawl-frontier
+    # prioritizer that scores pages by proximity to the SEED LIST rather
+    # than global popularity: teleport mass lands only on nodes with
+    # node % 20 == 0. Same BSP as q_pagerank (edges pre-split once,
+    # messages only); the per-node teleport base rides in the state's b
+    # column (graph.py mode "psum"). The oracle unrolls the identical
+    # three iterations.
+    from cocrawler_ray.stages.graph import pagerank_personalized
+    nodes = (read(sf_dir, "documents", ["doc_id"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow"))
+    n_total = nodes.count()
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([(d * 7 + 1) % n_total,
+                                            (d * 13 + 3) % n_total]),
+                            pa.int64())})
+
+    edges = nodes.map_batches(make_edges, batch_format="pyarrow")
+    out = pagerank_personalized(nodes, edges, seed_mod=20, iters=3,
+                                damping=0.85)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "ppr": df["r"].round(8).to_numpy()}),
+        batch_format="pandas")
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the

@@ -72,7 +72,7 @@ def _contrib_split(mode: str, damping: float, P: int, E: pa.Table,
     e = E.to_pandas()
     s = S.to_pandas()
     j = e.merge(s, left_on="src", right_on="node", how="inner")
-    if mode == "sum":
+    if mode in ("sum", "psum"):
         c = damping * j["r"].to_numpy() / j["outdeg"].to_numpy()
     else:  # min-label: the message is the sender's current label
         c = j["label"].to_numpy()
@@ -88,15 +88,20 @@ def _fold(mode: str, base: float, S: pa.Table, *subs: pa.Table) -> pa.Table:
     s = S.to_pandas()
     m = _merge(*subs).to_pandas() if subs else pd.DataFrame(
         {"node": [], "c": []})
-    if mode == "sum":
+    if mode in ("sum", "psum"):
         agg = m.groupby("node", sort=False)["c"].sum() if len(m) else None
-        r = np.full(len(s), base)
+        # "psum" (personalized): the teleport base is PER-NODE, carried
+        # in the state's b column — seed-biased PageRank's only change
+        r = (s["b"].to_numpy(np.float64).copy() if mode == "psum"
+             else np.full(len(s), base))
         if agg is not None:
             pos = s.set_index("node").index.get_indexer(agg.index)
             r[pos[pos >= 0]] += agg.to_numpy()[pos >= 0]
-        return pa.Table.from_pandas(
-            pd.DataFrame({"node": s["node"].to_numpy(), "r": r}),
-            preserve_index=False)
+        cols = {"node": s["node"].to_numpy(), "r": r}
+        if mode == "psum":
+            cols["b"] = s["b"].to_numpy(np.float64)
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False)
     lab = s["label"].to_numpy().copy()
     if len(m):
         agg = m.groupby("node", sort=False)["c"].min()
@@ -460,3 +465,45 @@ def kcore_peel(nodes: rd.Dataset, edges: rd.Dataset, k: int = 4,
                              "in_core": d >= k, "deg": d})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def pagerank_personalized(nodes: rd.Dataset, edges: rd.Dataset,
+                          seed_mod: int = 20, iters: int = 3,
+                          damping: float = 0.85,
+                          num_partitions: int | None = None) -> rd.Dataset:
+    """Personalized (seed-biased) PageRank — the topic-sensitive variant
+    a crawl uses to prioritize pages near its seed list: the teleport
+    mass lands ONLY on seed nodes (here ``node % seed_mod == 0``, so the
+    seed set is restatable in SQL) instead of uniformly. Identical BSP
+    discipline to ``pagerank``; the only change is a per-node base
+    column carried in the state (mode "psum"). Start state r0 = b
+    (teleport distribution), the unrolled-oracle convention."""
+    n_total = nodes.count()
+    n_seeds = (n_total + seed_mod - 1) // seed_mod  # nodes 0,20,40,...
+    P = _pick_p(n_total, num_partitions)
+
+    from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
+    deg_ds = rd.from_arrow_refs(
+        [ray.remote(_degree_table).remote(r) for r in edges.to_arrow_refs()])
+    deg_full = grouped_shuffle(
+        deg_ds, ["src"],
+        lambda df: (df.groupby("src", sort=False)["outdeg"].sum()
+                    .astype(np.float64).reset_index()),
+        num_partitions=P)
+    edges_w = hash_join(edges, deg_full, on=["src"], num_partitions=P)
+
+    base = (1.0 - damping) / n_seeds
+
+    def init(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        b = np.where(node % seed_mod == 0, base, 0.0)
+        return pa.table({"node": t.column("node"),
+                         "r": pa.array(b, pa.float64()),
+                         "b": pa.array(b, pa.float64())})
+
+    state0 = nodes.map_batches(init, batch_format="pyarrow")
+    out = _bsp(_presplit(state0, ["node"], P),
+               _presplit(edges_w, ["src"], P),
+               "psum", iters, damping, 0.0, P)
+    return out.map_batches(lambda t: t.select(["node", "r"]),
+                           batch_format="pyarrow")
