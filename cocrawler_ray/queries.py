@@ -6509,6 +6509,42 @@ def q_pagerank_personalized(sf_dir: str):
         batch_format="pandas")
 
 
+@_q("q_cluster_sizes", """
+WITH comp AS (COMPONENTS_BODY)
+SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT label, CAST(count(*) AS BIGINT) AS csize
+      FROM comp GROUP BY label)
+GROUP BY 1
+""")
+def q_cluster_sizes(sf_dir: str):
+    # dedup observability: the cluster-SIZE histogram of the phash
+    # near-dup components ("how big are my duplicate groups?" — the
+    # number every dedup report leads with). Components come from the
+    # real BSP pass; the two-level count uses the q_custdist trick —
+    # each partition emits value_counts OF its per-label counts, so the
+    # driver sees O(distinct sizes), never O(clusters). Oracle splices
+    # the components restatement as a CTE.
+    comp = QUERIES["q_image_clusters"](sf_dir)
+
+    def dist_of_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"csize": pd.Series(dtype=np.int64),
+                                 "n_clusters": pd.Series(dtype=np.int64)})
+        sizes = df.groupby("label", sort=False).size()
+        vc = sizes.value_counts()
+        return pd.DataFrame({"csize": vc.index.to_numpy(np.int64),
+                             "n_clusters": vc.to_numpy(np.int64)})
+
+    parts = exchange.grouped_shuffle(comp, ["label"], dist_of_sizes)
+    out = partial_groupby_agg(parts, ["csize"],
+                              {"n_clusters": ("n_clusters", "sum")})
+    return out.astype({"csize": np.int64, "n_clusters": np.int64})
+
+
+ORACLE["q_cluster_sizes"] = ORACLE["q_cluster_sizes"].replace(
+    "COMPONENTS_BODY", ORACLE["q_image_clusters"])
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
