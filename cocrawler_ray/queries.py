@@ -6545,6 +6545,67 @@ ORACLE["q_cluster_sizes"] = ORACLE["q_cluster_sizes"].replace(
     "COMPONENTS_BODY", ORACLE["q_image_clusters"])
 
 
+@_q("q_trend_slope", """
+WITH e AS (SELECT user_id,
+                  (epoch_us(ts) - min(epoch_us(ts))
+                      OVER (PARTITION BY user_id)) // 86400000000 AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events),
+s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM e GROUP BY 1)
+SELECT user_id,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (n * sxx - sx * sx) * 1000000) AS BIGINT)
+       END AS slope_micro
+FROM s
+""")
+def q_trend_slope(sf_dir: str):
+    # per-entity trend detection (the OLS slope feature of churn/growth
+    # models): slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = days
+    # since the user's FIRST event (rebasing keeps x small enough that
+    # every sum is exact int64 — raw epoch-us would overflow x^2) and
+    # y = integer cents. One user-keyed exchange; all five sums fold
+    # vectorized in the reduce; ships as the floor-micro integer of an
+    # identical double division (NULL when x is constant).
+    def slopes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "slope_micro": pd.Series(dtype=np.float64)})
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        y = textops.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame({"u": df["user_id"].to_numpy(np.int64),
+                          "us": us, "y": y})
+        d["x"] = (d["us"] - d.groupby("u")["us"].transform("min")) \
+            // 86_400_000_000
+        g = d.groupby("u", sort=False)
+        agg = pd.DataFrame({
+            "n": g.size().astype(np.int64),
+            "sx": g["x"].sum().astype(np.int64),
+            "sy": g["y"].sum().astype(np.int64),
+            "sxy": (d["x"] * d["y"]).groupby(d["u"]).sum()
+            .astype(np.int64),
+            "sxx": (d["x"] * d["x"]).groupby(d["u"]).sum()
+            .astype(np.int64)})
+        den = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+        num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+        slope = np.floor(num.to_numpy(np.float64)
+                         / np.where(den == 0, 1, den.to_numpy(np.float64))
+                         * 1e6)
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(np.int64),
+            "slope_micro": np.where(den.to_numpy(np.int64) == 0,
+                                    np.nan, slope)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "ts", "value"]),
+        ["user_id"], slopes)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
