@@ -6606,6 +6606,29 @@ def q_trend_slope(sf_dir: str):
         ["user_id"], slopes)
 
 
+@_q("q_lead_value", """
+SELECT event_id, user_id, value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_value
+FROM events QUALIFY next_value IS NOT NULL
+""")
+def q_lead_value(sf_dir: str):
+    # forward windowed offset (next value per user in event-time order) —
+    # completes the lag/lead pair with the identical entity-exchange +
+    # vectorized shift(-1) shape as q_lag_value.
+    def lead1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        nxt = df.groupby("user_id", sort=False,
+                         observed=True)["value"].shift(-1)
+        out = df.assign(next_value=nxt)
+        out = out[out["next_value"].notna()]
+        return out[["event_id", "user_id", "value", "next_value"]]
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"], lead1)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
