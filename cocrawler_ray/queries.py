@@ -6629,6 +6629,92 @@ def q_lead_value(sf_dir: str):
         ["user_id"], lead1)
 
 
+@_q("q_mom_growth", """
+WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY 1)
+SELECT month, CAST(c AS BIGINT) AS rev_cents,
+       CASE WHEN lag(c) OVER (ORDER BY month) IS NULL THEN NULL
+            ELSE CAST(floor(CAST(c - lag(c) OVER (ORDER BY month)
+                                 AS DOUBLE)
+                            / lag(c) OVER (ORDER BY month) * 1000000)
+                      AS BIGINT) END AS growth_micro
+FROM m
+""")
+def q_mom_growth(sf_dir: str):
+    # month-over-month growth (the universal trend KPI): revenue reduces
+    # to month grain through the combiner — the result is O(months), so
+    # the consecutive-period ratio is driver math over exact cents;
+    # growth ships floor-micro (first month NULL).
+    def cents(t: pa.Table) -> pa.Table:
+        c = textops.round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        month = (window._ts_us(t["o_orderdate"]).astype("datetime64[us]")
+                 .astype("datetime64[M]").astype(str))
+        return pa.table({"month": pa.array(month, pa.string()),
+                         "c": pa.array(c, pa.int64())})
+
+    m = partial_groupby_agg(
+        read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow"),
+        ["month"], {"c": ("c", "sum")}).sort_values("month")
+    c = m["c"].to_numpy(np.int64)
+    prev = np.roll(c, 1).astype(np.float64)
+    growth = np.floor((c - np.roll(c, 1)).astype(np.float64)
+                      / prev * 1e6)
+    growth[0] = np.nan
+    return pd.DataFrame({"month": m["month"].to_numpy(),
+                         "rev_cents": c, "growth_micro": growth})
+
+
+@_q("q_dedup_savings", """
+WITH g AS (SELECT text, CAST(count(*) AS BIGINT) AS n,
+                  CAST(max(n_chars) AS BIGINT) AS len
+           FROM documents GROUP BY text)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n - 1) AS BIGINT) AS n_dropped,
+       CAST(sum((n - 1) * len) AS BIGINT) AS chars_saved
+FROM g
+""")
+def q_dedup_savings(sf_dir: str):
+    # dedup observability #2: the byte-savings report of exact dedup —
+    # per content group, (count-1) losers each worth the group's length;
+    # three scalars summarize the whole run. Per-block (text, n, len)
+    # partials -> one content-keyed exchange finishes group counts ->
+    # O(P) scalar partials to the driver.
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"text": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "len": pd.Series(dtype=np.int64)})
+        g = (df.groupby("text", sort=False)
+             .agg(n=("doc_id", "size"), len=("n_chars", "max"))
+             .reset_index())
+        return g.astype({"n": np.int64, "len": np.int64})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n_groups": pd.Series(dtype=np.int64),
+                                 "n_dropped": pd.Series(dtype=np.int64),
+                                 "chars_saved": pd.Series(dtype=np.int64)})
+        g = (df.groupby("text", sort=False)
+             .agg(n=("n", "sum"), len=("len", "max")).reset_index())
+        return pd.DataFrame({
+            "n_groups": [len(g)],
+            "n_dropped": [int((g["n"] - 1).sum())],
+            "chars_saved": [int(((g["n"] - 1) * g["len"]).sum())]})
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(partials, batch_format="pandas"),
+        ["text"], finish).to_pandas()
+    return pd.DataFrame({
+        "n_groups": [int(parts["n_groups"].sum())],
+        "n_dropped": [int(parts["n_dropped"].sum())],
+        "chars_saved": [int(parts["chars_saved"].sum())]})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
