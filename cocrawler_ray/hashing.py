@@ -185,7 +185,9 @@ def zorder_key(x: np.ndarray, y: np.ndarray, bits: int = 12) -> np.ndarray:
     partitioning by the z-value co-locates rows close in BOTH dimensions,
     so min-max pruning works on either column (Delta/Iceberg OPTIMIZE
     ZORDER semantics). Vectorized magic-constant bit spreading; exact
-    int64 output (2*bits <= 48)."""
+    int64 output (2*bits <= 32 — the 32-bit spread masks cap each column
+    at 16 bits; widen them to 0x0000FFFF0000FFFF-style 64-bit constants
+    if wider z-values are ever needed)."""
     if bits > 16:
         raise ValueError("bits > 16 would overflow the 32-bit spread")
 

@@ -23,6 +23,8 @@ restated analytically).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -81,6 +83,13 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None,
     blocks = max(1, min(2 * cpus, rows // 32_000 + 1))
     blocks = min(max(blocks, min_blocks), max(rows, 1))
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+def _tbl_bytes(sf_dir: str, table: str) -> int:
+    """On-disk size of a table — the estimate fed to
+    exchange.materialize_if_small when a multi-consumer dataset's lineage
+    is a (possibly mapped) pruned scan of that table."""
+    return os.path.getsize(f"{sf_dir}/{table}.parquet")
 
 
 # ===========================================================================
@@ -394,14 +403,16 @@ SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
 FROM events GROUP BY event_type
 """)
 def q_latency_percentile(sf_dir: str):
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "p50": [round(float(np.percentile(v, 50)), 6)],
-                             "p95": [round(float(np.percentile(v, 95)), 6)]})
-
-    return (read(sf_dir, "events", ["event_type", "value"])
-            .groupby("event_type").map_groups(pct, batch_format="pandas"))
+    """Per-group exact quantile_cont via the histogram combiner + group
+    exchange (agg.grouped_quantile_cont) — the former
+    ``groupby().map_groups`` form required every row of a hot event_type
+    in one reducer's memory; this one is bounded by the value DOMAIN."""
+    out = agg.grouped_quantile_cont(
+        read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"], "value", {"p50": 0.5, "p95": 0.95})
+    out["p50"] = out["p50"].round(6)
+    out["p95"] = out["p95"].round(6)
+    return out
 
 
 @_q("q_distinct_hosts", """
@@ -1787,18 +1798,21 @@ GROUP BY ROLLUP(r_name, n_name)
 """)
 def q_rollup_revenue(sf_dir: str):
     # hierarchical ROLLUP aggregate (region > nation > grand total): the
-    # dimension chain supplier->nation->region is composed driver-side
-    # (small by contract) and broadcast into the fact scan; the fact table
+    # CONSTANT-size nation->region chain composes driver-side and
+    # broadcasts into the SF-scaled supplier scan (supplier itself never
+    # lands on the driver); the fact table joins via auto_join and
     # reduces through the combiner at the FINEST level only, and the
     # coarser rollup levels are derived from the (O(nations)) result — the
     # rollup itself never rescans or reshuffles the fact table.
-    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     nat = read(sf_dir, "nation",
                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    dim = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
-           .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
-           [["s_suppkey", "n_name", "r_name"]])
+    nr = (nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+          [["n_nationkey", "n_name", "r_name"]])
+    dim = joins.broadcast_join(
+        read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        nr, "s_nationkey", "n_nationkey").select_columns(
+        ["s_suppkey", "n_name", "r_name"])
 
     def disc(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
@@ -1808,7 +1822,7 @@ def q_rollup_revenue(sf_dir: str):
     fact = (read(sf_dir, "lineitem",
                  ["l_suppkey", "l_extendedprice", "l_discount"])
             .map_batches(disc, batch_format="pyarrow"))
-    joined = joins.broadcast_join(fact, dim, "l_suppkey", "s_suppkey")
+    joined = joins.auto_join(fact, dim, "l_suppkey", "s_suppkey")
     fine = partial_groupby_agg(joined, ["r_name", "n_name"],
                                {"rev_raw": ("rev_raw", "sum"),
                                 "n": (None, "count")})
@@ -2042,11 +2056,14 @@ FROM r
 def q_revenue_share(sf_dir: str):
     # ratio-to-total (percent-of-total window): the fact table reduces
     # through the combiner at nation grain; the share divides within the
-    # O(nations) driver table — the global total never needs a second scan.
-    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    # O(nations) driver table — the global total never needs a second
+    # scan. Supplier is SF-scaled, so its nation lookup composes
+    # DISTRIBUTED (nation broadcasts into the supplier scan) and the fact
+    # side joins via auto_join — no driver gather of supplier rows.
     nat = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")[
-        ["s_suppkey", "n_name"]]
+    dim = joins.broadcast_join(
+        read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        nat[["n_nationkey", "n_name"]], "s_nationkey", "n_nationkey")
 
     def disc(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
@@ -2054,7 +2071,7 @@ def q_revenue_share(sf_dir: str):
         return pa.table({"l_suppkey": t["l_suppkey"], "raw": rev})
 
     fine = partial_groupby_agg(
-        joins.broadcast_join(
+        joins.auto_join(
             read(sf_dir, "lineitem",
                  ["l_suppkey", "l_extendedprice", "l_discount"])
             .map_batches(disc, batch_format="pyarrow"),
@@ -4044,9 +4061,9 @@ def q_large_orders(sf_dir: str):
     orders = read(sf_dir, "orders",
                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     joined = joins.auto_join(big, orders, "l_orderkey", "o_orderkey")
-    cust = read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    out = joins.broadcast_join(joined, cust, "o_custkey",
-                               "c_custkey").to_pandas()
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = joins.auto_join(joined, cust, "o_custkey",
+                          "c_custkey").to_pandas()
     return pd.DataFrame({
         "c_custkey": out["o_custkey"].to_numpy(np.int64),
         "c_name": out["c_name"],
@@ -4078,10 +4095,10 @@ def q_promo_revenue(sf_dir: str):
     # combiner, and the month-grain ratio divides identical int64-derived
     # doubles in the identical order — the q_returned_revenue exactness
     # rule applied to a ratio aggregate.
-    dim = read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    dim = read(sf_dir, "part", ["p_partkey", "p_type"])
     li = read(sf_dir, "lineitem",
               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    joined = joins.broadcast_join(li, dim, "l_partkey", "p_partkey")
+    joined = joins.auto_join(li, dim, "l_partkey", "p_partkey")
 
     def cents(t: pa.Table) -> pa.Table:
         ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -4141,12 +4158,14 @@ def q_local_supplier_volume(sf_dir: str):
     # distinguishing feature is the CROSS-PATH equality c_nationkey =
     # s_nationkey — the customer's nation arrives via orders, the
     # supplier's via lineitem, and they must meet. Plan: region⋈nation
-    # prunes to the ASIA nation set on the driver (O(nations)); supplier
-    # and customer project to key→nationkey maps, pre-filtered to ASIA
-    # (dimension contract: broadcast; auto_join would hash-exchange them
-    # at fact scale); orders date-filters at the scan and carries the
-    # customer nation through the one fact-fact exchange with lineitem;
-    # the final filter + nation-grain combiner run inside the scan.
+    # prunes to the ASIA nation set on the driver (O(nations) only —
+    # region/nation are constant-size); customer and supplier are
+    # SF-SCALED, so they stay distributed: an ASIA semi-filter inside
+    # the scan, then auto_join size-dispatches each side (broadcast when
+    # it fits a worker heap, hash exchange past that — never a driver
+    # gather); orders date-filters at the scan and carries the customer
+    # nation through the fact-fact exchange with lineitem; the final
+    # filter + nation-grain combiner run inside the scan.
     nat = read(sf_dir, "nation",
                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -4155,10 +4174,13 @@ def q_local_supplier_volume(sf_dir: str):
     asia_keys = set(asia["n_nationkey"].astype(int))
     names = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
 
-    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(asia_keys)]
-    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    sup = sup[sup["s_nationkey"].isin(asia_keys)]
+    asia_arr = np.fromiter(sorted(asia_keys), np.int64)
+    cust = joins.broadcast_semi(
+        read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        asia_arr, "c_nationkey")
+    sup = joins.broadcast_semi(
+        read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        asia_arr, "s_nationkey")
 
     lo = np.datetime64("1996-01-01", "us").astype(np.int64)
     hi = np.datetime64("1997-01-01", "us").astype(np.int64)
@@ -4172,9 +4194,9 @@ def q_local_supplier_volume(sf_dir: str):
     orders = (read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(o_filter, batch_format="pyarrow"))
-    # orders pick up the customer's nation (broadcast inner join also
-    # applies the ASIA semi-filter)
-    orders = joins.broadcast_join(orders, cust, "o_custkey", "c_custkey")
+    # orders pick up the customer's nation (the inner join also applies
+    # the ASIA semi-filter); size-dispatched, never driver-gathered
+    orders = joins.auto_join(orders, cust, "o_custkey", "c_custkey")
 
     def li_cents(t: pa.Table) -> pa.Table:
         ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -4188,7 +4210,7 @@ def q_local_supplier_volume(sf_dir: str):
     li = (read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
           .map_batches(li_cents, batch_format="pyarrow"))
-    li = joins.broadcast_join(li, sup, "l_suppkey", "s_suppkey")
+    li = joins.auto_join(li, sup, "l_suppkey", "s_suppkey")
     joined = joins.auto_join(li, orders, "l_orderkey", "o_orderkey")
 
     def local_only(t: pa.Table) -> pa.Table:
@@ -4436,10 +4458,11 @@ def q_bloom_semijoin(sf_dir: str):
     # the shuffle volume. n_bits is sized ~10 bits/key (<1% FP at k=7).
     from cocrawler_ray.stages.sketch import BloomFilter, bloom_from_dataset
 
-    urgent = (read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-              .filter(expr="o_orderpriority == '1-URGENT'")
-              .select_columns(["o_orderkey"])
-              .materialize())  # consumed twice: bloom build + exact join
+    urgent = exchange.materialize_if_small(  # consumed twice: bloom
+        read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])  # build
+        .filter(expr="o_orderpriority == '1-URGENT'")     # + exact join
+        .select_columns(["o_orderkey"]),
+        _tbl_bytes(sf_dir, "orders"))
     nb = 1 << 15
     bits = bloom_from_dataset(urgent, "o_orderkey", n_bits=nb, k=7).bits
     bits_ref = ray.put(bits.tobytes())
@@ -4653,10 +4676,14 @@ def q_small_qty_revenue(sf_dir: str):
     # count, not the corpus — and a second scan broadcasts it and sums
     # integer cents under the threshold. Two streaming scans, zero
     # shuffles; both sides compute the threshold as 0.2*(sum/n) in
-    # float64 over integral quantities.
-    part = read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    keys = np.sort(part.loc[part["p_brand"] == "Brand#3", "p_partkey"]
-                   .to_numpy(np.int64))
+    # float64 over integral quantities. The brand filter runs INSIDE the
+    # part scan, so only the brand's keys ever reach the driver.
+    keys_df = (read(sf_dir, "part", ["p_partkey", "p_brand"])
+               .filter(expr="p_brand == 'Brand#3'")
+               .select_columns(["p_partkey"]).to_pandas())
+    # an all-empty filtered Dataset loses its columns through to_pandas
+    keys = (np.sort(keys_df["p_partkey"].to_numpy(np.int64))
+            if len(keys_df) else np.array([], np.int64))
     keys_ref = ray.put(keys)
 
     def brand_only(t: pa.Table) -> pa.Table:
@@ -4731,7 +4758,9 @@ def q_global_avg_anti(sf_dir: str):
                          "c_nationkey": t["c_nationkey"],
                          "bal_c": pa.array(c, pa.int64())})
 
-    cust = cust.map_batches(cents, batch_format="pyarrow").materialize()
+    cust = exchange.materialize_if_small(
+        cust.map_batches(cents, batch_format="pyarrow"),
+        _tbl_bytes(sf_dir, "customer"))
 
     def pos_partial(t: pa.Table) -> pa.Table:
         b = t["bal_c"].to_numpy(zero_copy_only=False)
@@ -4799,7 +4828,11 @@ def q_top_supplier(sf_dir: str):
         .map_batches(cents, batch_format="pyarrow"),
         ["l_suppkey"], {"cents": ("cents", "sum")})
     best = rev[rev["cents"] == rev["cents"].max()]
-    sup = read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    # gather ONLY the winner's supplier row(s) — a semi-filter inside the
+    # supplier scan, never the SF-scaled table
+    sup = (joins.broadcast_semi(
+        read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        best["l_suppkey"].to_numpy(np.int64), "s_suppkey").to_pandas())
     out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
     return pd.DataFrame({
         "s_suppkey": out["s_suppkey"].astype(np.int64),
@@ -4819,22 +4852,31 @@ GROUP BY 1, 2
 """)
 def q_supplier_cnt(sf_dir: str):
     # TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) per
-    # group under a NOT IN exclusion list. Plan: part attributes and the
-    # excluded-supplier set are dimensions — both broadcast; each block
-    # dedups its (brand, size, suppkey) triples BEFORE the exchange (the
-    # distinct-combiner: shuffle volume is bounded by distinct triples,
-    # not lineitems), then one grouped exchange finishes the distinct
-    # count per (brand, size) in its reduce.
-    part = read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
-        .to_pandas()
-    part = part[(part["p_brand"] != "Brand#1") &
-                (part["p_size"].isin([1, 5, 9, 13]))]
-    sup = read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = np.sort(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"]
-                  .to_numpy(np.int64))
+    # group under a NOT IN exclusion list. Plan: the part filter runs
+    # INSIDE the part scan and auto_join size-dispatches the filtered
+    # side (part is SF-scaled — no driver gather); only the excluded
+    # suppliers (a filtered subset) land on the driver for the broadcast
+    # NOT-IN set; each block dedups its (brand, size, suppkey) triples
+    # BEFORE the exchange (the distinct-combiner: shuffle volume is
+    # bounded by distinct triples, not lineitems), then one grouped
+    # exchange finishes the distinct count per (brand, size).
+    def part_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(t["p_brand"], pa.scalar("Brand#1")),
+                       pc.is_in(t["p_size"],
+                                value_set=pa.array([1, 5, 9, 13])))
+        return t.filter(keep)
+
+    part = (read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+            .map_batches(part_filter, batch_format="pyarrow"))
+    bad_df = (read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+              .filter(expr="s_acctbal < 0")
+              .select_columns(["s_suppkey"]).to_pandas())
+    # an all-empty filtered Dataset loses its columns through to_pandas
+    bad = (np.sort(bad_df["s_suppkey"].to_numpy(np.int64))
+           if len(bad_df) else np.array([], np.int64))
     bad_ref = ray.put(bad)
 
-    li = joins.broadcast_join(
+    li = joins.auto_join(
         read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
         part, "l_partkey", "p_partkey")
 
@@ -4885,22 +4927,25 @@ GROUP BY 1, 2, 3
 def q_nation_volume(sf_dir: str):
     # TPC-H Q7 shape (volume shipping between two nations): like Q5's
     # cross-path join but grouped on the ORDERED nation PAIR plus ship
-    # year, with a symmetric disjunctive pair filter. Supplier/customer
-    # nation maps broadcast pre-filtered to the two nations (dimension
-    # contract); orders carry the customer nation through the one
-    # fact-fact exchange; the pair filter + year extraction + combiner
-    # run in-scan. Group domain is O(2 x years).
+    # year, with a symmetric disjunctive pair filter. Customer and
+    # supplier are SF-scaled, so they stay distributed: a two-nation
+    # semi-filter inside the scan, then auto_join size-dispatches each
+    # side (no driver gather); orders carry the customer nation through
+    # the fact-fact exchange; the pair filter + year extraction +
+    # combiner run in-scan. Group domain is O(2 x years).
     nat = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     pick = nat[nat["n_name"].isin(["NATION_3", "NATION_9"])]
     names = dict(zip(pick["n_nationkey"].astype(int), pick["n_name"]))
-    keys = set(names)
+    keys_arr = np.fromiter(sorted(names), np.int64)
 
-    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(keys)]
-    sup = read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    sup = sup[sup["s_nationkey"].isin(keys)]
+    cust = joins.broadcast_semi(
+        read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        keys_arr, "c_nationkey")
+    sup = joins.broadcast_semi(
+        read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        keys_arr, "s_nationkey")
 
-    orders = joins.broadcast_join(
+    orders = joins.auto_join(
         read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         cust, "o_custkey", "c_custkey")
 
@@ -4926,7 +4971,7 @@ def q_nation_volume(sf_dir: str):
                ["l_orderkey", "l_suppkey", "l_shipdate",
                 "l_extendedprice", "l_discount"])
           .map_batches(li_prep, batch_format="pyarrow"))
-    li = joins.broadcast_join(li, sup, "l_suppkey", "s_suppkey")
+    li = joins.auto_join(li, sup, "l_suppkey", "s_suppkey")
     joined = joins.auto_join(li, orders, "l_orderkey", "o_orderkey")
 
     def pair_filter(t: pa.Table) -> pa.Table:
@@ -5168,7 +5213,9 @@ def q_watermark_late(sf_dir: str):
     # global max through O(blocks) partials (one int64 per block); pass 2
     # broadcasts the scalar and counts late rows per type in the
     # combiner. Integer microsecond timestamps keep both sides exact.
-    ev = read(sf_dir, "events", ["ts", "event_type"]).materialize()
+    ev = exchange.materialize_if_small(
+        read(sf_dir, "events", ["ts", "event_type"]),
+        _tbl_bytes(sf_dir, "events"))
 
     def ts_max(t: pa.Table) -> pa.Table:
         us = window._ts_us(t["ts"])
@@ -5554,8 +5601,9 @@ def q_snapshot_diff(sf_dir: str):
         return pa.table({"k2": pa.array(k[m], pa.int64()),
                          "v2": pa.array(v[m], pa.int64())})
 
-    ords = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
-        .materialize()
+    ords = exchange.materialize_if_small(
+        read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        _tbl_bytes(sf_dir, "orders"))
     v1 = ords.map_batches(v1_rows, batch_format="pyarrow")
     v2 = ords.map_batches(v2_rows, batch_format="pyarrow")
     j = exchange.hash_join(v1, v2, on=["k"], right_on=["k2"],
@@ -5729,7 +5777,9 @@ def q_decay_score(sf_dir: str):
     # window when summed). 2^-age is EXACT in float64 for any age, and
     # both sides take the identical *1e6 + 0.5 floor. Plan: O(blocks)
     # global-max partials -> broadcast scalar -> per-user combiner.
-    ev = read(sf_dir, "events", ["ts", "user_id"]).materialize()
+    ev = exchange.materialize_if_small(
+        read(sf_dir, "events", ["ts", "user_id"]),
+        _tbl_bytes(sf_dir, "events"))
 
     def ts_max(t: pa.Table) -> pa.Table:
         us = window._ts_us(t["ts"])
@@ -5849,7 +5899,9 @@ def q_quantile_rank(sf_dir: str):
     # domain, and a second streaming scan broadcasts the value ->
     # n_smaller map. Ranks are exact integers; ties share a rank, as
     # SQL's rank() states.
-    ev = read(sf_dir, "events", ["event_id", "value"]).materialize()
+    ev = exchange.materialize_if_small(
+        read(sf_dir, "events", ["event_id", "value"]),
+        _tbl_bytes(sf_dir, "events"))
 
     def vcounts(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -6332,8 +6384,9 @@ def q_schema_profile(sf_dir: str):
     # uniques, the driver sums O(P) counts. Min/max fold from per-block
     # partials. Integer min/max render through str() (== SQL's CAST AS
     # VARCHAR for integers); strings compare bytewise on both sides.
-    ev = read(sf_dir, "events",
-              ["event_id", "user_id", "event_type"]).materialize()
+    ev = exchange.materialize_if_small(
+        read(sf_dir, "events", ["event_id", "user_id", "event_type"]),
+        _tbl_bytes(sf_dir, "events"))
     out = []
     for col in ("event_id", "user_id", "event_type"):
         uniq = ev.map_batches(
@@ -6373,8 +6426,10 @@ def q_hot_keys(sf_dir: str):
         return pa.table({"k": pa.array(
             np.where(ok % 10 == 0, 0, ok).astype(np.int64))})
 
-    ds = read(sf_dir, "lineitem", ["l_orderkey"]) \
-        .map_batches(l_rows, batch_format="pyarrow").materialize()
+    ds = exchange.materialize_if_small(
+        read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(l_rows, batch_format="pyarrow"),
+        _tbl_bytes(sf_dir, "lineitem"))
     hot = exchange.detect_hot_keys(ds, "k", 400)
     if not len(hot):
         return pd.DataFrame({"k": pd.Series(dtype=np.int64),
@@ -6728,56 +6783,63 @@ def q_dedup_savings(sf_dir: str):
 # ===========================================================================
 
 _PRIORITY = [
+    # ROUND-4 ROTATION: the driver hard-checks only the first 50
+    # registered queries; 76 distinct queries are cumulatively
+    # driver-proven through CORRECTNESS_r01-r03. This round rotates 16
+    # r01-r03-proven basics out (each family keeps at least one
+    # driver-proven member, and every rotated-out query stays green in
+    # tests/test_queries_conformance.py + tools/check_queries.py) and
+    # rotates in 16 queries that have never had a driver row —
+    # substring-dup, graph link analysis (HITS/k-core/triangles), the
+    # TPC-H join trees (Q5/Q7/Q13/Q16), the window/rank family, the
+    # skew census, BM25, bloom-semijoin, watermark, quantile-rank, and
+    # the round-4-rewritten q_latency_percentile.
     # crawl-semantic operators (urls/parse/seeds/content)
-    "q_canonicalize", "q_link_extract", "q_redirect_chain",
-    "q_content_gate", "q_seed_expand", "q_frontier_order",
-    # joins: broadcast, anti, hash-exchange, asof, range, full outer,
-    # skew-aware hybrid (hot keys broadcast, cold keys hashed — takes the
-    # slot q_full_outer_join held; the outer-join family keeps
-    # q_left_join's local check and test_exchange coverage)
-    "q_anti_join_seen", "q_robots_join", "q_fetch_join", "q_asof_join",
-    "q_range_join", "q_skew_hybrid_join",
-    # dedup family: exact, MinHash-LSH, SimHash, phash-Hamming,
-    # embedding-LSH, semantic (SemDeDup), keep-best
-    "q_exact_dedup", "q_minhash_dedup", "q_simhash",
-    "q_phash_hamming", "q_embed_neardup_lsh", "q_semantic_dedup",
-    "q_image_keep_best", "q_paragraph_dedup",
-    # LLM-curation: decontamination, repetition gate, quantile gate,
-    # perplexity filter, sequence packing, end-to-end curation
-    # (q_dedup_first yields its row to q_perplexity_gate: the exact-
-    # dedup family keeps q_exact_dedup's driver row)
-    "q_decontaminate", "q_repetition", "q_quality_gate",
-    "q_perplexity_gate", "q_token_pack", "q_curate_corpus",
-    # text analytics
-    "q_tfidf",
-    # similarity search: brute-force, IVF, k-means assign (the LSH
-    # variant is local-checked; its family keeps two driver rows)
-    "q_ann_cosine", "q_ann_ivf", "q_kmeans_assign",
+    "q_canonicalize", "q_link_extract", "q_frontier_order",
+    # joins: broadcast/anti/hash-exchange (proven family reps), the
+    # skew-aware hybrid, the bloom-prefiltered semi-join, and the
+    # TPC-H Q5/Q7 cross-path join trees (both rebuilt this round on
+    # auto_join — no driver-side gathers of SF-scaled sides)
+    "q_anti_join_seen", "q_robots_join", "q_fetch_join",
+    "q_skew_hybrid_join", "q_bloom_semijoin",
+    "q_local_supplier_volume", "q_nation_volume",
+    # dedup family: exact, MinHash-LSH, embedding-LSH, semantic
+    # (SemDeDup), paragraph/span, substring-duplication fraction
+    "q_exact_dedup", "q_minhash_dedup", "q_embed_neardup_lsh",
+    "q_semantic_dedup", "q_paragraph_dedup", "q_substring_dup",
+    # LLM-curation: decontamination, perplexity filter, sequence
+    # packing, end-to-end curation
+    "q_decontaminate", "q_perplexity_gate", "q_token_pack",
+    "q_curate_corpus",
+    # text retrieval/analytics
+    "q_tfidf", "q_bm25",
+    # similarity search: brute-force, IVF
+    "q_ann_cosine", "q_ann_ivf",
     # sampling / mixing
-    "q_weighted_sample", "q_source_mix",
-    # event-time windows / sessions
-    "q_window_agg", "q_sessionize",
-    # graph (BSP)
-    "q_pagerank", "q_image_clusters",
-    # multimodal actor-pool stages (resize is local-checked; the decode
-    # family keeps q_image_decode_stats' driver row; q_psnr_gate IS the
-    # north rule's per-row PSNR>=40dB invariant, so it takes the slot
-    # q_date_rollup held — the scalar family keeps q_json_extract)
-    # (q_image_decode_stats yields its row to q_curate_images — the
-    # end-to-end image pipeline subsumes decode+gates+dedup; the decode
-    # family keeps local checks + T coverage)
+    "q_source_mix",
+    # event-time windows / sessions / rank / watermark
+    "q_sessionize", "q_window_frame", "q_rank_events",
+    "q_watermark_late",
+    # graph (BSP): PageRank, components, HITS, k-core, triangles
+    "q_pagerank", "q_image_clusters", "q_hits", "q_kcore",
+    "q_triangle_count",
+    # multimodal actor-pool stages (q_psnr_gate IS the north rule's
+    # per-row PSNR>=40dB invariant)
     "q_curate_images", "q_clip_score_gate", "q_psnr_gate",
     # scalar function surface
     "q_json_extract",
-    # stats (q_heavy_hitters yields its row to q_cdc_chunks: the stats
-    # family keeps q_zscore; payload chunking gains driver coverage)
-    "q_zscore", "q_cdc_chunks",
-    # aggregates / top-k / distinct
+    # stats: payload chunking, exact quantile-rank normalization, the
+    # per-group exact percentile (rewritten this round on the histogram
+    # combiner — no native groupby), the skew census
+    "q_cdc_chunks", "q_quantile_rank", "q_latency_percentile",
+    "q_hot_keys",
+    # aggregates / top-k / distinct / TPC-H Q13 & Q16 shapes
     "q_pricing_summary", "q_topk_hosts", "q_distinct_hosts",
-    # set ops / grouping sets
-    "q_union_links", "q_cube_revenue",
+    "q_custdist", "q_supplier_cnt",
+    # grouping sets
+    "q_cube_revenue",
     # sketches (integer-exact register/counter/bit rows)
-    "q_approx_distinct", "q_approx_topk", "q_bloom",
+    "q_approx_distinct", "q_bloom",
 ]
 
 

@@ -162,6 +162,64 @@ def exact_quantile_cont(ds: rd.Dataset, col: str, q: float) -> float:
     return float(v_lo + (h - lo) * (v_hi - v_lo))
 
 
+def grouped_quantile_cont(ds: rd.Dataset, keys: list[str], col: str,
+                          qs: dict[str, float]) -> pd.DataFrame:
+    """EXACT per-group linear-interpolation quantiles (SQL
+    ``quantile_cont(col, q) ... GROUP BY keys``) without a sort-based
+    all-to-all of the raw rows and without requiring a whole group's rows
+    in one worker (the ``groupby().map_groups`` anti-pattern this
+    replaces — a hot group at 100 TB would OOM its reducer).
+
+    Plan: (1) each block reduces to a ``(keys..., col) -> count``
+    histogram partial inside ``map_batches`` — one streaming pass, memory
+    bounded by the block's distinct (group, value) pairs; (2) the tiny
+    partials hash-exchange by the GROUP keys (``grouped_shuffle``), so a
+    reducer holds O(distinct values) per group — bounded by the value
+    DOMAIN (latencies, scores, lengths), never the group's row count; (3)
+    each quantile reads off the cumulative counts with the same
+    interpolation as :func:`exact_quantile_cont`.
+
+    ``qs``: out_col -> fraction in [0, 1]. Returns one row per group with
+    columns [*keys, *qs] as float64."""
+    out_cols = [*keys, *qs]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                 for c in [*keys, col, "cnt"]})
+        return (df.groupby([*keys, col], sort=False, observed=True)
+                .size().rename("cnt").reset_index())
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or any(k not in df.columns for k in keys):
+            return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                                 for c in out_cols})
+        hist = (df.groupby([*keys, col], sort=False, observed=True)["cnt"]
+                .sum().reset_index().sort_values([*keys, col]))
+        rows = []
+        for gk, g in hist.groupby(keys, sort=False, observed=True):
+            vals = g[col].to_numpy(np.float64)
+            cum = g["cnt"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            row = dict(zip(keys, gk if isinstance(gk, tuple) else (gk,)))
+            for name, q in qs.items():
+                h = (n - 1) * q
+                lo, hi = int(np.floor(h)), int(np.ceil(h))
+                v_lo = vals[np.searchsorted(cum, lo + 1)]
+                v_hi = vals[np.searchsorted(cum, hi + 1)]
+                row[name] = float(v_lo + (h - lo) * (v_hi - v_lo))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    parts = ds.select_columns([*keys, col]).map_batches(
+        partial, batch_format="pandas")
+    res = grouped_shuffle(parts, keys, reduce).to_pandas()
+    if not len(res):
+        return pd.DataFrame({c: pd.Series(dtype=np.float64)
+                             for c in out_cols})
+    return res[out_cols]
+
+
 def heavy_hitters(make_ds, keys: list[str], phi: float) -> pd.DataFrame:
     """EXACT phi-frequent keys (count > phi*N) in two bounded-memory passes
     — the scale-correct form of the crawl loop's hot-host detection

@@ -64,6 +64,42 @@ def _split_by_hash(table: pa.Table, keys: list[str], P: int) -> list[pa.Table]:
 _FLAT_REF_BUDGET = 32_768  # max N x P sub-objects a flat exchange may create
 _GROUP_SIZE = 64           # default round-1 group width for the 2-round path
 
+# Pin budget for materialize_if_small, in INPUT bytes (on-disk parquet —
+# a conservative proxy; decompressed Arrow is typically 2-5x larger).
+_PIN_BUDGET_BYTES = 2 << 30
+
+
+def materialize_if_small(ds: rd.Dataset, est_bytes: int | None = None,
+                         budget_bytes: int | None = None) -> rd.Dataset:
+    """Size-gated lineage pinning for multi-consumer datasets.
+
+    A Ray Dataset consumed twice re-executes its lineage per consumer;
+    ``.materialize()`` avoids that but pins every block in the object
+    store for the dataset's whole lifetime — at 100 TB that trades a
+    cheap re-run of a PRUNED PARQUET SCAN for object-store spill churn
+    on the entire corpus. This gates the pin the way ``auto_join`` gates
+    broadcast: materialize only when the input is estimated under
+    ``budget_bytes`` (default 2 GiB of on-disk input); above it, return
+    the lazy dataset so each consumer streams the scan again.
+
+    ``est_bytes``: caller-supplied input-size estimate (e.g. the parquet
+    file size — required when the lineage has maps, since
+    ``input_files()`` only reports on an un-mapped read). When no
+    estimate is available the dataset is pinned (the pre-gate behavior);
+    callers on fact tables should always pass one."""
+    budget = _PIN_BUDGET_BYTES if budget_bytes is None else budget_bytes
+    if est_bytes is None:
+        try:
+            import os
+            files = ds.input_files()
+            est_bytes = (sum(os.path.getsize(f) for f in files)
+                         if files else None)
+        except Exception:
+            est_bytes = None
+    if est_bytes is not None and est_bytes > budget:
+        return ds
+    return ds.materialize()
+
 
 def _reduce(fn: Callable[[pd.DataFrame], pd.DataFrame],
             *tables: pa.Table) -> pa.Table:
@@ -542,12 +578,26 @@ def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> np.ndarray:
     n_blocks x rows/local_bar, not by distinct keys). Pass 2: exact
     global counts for the candidates only (per-block masked value_counts,
     summed on the driver — O(candidates) rows per block). Returns the
-    sorted array of keys with exact global count > hot_threshold."""
+    sorted array of keys with exact global count > hot_threshold.
+
+    Degenerate regime: with more blocks than the threshold the local bar
+    floor(T/B) is 0 and EVERY present key would become a candidate —
+    O(distinct keys) driver state, voiding the bound above. That regime
+    is repaired below by concat-compacting blocks until B <= T/2 (the
+    pigeonhole argument holds at any granularity, so exactness is
+    preserved); compacted blocks are g x larger, so extremely small
+    thresholds over huge corpora should prefer a sketch-based census
+    (stages/sketch.py CountMinSketch) over this exact pass."""
     refs = ds.to_arrow_refs()
-    # floor(T/B) — NOT clamped to 1: with more blocks than the threshold
-    # the bar is 0 and every present key is a candidate (large candidate
-    # set, full recall); clamping would silently miss a key spread one
-    # row per block, breaking the pigeonhole guarantee below
+    if len(refs) > max(1, hot_threshold // 2):
+        # keep the local bar >= 2: group-concat refs so B' <= T/2
+        target = max(1, hot_threshold // 2)
+        g = -(-len(refs) // target)  # ceil
+        cat = ray.remote(_concat_blocks)
+        refs = [cat.remote(*refs[i:i + g])
+                for i in range(0, len(refs), g)]
+    # floor(T/B) — NOT clamped to 1: clamping would silently miss a key
+    # spread one row per block, breaking the pigeonhole guarantee below
     local_bar = hot_threshold // max(1, len(refs))
 
     def local_heavy(t: pa.Table) -> np.ndarray:
@@ -575,7 +625,8 @@ def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> np.ndarray:
 
 def skew_hybrid_join(left: rd.Dataset, right: rd.Dataset, key: str,
                      hot_threshold: int = 100_000,
-                     num_partitions: int | None = None) -> rd.Dataset:
+                     num_partitions: int | None = None,
+                     left_est_bytes: int | None = None) -> rd.Dataset:
     """Skew-aware inner join (both sides share the key column name).
 
     A plain hash exchange sends ALL rows of a key to one partition — a
@@ -590,16 +641,21 @@ def skew_hybrid_join(left: rd.Dataset, right: rd.Dataset, key: str,
     hot key), the usual fact-dim skew case; the result is the exact union
     of both paths.
     """
-    left = left.materialize()  # consumed by the census AND both splits:
-    # without this the full left lineage (scan + maps) would execute twice
+    # left is consumed by the census AND both splits; right by the hot
+    # slice AND the cold split. Pinning avoids lineage re-execution but
+    # holds a fact side in the object store, so it is size-gated like
+    # auto_join's broadcast: above the budget, the later consumers
+    # re-execute the pruned scan while the census's refs stay transient.
+    left = materialize_if_small(left, left_est_bytes)
     hot = detect_hot_keys(left, key, hot_threshold)
-    if not len(hot):
+    rrefs = right.to_arrow_refs() if len(hot) else []
+    if not len(hot) or not rrefs:
+        # no skew — or an empty right side, where the hot path's slice
+        # concat would have nothing to concat; hash_join synthesizes
+        # schema-bearing empty blocks for both cases
         return hash_join(left, right, on=[key],
                          num_partitions=num_partitions)
-    from cocrawler_ray.stages import joins
-    right = right.materialize()
-    hot_arr = hot  # closed over; tiny by construction
-    hot_ref = ray.put(np.sort(hot_arr))
+    hot_ref = ray.put(np.sort(hot))
 
     def split(flag: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -611,12 +667,22 @@ def skew_hybrid_join(left: rd.Dataset, right: rd.Dataset, key: str,
             return t.filter(pa.array(is_hot if flag else ~is_hot))
         return f
 
-    right_hot = pa.concat_tables(
-        [t for t in ray.get([ray.remote(lambda r, f=split(True): f(r))
-                             .remote(rr) for rr in right.to_arrow_refs()])])
-    hot_joined = joins.broadcast_join(
-        left.map_batches(split(True), batch_format="pyarrow"),
-        right_hot, key, key)
+    # The right side's hot slice never lands on the driver: per-block
+    # remote slices concat in ONE remote task and broadcast as a single
+    # object-store ref that every hot-path task reads zero-copy.
+    slice_hot = ray.remote(lambda r, f=split(True): f(r))
+    right_hot_ref = ray.remote(_concat_blocks).remote(
+        *[slice_hot.remote(rr) for rr in rrefs])
+
+    def hot_join_batch(batch: pa.Table) -> pa.Table:
+        return batch.join(ray.get(right_hot_ref), keys=[key],
+                          join_type="inner")
+
+    hot_joined = (left.map_batches(split(True), batch_format="pyarrow")
+                  .map_batches(hot_join_batch, batch_format="pyarrow"))
+    # cold path reuses the already-executed right blocks (dimension-like
+    # by the documented contract, so the pin is bounded) — no re-execute
+    right = rd.from_arrow_refs(rrefs)
     cold_joined = hash_join(
         left.map_batches(split(False), batch_format="pyarrow"),
         right.map_batches(split(False), batch_format="pyarrow"),

@@ -60,15 +60,29 @@ def test_query_matches_oracle(name, ray_session, duck):
     from cocrawler_ray.queries import ORACLE, QUERIES
     try:
         raw = _to_pandas(QUERIES[name](SF_DIR))
-    except Exception:
+    except Exception as e:
         # Late in a long single-session suite, Ray Data actor-pool stages
         # can die on the actor-restart hazard of ray#53727 (constructor
         # args evicted from the object store -> restart fails) — an infra
-        # crash, not an engine defect. One clean re-run distinguishes the
-        # two: a REAL mismatch is a deterministic assert below and never
-        # takes this path; a second infra crash still fails the test.
+        # crash, not an engine defect. Retry ONCE, but only for that
+        # known infra signature (Ray worker/actor death) — any other
+        # exception, including a nondeterministic engine bug, propagates
+        # immediately. The retried name is printed so flaky engine
+        # failures stay visible in the report.
         import traceback
+        infra = ("RayTaskError", "ActorDiedError", "ActorUnavailableError",
+                 "WorkerCrashedError", "OwnerDiedError",
+                 "ObjectLostError", "RayActorError")
+        chain_types = set()
+        exc = e
+        while exc is not None:
+            chain_types.add(type(exc).__name__)
+            exc = exc.__cause__ or exc.__context__
+        if not chain_types & set(infra):
+            raise
         traceback.print_exc()
+        print(f"[conformance] infra-retry after {sorted(chain_types)}: "
+              f"{name}")
         raw = _to_pandas(QUERIES[name](SF_DIR))
     got = _normalize(raw)
     want = _normalize(duck.execute(ORACLE[name]).fetchdf())
@@ -92,9 +106,16 @@ def test_priority_window_covers_every_family():
     assert names[:50] == _PRIORITY
     # every window query has a full value-hash oracle (not rows-only)
     assert all(n in ORACLE for n in names[:50])
-    # spot-pin one representative per family the round-2 verdict called out
+    # spot-pin one representative per family; the round-4 rotation adds
+    # the never-driver-proven families the round-3 verdict called out
     for must in ("q_decontaminate", "q_semantic_dedup", "q_token_pack",
-                 "q_tfidf", "q_pagerank", "q_range_join", "q_repetition",
-                 "q_quality_gate", "q_weighted_sample", "q_curate_corpus",
-                 "q_approx_distinct", "q_approx_topk", "q_bloom"):
+                 "q_tfidf", "q_pagerank", "q_curate_corpus",
+                 "q_approx_distinct", "q_bloom",
+                 # round-4 rotation: families gaining their first driver row
+                 "q_substring_dup", "q_hits", "q_kcore", "q_triangle_count",
+                 "q_local_supplier_volume", "q_nation_volume", "q_custdist",
+                 "q_supplier_cnt", "q_window_frame", "q_rank_events",
+                 "q_hot_keys", "q_bm25", "q_bloom_semijoin",
+                 "q_watermark_late", "q_quantile_rank",
+                 "q_latency_percentile"):
         assert must in names[:50], must
