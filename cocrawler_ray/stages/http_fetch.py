@@ -34,13 +34,68 @@ except ImportError:
     HAS_AIOHTTP = False
 
 
+class StdlibHttpClient:
+    """Blocking HTTP/1.1 client over stdlib ``http.client`` — the
+    in-tree live-socket default (aiohttp is absent in this sandbox, and
+    a synchronous client is correct inside a Ray actor pool: concurrency
+    comes from the POOL, one in-flight request per actor is the per-host
+    politeness cap of ``cocrawler/fetcher.py::fetch``).
+
+    Semantics matched to the reference fetch contract: per-request
+    timeout, redirects surfaced as 3xx + Location (never auto-followed —
+    ``http.client`` returns the raw response), connection reuse per host
+    with a bounded keep-alive map. ``resolve(host) -> (addr, port) |
+    None`` lets tests aim synthetic hosts at a loopback server while the
+    Host header still carries the logical host; production leaves it
+    None and connects by name."""
+
+    def __init__(self, resolve=None, max_conns: int = 64):
+        import collections
+        self.resolve = resolve
+        self.max_conns = max_conns
+        self._conns: "collections.OrderedDict" = collections.OrderedDict()
+
+    def _conn(self, host: str, port: int, timeout: float):
+        import http.client
+        key = (host, port)
+        conn = self._conns.pop(key, None)
+        if conn is None:
+            addr = (host, port)
+            if self.resolve is not None:
+                target = self.resolve(host)
+                if target is None:
+                    raise ConnectionError(f"unresolvable host {host!r}")
+                addr = target
+            conn = http.client.HTTPConnection(addr[0], addr[1],
+                                              timeout=timeout)
+        while len(self._conns) >= self.max_conns:
+            _, old = self._conns.popitem(last=False)
+            old.close()
+        return key, conn
+
+    def get(self, url: str, timeout: float = 30.0):
+        import urllib.parse
+        u = urllib.parse.urlsplit(url)
+        host, port = u.hostname or "", u.port or 80
+        path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        key, conn = self._conn(host, port, timeout)
+        try:
+            conn.request("GET", path, headers={"Host": u.netloc})
+            resp = conn.getresponse()
+            body = resp.read()
+            headers = dict(resp.getheaders())
+            self._conns[key] = conn  # keep-alive for the next request
+            return resp.status, headers, body
+        except Exception:
+            conn.close()
+            raise
+
+
 def _default_client():
-    if not HAS_AIOHTTP:
-        raise NotImplementedError(
-            "aiohttp is not installed in this sandbox; pass a client with "
-            "get(url, timeout) -> (status, headers, body)")
-    raise NotImplementedError(
-        "aiohttp client wiring runs outside the sandbox; pass a client")
+    # aiohttp (when present) would slot in here; the stdlib client is the
+    # working live-socket default either way — one blocking request per
+    # actor, pool-level concurrency.
+    return StdlibHttpClient()
 
 
 class HttpFetcherBackend:

@@ -161,14 +161,11 @@ def write_warc_from_fetched(fetched_files: list[str], dest_dir: str,
     return sum(ray.get([render.remote(f) for f in fetched_files]))
 
 
-def read_warc_records(path: str) -> list[dict]:
-    """Parse a .warc.gz series back into {headers..., "block": bytes}
+def records_from_bytes(data: bytes) -> list[dict]:
+    """Parse decompressed WARC/1.0 bytes into {headers..., "block": bytes}
     dicts — a sequential Content-Length-driven reader (payloads are
-    binary, so splitting on blank lines would corrupt them). Enough of
-    the spec to round-trip and verify our own writer."""
+    binary, so splitting on blank lines would corrupt them)."""
     out = []
-    with gzip.open(path, "rb") as fh:
-        data = fh.read()
     pos = 0
     while pos < len(data):
         head_end = data.find(b"\r\n\r\n", pos)
@@ -188,3 +185,100 @@ def read_warc_records(path: str) -> list[dict]:
         out.append(rec)
         pos = block_start + n + 4  # skip the two trailing CRLFs
     return out
+
+
+def read_warc_records(path: str) -> list[dict]:
+    """Parse one .warc.gz file (all gzip members) into record dicts.
+    Driver-side primitive; the distributed source is :func:`read_warc`."""
+    with gzip.open(path, "rb") as fh:
+        return records_from_bytes(fh.read())
+
+
+def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
+    """(status, content_type, location, payload) from an HTTP response
+    block of a WARC response record."""
+    head_end = block.find(b"\r\n\r\n")
+    if head_end < 0:
+        return 0, "", "", b""
+    lines = block[:head_end].decode("latin-1").split("\r\n")
+    parts = lines[0].split(" ")
+    status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
+    ctype = loc = ""
+    for ln in lines[1:]:
+        k, _, v = ln.partition(": ")
+        lk = k.lower()
+        if lk == "content-type":
+            ctype = v
+        elif lk == "location":
+            loc = v
+    return status, ctype, loc, block[head_end + 4:]
+
+
+WARC_FETCHED_SCHEMA = pa.schema([
+    ("url", pa.string()), ("host", pa.string()), ("status", pa.int32()),
+    ("content_type", pa.string()), ("location", pa.string()),
+    ("bytes", pa.large_binary()), ("digest", pa.string()),
+    ("digest_ok", pa.bool_()), ("warc_date", pa.string()),
+    ("warc_file", pa.string()),
+])
+
+
+def warc_bytes_to_table(data: bytes, source_path: str = "") -> pa.Table:
+    """Response records of one .warc.gz file -> a fetched-shaped Arrow
+    table (the read-back half of the reference ecosystem's crawl -> WARC
+    -> re-parse loop; write side: :class:`WARCWriter`). ``digest_ok``
+    re-verifies the stored WARC-Payload-Digest against the payload."""
+    cols: dict[str, list] = {n: [] for n in WARC_FETCHED_SCHEMA.names}
+    if data[:2] == b"\x1f\x8b":  # raw .warc.gz bytes; Ray's
+        data = gzip.decompress(data)  # read_binary_files may have
+    for rec in records_from_bytes(data):  # already inflated by extension
+        if rec.get("WARC-Type") != "response":
+            continue
+        status, ctype, loc, payload = _parse_http_response(rec["block"])
+        url = rec.get("WARC-Target-URI", "")
+        host = url.split("/", 3)[2] if url.count("/") >= 3 else url
+        digest = rec.get("WARC-Payload-Digest", "")
+        cols["url"].append(url)
+        cols["host"].append(host)
+        cols["status"].append(status)
+        cols["content_type"].append(ctype)
+        cols["location"].append(loc)
+        cols["bytes"].append(payload)
+        cols["digest"].append(digest)
+        cols["digest_ok"].append(digest == sha1_b32(payload))
+        cols["warc_date"].append(rec.get("WARC-Date", ""))
+        cols["warc_file"].append(source_path)
+    return pa.table(
+        {n: pa.array(cols[n], WARC_FETCHED_SCHEMA.field(n).type)
+         for n in WARC_FETCHED_SCHEMA.names})
+
+
+def read_warc(paths):
+    """WARC read-back SOURCE: one or more .warc.gz files (or a directory
+    of them) -> a streaming ``ray.data.Dataset`` with
+    :data:`WARC_FETCHED_SCHEMA` — the re-ingest half of the reference
+    ecosystem's reprocessing loop (crawl -> WARC -> re-parse), so
+    archives written by :func:`write_warc_from_fetched` feed straight
+    back into the parse/link-extract/dedup stages.
+
+    Ray-Data-native: ``read_binary_files`` streams one file per row (the
+    file is the partition/resume unit the writer produced), and a
+    ``map_batches`` pass parses each into a fetched-shaped Arrow table —
+    no driver-side parsing, no full-archive materialization. Per-record
+    gzip members mean a corrupted tail truncates one file's parse, never
+    the whole read."""
+    import ray.data as rd
+
+    p = Path(paths) if isinstance(paths, (str, Path)) else None
+    if p is not None and p.is_dir():
+        paths = sorted(str(f) for f in p.glob("*.warc.gz"))
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(t: pa.Table) -> pa.Table:
+        tabs = [warc_bytes_to_table(data.as_py(), path.as_py())
+                for path, data in zip(t["path"], t["bytes"])]
+        return (pa.concat_tables(tabs) if tabs
+                else WARC_FETCHED_SCHEMA.empty_table())
+
+    return ds.map_batches(parse, batch_format="pyarrow")

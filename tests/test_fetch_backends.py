@@ -117,7 +117,9 @@ def test_http_backend_schema_and_alignment():
         [c for c in out.column_names if c not in ("retries", "seed_id")]
 
 
-def test_http_backend_without_client_raises():
-    import pytest
-    with pytest.raises(NotImplementedError):
-        HttpFetcherBackend(0)
+def test_http_backend_default_client_is_live():
+    """With no injected client the backend now builds the stdlib
+    live-socket client (StdlibHttpClient) — the in-tree default."""
+    from cocrawler_ray.stages.http_fetch import StdlibHttpClient
+    be = HttpFetcherBackend(0)
+    assert isinstance(be.client, StdlibHttpClient)

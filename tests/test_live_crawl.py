@@ -1,0 +1,159 @@
+"""Live-socket fetch conformance (SURVEY §2 T5, the
+``cocrawler/fetcher.py::fetch`` semantics over REAL sockets).
+
+A stdlib ``http.server`` serves the synthetic corpus in-process (one
+logical host per Host header, text/html pages, 301 alias redirects, 404
+for unknown paths), and ``HttpFetcherBackend`` crawls it through the
+in-tree ``StdlibHttpClient`` — per-request timeout, no auto-redirect,
+keep-alive connection reuse. Conformance: a BFS over live sockets must
+produce the SAME fetched table (status / location / html payload) and
+the SAME extracted+canonicalized link set per generation as the
+table-backed ``FetcherPartition`` on identical frontier batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cocrawler_ray import parse, synth, urls
+from cocrawler_ray.hashing import rand_for_surt
+from cocrawler_ray.stages.fetch import FetcherPartition
+from cocrawler_ray.stages.http_fetch import HttpFetcherBackend, StdlibHttpClient
+
+
+def _make_handler(pages: dict):
+    class SyntheticWebHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive, so the client's
+        # per-host connection reuse is actually exercised
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            host = (self.headers.get("Host") or "").split(":")[0]
+            body = pages.get((host, self.path))
+            if body is not None:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            # alias redirect: /aNNNNNN -> 301 /pNNNNNN when target exists
+            if self.path.startswith("/a") and self.path[2:].isdigit():
+                target = "/p" + self.path[2:]
+                if (host, target) in pages:
+                    self.send_response(301)
+                    self.send_header("Location", f"http://{host}{target}")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    return SyntheticWebHandler
+
+
+def _frontier_batch(url_list):
+    hosts = [u.split("/")[2] for u in url_list]
+    n = len(url_list)
+    surts = [f"s{i}" for i in range(n)]
+    return pa.table({
+        "surt": pa.array(surts, pa.string()),
+        "url": pa.array(url_list, pa.string()),
+        "host": pa.array(hosts, pa.string()),
+        "priority": pa.array(np.ones(n, dtype=np.int32)),
+        "rand": pa.array(rand_for_surt(surts)),
+        "depth": pa.array(np.zeros(n, dtype=np.int32)),
+        "retries": pa.array(np.zeros(n, dtype=np.int32)),
+        "seed_id": pa.array(np.arange(n, dtype=np.int64)),
+        "gen": pa.array(np.zeros(n, dtype=np.int32)),
+        "part": pa.array(np.zeros(n, dtype=np.int32)),
+    })
+
+
+@pytest.fixture(scope="module")
+def live_web():
+    web, html = synth.gen_web_tables(num_hosts=6, num_pages=60, seed=42)
+    ids = html.column("image_id").to_pylist()
+    docs = html.column("html").to_pylist()
+    pages = {(f"{i[:5]}.test", "/" + i[6:]): d.encode() for i, d in
+             zip(ids, docs)}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(pages))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield web, html, srv.server_address[1]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _next_urls(html_col, base_urls):
+    """Shared link step: extract -> canonicalize -> dedupe, sorted."""
+    out = set()
+    for doc, base in zip(html_col, base_urls):
+        if not doc:
+            continue
+        links, embeds = parse.find_html_links(doc)
+        t = urls.canonicalize_batch(links + embeds, base)
+        out.update(t["url"])
+    return sorted(out)
+
+
+def test_live_socket_matches_table_backend(live_web):
+    web, html, port = live_web
+    live = HttpFetcherBackend(
+        0, client=StdlibHttpClient(resolve=lambda h: ("127.0.0.1", port)))
+    table = FetcherPartition(0, web, html)
+
+    ids = web.column("image_id").to_pylist()
+    seeds = sorted({f"http://{i[:5]}.test/{i[6:]}" for i in ids})[:6]
+    # adversarial rows: alias redirect, missing page, unresolvable host
+    alias = seeds[0].rsplit("/", 1)[0] + "/a" + seeds[0].rsplit("/p", 1)[1]
+    frontier = seeds + [alias, seeds[0].rsplit("/", 1)[0] + "/p999999",
+                        "http://nope.example/x"]
+
+    for gen in range(3):
+        batch = _frontier_batch(frontier)
+        got_live = live.fetch(batch)
+        got_table = table.fetch(batch)
+        assert (got_live.column("status").to_pylist()
+                == got_table.column("status").to_pylist()), f"gen {gen}"
+        assert (got_live.column("location").to_pylist()
+                == got_table.column("location").to_pylist()), f"gen {gen}"
+        lh = got_live.column("html").to_pylist()
+        th = got_table.column("html").to_pylist()
+        assert lh == th, f"gen {gen}: html payloads diverge"
+        # the live digest covers the raw body bytes it actually received
+        for body, dg, st in zip(got_live.column("bytes").to_pylist(),
+                                got_live.column("digest").to_pylist(),
+                                got_live.column("status").to_pylist()):
+            if st == 200:
+                assert dg == hashlib.sha256(body).hexdigest()
+        # identical next-generation frontier from either path
+        nxt_live = _next_urls(lh, batch.column("url").to_pylist())
+        nxt_table = _next_urls(th, batch.column("url").to_pylist())
+        assert nxt_live == nxt_table, f"gen {gen}"
+        if not nxt_live:
+            break
+        frontier = nxt_live[:12]
+
+
+def test_live_client_timeout_and_reuse(live_web):
+    web, html, port = live_web
+    client = StdlibHttpClient(resolve=lambda h: ("127.0.0.1", port))
+    ids = web.column("image_id").to_pylist()
+    url = f"http://{ids[0][:5]}.test/{ids[0][6:]}"
+    s1, h1, b1 = client.get(url, timeout=5.0)
+    s2, h2, b2 = client.get(url, timeout=5.0)  # keep-alive reuse
+    assert s1 == s2 == 200 and b1 == b2 and len(client._conns) == 1
+    with pytest.raises(ConnectionError):
+        StdlibHttpClient(resolve=lambda h: None).get(url)

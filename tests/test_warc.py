@@ -102,3 +102,48 @@ def test_warc_export_from_crawl(ray_session, tmp_path):
             assert hashlib.sha256(payload).hexdigest() == row["digest"]
             n_checked += 1
     assert n_checked > 10
+
+
+def test_read_warc_source_single_file(ray_session, tmp_path):
+    """read_warc (the Ray Data source) parses a written series back into
+    the fetched-shaped schema with byte-exact payloads and verified
+    digests."""
+    path = _write_sample(tmp_path)
+    df = warc.read_warc([str(path)]).to_pandas()
+    assert list(df.columns) == warc.WARC_FETCHED_SCHEMA.names
+    assert len(df) == 2  # response records only
+    assert bool(df["digest_ok"].all())
+    by_url = dict(zip(df["url"], df["bytes"]))
+    assert by_url["http://h0001.test/p000002"] == b"\x00PAYLOAD\xff\r\n\r\nX"
+    r301 = df[df["url"] == "http://h0001.test/a000003"].iloc[0]
+    assert int(r301["status"]) == 301
+    assert r301["location"] == "http://h0001.test/p000003"
+
+
+def test_read_warc_roundtrip_from_crawl(ray_session, tmp_path):
+    """crawl -> write_warcs -> read_warc: the re-ingested Dataset matches
+    the crawl's fetched table on url, status, and payload bytes, and the
+    stored sha1 WARC digests re-verify (the reference ecosystem's
+    crawl -> WARC -> re-parse reprocessing loop, SURVEY §2.1 S3)."""
+    from cocrawler_ray import synth
+    from cocrawler_ray.config import CrawlConfig
+    from cocrawler_ray.pipelines.crawl import CrawlJob
+
+    web, html = synth.gen_web_tables(num_hosts=6, num_pages=60, seed=42)
+    seeds = synth.gen_seed_lines(6, 60, num_seeds=6, seed=42)
+    cfg = CrawlConfig(out_dir=str(tmp_path), num_parts=2, budget_per_host=4,
+                      max_depth=3, max_gens=4, seed=42)
+    job = CrawlJob(cfg, web, html, {})
+    job.run(seeds)
+    out = job.write_warcs()
+    fetched = job.fetched_table()
+
+    df = warc.read_warc(out["dir"]).to_pandas()
+    assert len(df) == fetched.num_rows
+    assert bool(df["digest_ok"].all())
+    got = {(u, int(s)): p for u, s, p in
+           zip(df["url"], df["status"], df["bytes"])}
+    for row in fetched.to_pylist():
+        key = (row["url"], int(row["status"]))
+        assert key in got, key
+        assert got[key] == (row["bytes"] or b""), row["url"]
