@@ -435,23 +435,32 @@ def range_join_broadcast(left: rd.Dataset, right: pd.DataFrame, val_col: str,
     ``range_join`` is the large-large exchange path. Semantics identical:
     inner join on lo <= val <= hi, both ends inclusive.
 
-    Correctness of the scan: with intervals sorted by lo, candidates for x
-    are exactly those with lo <= x (prefix via one searchsorted) whose
-    running-max hi >= x is POSSIBLE — we filter hi >= x exactly after a
-    vectorized prefix expansion, clipping the prefix with searchsorted on
-    (lo, running-min of a monotone envelope) is unnecessary at dimension
+    Correctness + cost of the scan: with intervals sorted by lo, a match
+    for x needs lo <= x AND hi >= x; since hi - lo <= max_width, every
+    match also has lo >= x - max_width. Two searchsorteds bound the
+    candidate window [x - max_width, x] in lo-order, then hi >= x filters
+    exactly. Per-probe work is O(intervals within max_width of x) — the
+    local interval DENSITY, not the whole prefix (a prefix expansion is
+    O(n_intervals) per probe and went 100x superlinear on a 10x-denser
+    dimension in the sf1 scale-stress). One pathologically wide interval
+    widens the window for everyone; that skew would call for splitting
+    wide intervals into width-capped segments, not needed at dimension
     cardinality."""
     right = right.sort_values(lo_col, kind="stable").reset_index(drop=True)
     lo = right[lo_col].to_numpy().astype(np.float64)
     hi = right[hi_col].to_numpy().astype(np.float64)
-    rref = ray.put((lo, hi, pa.Table.from_pandas(right, preserve_index=False)))
+    max_w = float(np.max(hi - lo)) if len(lo) else 0.0
+    rref = ray.put((lo, hi, max_w,
+                    pa.Table.from_pandas(right, preserve_index=False)))
 
     def probe(t: pa.Table) -> pa.Table:
-        lo_b, hi_b, rtab = ray.get(rref)
+        lo_b, hi_b, w_b, rtab = ray.get(rref)
         x = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.searchsorted(lo_b, x - w_b, side="left")
         ends = np.searchsorted(lo_b, x, side="right")
-        ridx = _expand_ranges(np.zeros(len(x), dtype=np.int64), ends)
-        lidx = np.repeat(np.arange(len(x), dtype=np.int64), ends)
+        counts = np.maximum(ends - starts, 0)
+        ridx = _expand_ranges(starts, counts)
+        lidx = np.repeat(np.arange(len(x), dtype=np.int64), counts)
         keep = hi_b[ridx] >= x[lidx]
         ltab = t.take(pa.array(lidx[keep], pa.int64()))
         rsel = rtab.take(pa.array(ridx[keep], pa.int64()))

@@ -296,6 +296,44 @@ def test_range_join_empty_right(ray_session):
     assert len(got) == 0
 
 
+def test_range_join_broadcast_empty_right(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"x": np.arange(5, dtype=np.float64)})
+    right = pd.DataFrame({"lo": pd.Series([], dtype=np.float64),
+                          "hi": pd.Series([], dtype=np.float64),
+                          "rid": pd.Series([], dtype=np.int64)})
+    got = exchange.range_join_broadcast(
+        rd.from_pandas(left), right, "x", "lo", "hi").to_pandas()
+    assert len(got) == 0
+
+
+def test_range_join_broadcast_constant_width_bands(ray_session):
+    """The sf1 regression shape: many same-width bands tiling one value
+    domain. The probe must stay window-bounded (density-proportional) and
+    exact — every x matches exactly the bands within width of it."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(0, 10_000, 2_000)
+    right = pd.DataFrame({"lo": lo, "hi": lo + 200.0,
+                          "rid": np.arange(2_000, dtype=np.int64)})
+    left = pd.DataFrame({"x": rng.uniform(0, 10_000, 500),
+                         "lid": np.arange(500, dtype=np.int64)})
+    got = exchange.range_join_broadcast(
+        rd.from_pandas(left).repartition(4), right,
+        "x", "lo", "hi").to_pandas()
+    lx = left["x"].to_numpy()[:, None]
+    m = (lx >= right["lo"].to_numpy()[None, :]) \
+        & (lx <= right["hi"].to_numpy()[None, :])
+    li, ri = np.nonzero(m)
+    want = pd.DataFrame({"lid": left["lid"].to_numpy()[li],
+                         "rid": right["rid"].to_numpy()[ri]})
+    cols = ["lid", "rid"]
+    pd.testing.assert_frame_equal(
+        _norm(got[cols], cols), _norm(want[cols], cols), check_dtype=False)
+
+
 def test_stratified_sample_partition_invariant(ray_session):
     import ray.data as rd
     from cocrawler_ray.stages.sample import stratified_sample
