@@ -119,6 +119,13 @@ BENCH_QUERIES_R3 = [
     "q_curate_images",     # image axis: fused decode features -> gates -> dhash dedup
 ]
 
+# round-4 additions (same separation rule)
+BENCH_QUERIES_R4 = [
+    "q_market_share",      # TPC-H Q8 8-table share tree (1 fact-fact exchange)
+    "q_waiting_suppliers",  # TPC-H Q21 sole-late-supplier census
+    "q_important_parts",   # TPC-H Q11 global-threshold HAVING (2 passes)
+]
+
 
 def init_ray(num_cpus: int) -> None:
     import ray
@@ -250,7 +257,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     from cocrawler_ray.queries import QUERIES
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3:
+    for name in (BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3
+                 + BENCH_QUERIES_R4):
         fn = QUERIES[name]
         t0 = time.perf_counter()
         consume(fn(sf_dir))
