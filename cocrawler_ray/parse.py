@@ -122,3 +122,44 @@ def extract_links_batch(htmls, page_urls) -> dict[str, np.ndarray]:
         "kind": np.array(kind, dtype=object),
         "base": np.array(bases, dtype=object),
     }
+
+
+# sitemap XML: <loc> targets inside <urlset> (leaf) or <sitemapindex>
+# (index of further sitemaps) — the crawl ecosystem's seed-expansion
+# side-channel next to robots.txt's "Sitemap:" directive. Regex-first
+# like the link extractor: sitemap files are machine-generated XML, and
+# the two shapes a crawler must distinguish are "these are page URLs"
+# vs "these are MORE SITEMAPS to fetch" (the index recursion).
+_SITEMAP_LOC = re.compile(r"<loc>\s*([^<]*?)\s*</loc>", re.IGNORECASE)
+_SITEMAP_INDEX = re.compile(r"<sitemapindex\b", re.IGNORECASE)
+
+
+def find_sitemap_urls(xml: str) -> tuple[list[str], bool]:
+    """(locs, is_index) of one sitemap document. ``is_index`` means the
+    locs are further sitemap files (a <sitemapindex>), not page URLs —
+    the caller feeds them back to the fetch stage instead of the
+    frontier. Whitespace inside <loc> is trimmed per the protocol."""
+    locs = [m.group(1) for m in _SITEMAP_LOC.finditer(xml)]
+    return locs, _SITEMAP_INDEX.search(xml) is not None
+
+
+def extract_sitemaps_batch(xmls) -> dict[str, np.ndarray]:
+    """Batch sitemap extraction -> flat (src_idx, loc, is_index) arrays;
+    src_idx indexes the input batch row (same join-back contract as
+    extract_links_batch)."""
+    src_idx: list[int] = []
+    locs: list[str] = []
+    is_index: list[bool] = []
+    for i, xml in enumerate(xmls):
+        if not xml:
+            continue
+        ls, idx = find_sitemap_urls(xml)
+        for u in ls:
+            src_idx.append(i)
+            locs.append(u)
+            is_index.append(idx)
+    return {
+        "src_idx": np.array(src_idx, dtype=np.int64),
+        "loc": np.array(locs, dtype=object),
+        "is_index": np.array(is_index, dtype=bool),
+    }

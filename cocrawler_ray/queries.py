@@ -6771,6 +6771,137 @@ def q_dedup_savings(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 crawl operators: sitemap ingestion (the seed-expansion
+# side-channel) and recrawl/freshness scheduling (the revisit half of
+# the frontier's priority contract).
+# ---------------------------------------------------------------------------
+
+
+@_q("q_sitemap_extract", """
+WITH d AS (SELECT doc_id,
+                  unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT)))
+                      AS j
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN 'http://h' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0')
+                 || '.test/sitemap_' || CAST(doc_id AS VARCHAR) || '_'
+                 || CAST(j AS VARCHAR) || '.xml'
+            ELSE 'http://h' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0')
+                 || '.test/d' || CAST(doc_id AS VARCHAR) || '/p'
+                 || CAST(j AS VARCHAR) END AS loc,
+       doc_id % 7 = 0 AS is_index
+FROM d
+""")
+def q_sitemap_extract(sf_dir: str):
+    # Sitemap ingestion (SURVEY §2.1 seed expansion's side-channel): the
+    # REAL regex extractor (parse.py::find_sitemap_urls — <loc> targets,
+    # protocol whitespace trim, <sitemapindex> vs <urlset> distinction)
+    # runs over XML documents CONSTRUCTED deterministically from the
+    # documents table: every 7th doc is a sitemap INDEX (its locs are
+    # further sitemap files the crawler must fetch, not frontier URLs),
+    # the rest are leaf urlsets; odd entries carry padding whitespace
+    # inside <loc>. The oracle reconstructs the expectation analytically
+    # (the q_content_gate pattern).
+    from cocrawler_ray.parse import extract_sitemaps_batch
+
+    def build_and_extract(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        xmls = []
+        for d in ids:
+            host = f"http://h{d % 50:04d}.test"
+            if d % 7 == 0:
+                body = "".join(
+                    f"<sitemap>\n  <loc>{host}/sitemap_{d}_{j}.xml</loc>"
+                    f"\n</sitemap>\n" for j in range(d % 4 + 1))
+                xml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+                       f"<sitemapindex>\n{body}</sitemapindex>")
+            else:
+                body = "".join(
+                    f"<url><loc>{' ' if j % 2 else ''}{host}/d{d}/p{j}"
+                    f"{' ' if j % 2 else ''}</loc></url>\n"
+                    for j in range(d % 4 + 1))
+                xml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+                       f"<urlset>\n{body}</urlset>")
+            xmls.append(xml)
+        out = extract_sitemaps_batch(xmls)
+        return pa.table({
+            "doc_id": pa.array(ids[out["src_idx"]], pa.int64()),
+            "loc": pa.array(out["loc"], pa.string()),
+            "is_index": pa.array(out["is_index"], pa.bool_())})
+
+    return (read(sf_dir, "documents", ["doc_id"])
+            .map_batches(build_and_extract, batch_format="pyarrow"))
+
+
+@_q("q_recrawl_priority", """
+WITH now_t AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+h AS (SELECT user_id, CAST(count(*) AS BIGINT) AS fetches,
+             CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS changes,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY 1)
+SELECT user_id, fetches, changes,
+       CAST((now_us - last_us) // 1000000 AS BIGINT) AS age_s,
+       CAST((2 * changes + 1) * 1000000 // (2 * fetches + 2) AS BIGINT)
+           AS lambda_micro,
+       CAST(CAST((now_us - last_us) // 1000000 AS BIGINT)
+            * ((2 * changes + 1) * 1000000 // (2 * fetches + 2))
+            // 1000000 AS BIGINT) AS priority
+FROM h, now_t
+""")
+def q_recrawl_priority(sf_dir: str):
+    # Recrawl (freshness) scheduling — the revisit half of the frontier's
+    # priority contract: per entity, a Laplace-smoothed change rate
+    # lambda = (changes + 1/2) / (fetches + 1) from its fetch history,
+    # times the staleness age since its last fetch. Events stand in for
+    # the fetch log (entity = user_id, "changed" = every 3rd event id).
+    # Plan: the global now-watermark is O(blocks) scalar partials; the
+    # per-entity history folds in ONE grouped exchange (the entity domain
+    # is SF-scaled, so the result STAYS a Dataset — nothing driver-side).
+    # All outputs are exact integers (micro-rate, floor divisions on
+    # non-negative operands — numpy floor == SQL truncation here).
+    def max_part(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["ts"])
+        m = int(us.max()) if len(us) else 0
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    now_us = int(read(sf_dir, "events", ["ts"])
+                 .map_batches(max_part, batch_format="pyarrow")
+                 .to_pandas()["m"].max())
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = window._ts_us(t["ts"])
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pa.array(us, pa.int64()),
+                         "changed": pa.array((ev % 3 == 0).astype(np.int64),
+                                             pa.int64())})
+
+    ev = (read(sf_dir, "events", ["event_id", "ts", "user_id"])
+          .map_batches(prep, batch_format="pyarrow"))
+
+    def per_entity(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "fetches", "changes", "age_s", "lambda_micro",
+                "priority"]
+        if not len(df) or "user_id" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        g = (df.groupby("user_id", sort=False)
+             .agg(fetches=("ts_us", "size"), changes=("changed", "sum"),
+                  last_us=("ts_us", "max")).reset_index())
+        fetches = g["fetches"].to_numpy(np.int64)
+        changes = g["changes"].to_numpy(np.int64)
+        age_s = (now_us - g["last_us"].to_numpy(np.int64)) // 1_000_000
+        lam = (2 * changes + 1) * 1_000_000 // (2 * fetches + 2)
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                             "fetches": fetches, "changes": changes,
+                             "age_s": age_s, "lambda_micro": lam,
+                             "priority": age_s * lam // 1_000_000})
+
+    return exchange.grouped_shuffle(ev, ["user_id"], per_entity)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H shape sweep completion (round 4): the Q6/Q8/Q9/Q11/Q20/Q21 shapes
 # over the synthetic schema (no partsupp / l_receiptdate here, so Q9/Q11/
 # Q20/Q21 keep the SHAPE — correlated global threshold, sole-offender

@@ -36,6 +36,38 @@ def test_find_base():
     assert parse.find_base("<html></html>", "http://fallback/") == "http://fallback/"
 
 
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> http://a.test/p1 </loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc>http://a.test/p2</loc></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex>
+  <sitemap><loc>http://a.test/s1.xml</loc></sitemap>
+  <sitemap><loc>
+    http://a.test/s2.xml
+  </loc></sitemap>
+</sitemapindex>"""
+
+
+def test_find_sitemap_urls():
+    locs, is_index = parse.find_sitemap_urls(SITEMAP)
+    assert locs == ["http://a.test/p1", "http://a.test/p2"]  # ws trimmed
+    assert is_index is False
+    locs, is_index = parse.find_sitemap_urls(SITEMAP_INDEX)
+    assert locs == ["http://a.test/s1.xml", "http://a.test/s2.xml"]
+    assert is_index is True
+    assert parse.find_sitemap_urls("<html>not xml</html>") == ([], False)
+
+
+def test_extract_sitemaps_batch():
+    out = parse.extract_sitemaps_batch([SITEMAP, "", SITEMAP_INDEX])
+    assert (out["src_idx"] == 0).sum() == 2
+    assert (out["src_idx"] == 2).sum() == 2
+    assert list(out["is_index"]) == [False, False, True, True]
+
+
 def test_extract_links_batch():
     out = parse.extract_links_batch([HTML, "", "<a href='/x'>x</a>"],
                                     ["http://a.test/", "http://b.test/", "http://c.test/"])
