@@ -6944,10 +6944,13 @@ def q_revenue_filter(sf_dir: str):
                   ["l_shipdate", "l_discount", "l_quantity",
                    "l_extendedprice"])
              .map_batches(part, batch_format="pyarrow").to_pandas())
-    rev = textops.round_half_away(
+    n_items = int(parts["n"].sum())
+    # SUM over zero rows is NULL in SQL — mirror it (NaN) rather than 0.00
+    rev = (textops.round_half_away(
         np.array([parts["cents"].sum()], np.float64) / 100.0, 2)
+        if n_items else np.array([np.nan]))
     return pd.DataFrame({"revenue": rev,
-                         "n_items": np.array([parts["n"].sum()], np.int64)})
+                         "n_items": np.array([n_items], np.int64)})
 
 
 @_q("q_market_share", """
@@ -7149,8 +7152,9 @@ def q_important_parts(sf_dir: str):
     # to part grain — a DIMENSION-sized dataset, materialized once so
     # count() (= n, metadata-only) and the threshold filter share one
     # execution; rows never land on the driver. Exact integer compare
-    # both sides (int64 holds to ~4e18 cents x parts; past that the
-    # filter needs the HUGEINT-style widening the SQL already has).
+    # both sides at ANY scale: the engine folds the wide product into a
+    # single arbitrary-precision threshold (see below), DuckDB widens
+    # SUM(BIGINT) to HUGEINT.
     def val_part(t: pa.Table) -> pa.Table:
         ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         c = textops.round_half_away(ext * 100.0, 0).astype(np.int64)
@@ -7179,10 +7183,16 @@ def q_important_parts(sf_dir: str):
 
     pv = exchange.grouped_shuffle(li, ["l_partkey"], per_part).materialize()
     n = pv.count()
+    # v*2n > 3T  <=>  v > floor(3T / 2n) for positive ints (if 2n | 3T the
+    # floor IS the boundary; otherwise v*2n > 3T first holds at floor+1),
+    # so the comparison needs no wide product on the engine side — the
+    # threshold is one arbitrary-precision Python int, and v stays int64.
+    # (DuckDB's side is HUGEINT throughout: SUM(BIGINT) widens.)
+    thr = (3 * total) // (2 * n) if n else 0
 
     def important(t: pa.Table) -> pa.Table:
         v = t["value_cents"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(v * (n * 2) > 3 * total))
+        return t.filter(pa.array(v > thr))
 
     out = pv.map_batches(important, batch_format="pyarrow").materialize()
     if out.count() == 0:

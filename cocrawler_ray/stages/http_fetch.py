@@ -44,58 +44,82 @@ class StdlibHttpClient:
     Semantics matched to the reference fetch contract: per-request
     timeout, redirects surfaced as 3xx + Location (never auto-followed —
     ``http.client`` returns the raw response), connection reuse per host
-    with a bounded keep-alive map. ``resolve(host) -> (addr, port) |
-    None`` lets tests aim synthetic hosts at a loopback server while the
-    Host header still carries the logical host; production leaves it
-    None and connects by name."""
+    with a bounded keep-alive map, a ONE-retry-on-fresh-connection rule
+    for stale pooled sockets (a server may close an idle keep-alive
+    connection at any time — that is not a fetch failure), https via
+    ``HTTPSConnection``, and a bounded body read (``max_bytes``) so an
+    adversarial multi-GB page cannot balloon the actor before the
+    caller's size cap applies. ``resolve(host) -> (addr, port) | None``
+    lets tests aim synthetic hosts at a loopback server while the Host
+    header still carries the logical host; production leaves it None
+    and connects by name."""
 
-    def __init__(self, resolve=None, max_conns: int = 64):
+    def __init__(self, resolve=None, max_conns: int = 64,
+                 max_bytes: int | None = None):
         import collections
         self.resolve = resolve
         self.max_conns = max_conns
+        self.max_bytes = max_bytes
         self._conns: "collections.OrderedDict" = collections.OrderedDict()
 
-    def _conn(self, host: str, port: int, timeout: float):
+    def _conn(self, scheme: str, host: str, port: int, timeout: float):
+        """(key, conn, reused) — ``reused`` marks a pooled keep-alive
+        socket, which may have been closed server-side while idle."""
         import http.client
-        key = (host, port)
+        key = (scheme, host, port)
         conn = self._conns.pop(key, None)
-        if conn is None:
-            addr = (host, port)
-            if self.resolve is not None:
-                target = self.resolve(host)
-                if target is None:
-                    raise ConnectionError(f"unresolvable host {host!r}")
-                addr = target
-            conn = http.client.HTTPConnection(addr[0], addr[1],
-                                              timeout=timeout)
+        if conn is not None:
+            return key, conn, True
+        addr = (host, port)
+        if self.resolve is not None:
+            target = self.resolve(host)
+            if target is None:
+                raise ConnectionError(f"unresolvable host {host!r}")
+            addr = target
+        cls = (http.client.HTTPSConnection if scheme == "https"
+               else http.client.HTTPConnection)
+        conn = cls(addr[0], addr[1], timeout=timeout)
         while len(self._conns) >= self.max_conns:
             _, old = self._conns.popitem(last=False)
             old.close()
-        return key, conn
+        return key, conn, False
 
     def get(self, url: str, timeout: float = 30.0):
         import urllib.parse
         u = urllib.parse.urlsplit(url)
-        host, port = u.hostname or "", u.port or 80
+        scheme = (u.scheme or "http").lower()
+        host = u.hostname or ""
+        port = u.port or (443 if scheme == "https" else 80)
         path = (u.path or "/") + (f"?{u.query}" if u.query else "")
-        key, conn = self._conn(host, port, timeout)
-        try:
-            conn.request("GET", path, headers={"Host": u.netloc})
-            resp = conn.getresponse()
-            body = resp.read()
-            headers = dict(resp.getheaders())
-            self._conns[key] = conn  # keep-alive for the next request
-            return resp.status, headers, body
-        except Exception:
-            conn.close()
-            raise
+        for attempt in (0, 1):
+            key, conn, reused = self._conn(scheme, host, port, timeout)
+            try:
+                conn.request("GET", path, headers={"Host": u.netloc})
+                resp = conn.getresponse()
+                if self.max_bytes is not None:
+                    body = resp.read(self.max_bytes + 1)
+                    truncated = len(body) > self.max_bytes
+                    body = body[: self.max_bytes]
+                else:
+                    body, truncated = resp.read(), False
+                headers = dict(resp.getheaders())
+                if truncated:
+                    conn.close()  # unread tail: socket can't be reused
+                else:
+                    self._conns[key] = conn  # keep-alive for next request
+                return resp.status, headers, body
+            except Exception:
+                conn.close()
+                if reused and attempt == 0:
+                    continue  # stale pooled socket — retry on a fresh one
+                raise
 
 
-def _default_client():
+def _default_client(max_bytes: int | None = None):
     # aiohttp (when present) would slot in here; the stdlib client is the
     # working live-socket default either way — one blocking request per
     # actor, pool-level concurrency.
-    return StdlibHttpClient()
+    return StdlibHttpClient(max_bytes=max_bytes)
 
 
 class HttpFetcherBackend:
@@ -107,10 +131,20 @@ class HttpFetcherBackend:
     def __init__(self, part: int, client=None, timeout_s: float = 30.0,
                  max_page_size: int = 1 << 20, resolver=None):
         self.part = part
-        self.client = client if client is not None else _default_client()
+        self.client = (client if client is not None
+                       else _default_client(max_bytes=max_page_size))
         self.timeout_s = timeout_s
         self.max_page_size = max_page_size
-        self.dns = DnsCache(resolver) if resolver else DnsCache()
+        if resolver is not None:
+            self.dns = DnsCache(resolver)
+        elif client is None:
+            # live default client -> real DNS (the synthetic resolver
+            # NXDOMAINs every non-.test host, which would gate the live
+            # path off the whole real web)
+            from cocrawler_ray.state.dns import stdlib_resolver
+            self.dns = DnsCache(stdlib_resolver)
+        else:
+            self.dns = DnsCache()  # injected client: synthetic closed world
         self.fetch_count = 0
 
     def fetch(self, batch: pa.Table) -> pa.Table:
@@ -130,12 +164,15 @@ class HttpFetcherBackend:
                 status[i] = 503  # connect/timeout -> retryable
                 continue
             status[i] = int(st)
-            location[i] = headers.get("Location", "") if headers else ""
+            # HTTP header names are case-insensitive (RFC 9110); clients/
+            # servers legitimately send 'location:' / 'content-type:'
+            hl = ({k.lower(): v for k, v in headers.items()}
+                  if headers else {})
+            location[i] = hl.get("location", "")
             if st == 200 and body is not None:
                 body = body[: self.max_page_size]
                 bodies[i] = body
-                ct = (headers.get("Content-Type", "") if headers else "")
-                if ct.startswith("text/html"):
+                if hl.get("content-type", "").startswith("text/html"):
                     html[i] = body.decode("utf-8", errors="replace")
         digest = np.array([hashlib.sha256(b).hexdigest() if b is not None else ""
                            for b in bodies], dtype=object)

@@ -20,6 +20,20 @@ import numpy as np
 from cocrawler_ray.hashing import hash64
 
 
+def stdlib_resolver(host: str) -> str | None:
+    """Real DNS over ``socket.getaddrinfo`` — the live-crawl resolver
+    (first A/AAAA address, NXDOMAIN/any resolver error -> None). Used
+    automatically by HttpFetcherBackend when its live default client is
+    in play; the synthetic resolver below remains the closed-world
+    default for injected test clients."""
+    import socket
+    try:
+        infos = socket.getaddrinfo(host, None, proto=socket.IPPROTO_TCP)
+        return infos[0][4][0] if infos else None
+    except OSError:
+        return None
+
+
 def synthetic_resolver(host: str) -> str | None:
     """Deterministic fake A-record for the synthetic web: *.test hosts
     resolve to 10.x.y.z derived from the host hash; everything else is

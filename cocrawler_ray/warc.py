@@ -205,8 +205,10 @@ def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
     status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
     ctype = loc = ""
     for ln in lines[1:]:
-        k, _, v = ln.partition(": ")
-        lk = k.lower()
+        # split on ':' (OWS after the colon is optional per RFC 9112 —
+        # 'Content-Type:text/html' is legal), then trim the value
+        k, _, v = ln.partition(":")
+        lk, v = k.lower(), v.strip()
         if lk == "content-type":
             ctype = v
         elif lk == "location":

@@ -157,3 +157,94 @@ def test_live_client_timeout_and_reuse(live_web):
     assert s1 == s2 == 200 and b1 == b2 and len(client._conns) == 1
     with pytest.raises(ConnectionError):
         StdlibHttpClient(resolve=lambda h: None).get(url)
+
+
+def _one_shot_server(pages, lowercase_headers=False):
+    """Server that CLOSES the socket after every response without
+    advertising Connection: close — the stale-keep-alive hazard every
+    real server's idle timeout produces."""
+    class OneShotHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            host = (self.headers.get("Host") or "").split(":")[0]
+            body = pages.get((host, self.path))
+            ct = "content-type" if lowercase_headers else "Content-Type"
+            loc = "location" if lowercase_headers else "Location"
+            if body is not None:
+                self.send_response(200)
+                self.send_header(ct, "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(301)
+                self.send_header(loc, f"http://{host}/p000000")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            self.close_connection = True  # silent server-side close
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), OneShotHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_stale_keepalive_retries_on_fresh_connection():
+    pages = {("h0000.test", "/p000000"): b"<html>ok</html>"}
+    srv = _one_shot_server(pages)
+    try:
+        port = srv.server_address[1]
+        client = StdlibHttpClient(resolve=lambda h: ("127.0.0.1", port))
+        url = "http://h0000.test/p000000"
+        s1, _, b1 = client.get(url, timeout=5.0)
+        # the pooled socket is now dead server-side; the client must
+        # retry once on a fresh connection, not surface a fetch failure
+        s2, _, b2 = client.get(url, timeout=5.0)
+        s3, _, b3 = client.get(url, timeout=5.0)
+        assert (s1, s2, s3) == (200, 200, 200) and b1 == b2 == b3
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_lowercase_headers_are_honored():
+    pages = {("h0000.test", "/p000000"): b"<html><a href='/x'>x</a></html>"}
+    srv = _one_shot_server(pages, lowercase_headers=True)
+    try:
+        port = srv.server_address[1]
+        be = HttpFetcherBackend(
+            0, client=StdlibHttpClient(resolve=lambda h: ("127.0.0.1", port)))
+        out = be.fetch(_frontier_batch(["http://h0000.test/p000000",
+                                        "http://h0000.test/a000000"]))
+        assert out.column("status").to_pylist() == [200, 301]
+        assert out.column("html").to_pylist()[0] != ""  # content-type seen
+        assert (out.column("location").to_pylist()[1]
+                == "http://h0000.test/p000000")  # location seen
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_bounded_body_read(live_web):
+    web, html, port = live_web
+    ids = web.column("image_id").to_pylist()
+    url = f"http://{ids[0][:5]}.test/{ids[0][6:]}"
+    client = StdlibHttpClient(resolve=lambda h: ("127.0.0.1", port),
+                              max_bytes=64)
+    s, h, b = client.get(url, timeout=5.0)
+    assert s == 200 and len(b) == 64
+    assert len(client._conns) == 0  # truncated read: socket not reusable
+    s2, _, b2 = client.get(url, timeout=5.0)  # still works on a fresh conn
+    assert s2 == 200 and b2 == b
+
+
+def test_https_scheme_selects_tls_connection():
+    import http.client
+    client = StdlibHttpClient()
+    _, conn, reused = client._conn("https", "example.invalid", 443, 5.0)
+    assert isinstance(conn, http.client.HTTPSConnection) and not reused
+    _, conn2, _ = client._conn("http", "example.invalid", 80, 5.0)
+    assert not isinstance(conn2, http.client.HTTPSConnection)

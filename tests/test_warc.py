@@ -147,3 +147,18 @@ def test_read_warc_roundtrip_from_crawl(ray_session, tmp_path):
         key = (row["url"], int(row["status"]))
         assert key in got, key
         assert got[key] == (row["bytes"] or b""), row["url"]
+
+
+def test_parse_http_response_header_edge_cases():
+    """RFC 9112: OWS after the header colon is optional, and names are
+    case-insensitive — re-ingest must not lose content_type/location on
+    'Header:value' or lowercase forms."""
+    block = (b"HTTP/1.1 301 Moved\r\n"
+             b"Content-Type:text/html\r\n"
+             b"location:  http://a.test/target \r\n"
+             b"\r\nBODY")
+    status, ctype, loc, payload = warc._parse_http_response(block)
+    assert status == 301
+    assert ctype == "text/html"
+    assert loc == "http://a.test/target"
+    assert payload == b"BODY"
