@@ -993,6 +993,9 @@ CMS_KEYS = 64       # q_approx_topk key domain (<= cand_factor*k so the
 BLOOM_BITS, BLOOM_K = 1024, 7
 BLOOM_KEYS = 512    # q_bloom key domain; ~1/3 inserted -> measurable FPs
 
+THETA_K = 48        # q_theta_sketch retained-set size (< present keys on
+THETA_KEYS = 512    # both sides at sf0.001+, so the kth-min path is live)
+
 
 def hll_register_literals() -> str:
     """VALUES hr(kid, idx, rho) for every kid in the q_approx_distinct
@@ -1087,6 +1090,104 @@ hitc AS (SELECT p.kid, count(*) AS nhit
 SELECT probe.doc_id,
        CAST(coalesce(h.nhit, 0) = {BLOOM_K} AS BIGINT) AS hit
 FROM probe LEFT JOIN hitc h ON h.kid = probe.kid
+"""
+
+
+def theta_hash_literals() -> str:
+    """VALUES th(kid, h HUGEINT) — hash64 of every key in the
+    q_theta_sketch domain, exactly as ThetaSketch.add computes them."""
+    h = hash64([f"k{i:03d}" for i in range(THETA_KEYS)])
+    rows = ", ".join(f"({i}, {int(h[i])}::HUGEINT)"
+                     for i in range(THETA_KEYS))
+    return f"(VALUES {rows}) th(kid, h)"
+
+
+def theta_sql(k: int = THETA_K) -> str:
+    """q_theta_sketch: the UNION theta sketch's retained hashes with
+    per-side membership flags — k smallest distinct hashes of
+    (A_k ∪ B_k), where A_k / B_k are each side's k smallest distinct
+    hashes. Set A = keys touched by even event_ids, B = by event_ids
+    divisible by 3 (overlapping but distinct sets, so both flags carry
+    information). DISTINCT before the LIMIT on every retained set: if
+    two kids collide to one hash value the engine's np.unique keeps it
+    once, and the SQL must too."""
+    return f"""
+WITH th AS (SELECT * FROM {theta_hash_literals()}),
+prs_a AS (SELECT DISTINCT (event_id * 7 + 3) % {THETA_KEYS} AS kid
+          FROM events WHERE event_id % 2 = 0),
+prs_b AS (SELECT DISTINCT (event_id * 11 + 5) % {THETA_KEYS} AS kid
+          FROM events WHERE event_id % 3 = 0),
+ha AS (SELECT DISTINCT h FROM th JOIN prs_a USING (kid)
+       ORDER BY h LIMIT {k}),
+hb AS (SELECT DISTINCT h FROM th JOIN prs_b USING (kid)
+       ORDER BY h LIMIT {k}),
+u AS (SELECT DISTINCT h
+      FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+      ORDER BY h LIMIT {k})
+SELECT {to_i64('u.h')} AS h,
+       CAST(u.h IN (SELECT h FROM ha) AS BIGINT) AS in_a,
+       CAST(u.h IN (SELECT h FROM hb) AS BIGINT) AS in_b
+FROM u
+"""
+
+
+def conformance_letterbox_images(n: int = N_IMAGES):
+    """16x16 images whose BLACK BORDERS are analytic in d — top = d % 4,
+    bottom = (d//4) % 4, left = (d//16) % 4, right = (d//64) % 4 — and
+    whose interior pixels are 16 + formula % 240 (never below 16, so
+    every interior row/column carries signal through every codec: qnt
+    decodes interior >= 20, border 0 -> 4, both sides of the engine's
+    p < 8 black threshold). The q_box_blur two-independent-algorithms
+    pattern: the engine SCANS decoded pixels for the content box, the
+    oracle restates the closed form."""
+    import pyarrow as pa
+
+    from cocrawler_ray import codecs
+    ids, data, ws, hs, fmts = [], [], [], [], []
+    w = h = 16
+    y, x = np.mgrid[0:h, 0:w]
+    for d in range(n):
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        for ch in range(3):
+            img[:, :, ch] = (16 + (x * 3 + y * 5 + ch * 11 + d * 17
+                                   + ((x * y + d) % 31) * 7) % 240
+                             ).astype(np.uint8)
+        t_, b_ = d % 4, (d // 4) % 4
+        l_, r_ = (d // 16) % 4, (d // 64) % 4
+        if t_:
+            img[:t_, :, :] = 0
+        if b_:
+            img[h - b_:, :, :] = 0
+        if l_:
+            img[:, :l_, :] = 0
+        if r_:
+            img[:, w - r_:, :] = 0
+        fmt = codecs.FORMATS[d % 3]
+        ids.append(f"img{d:04d}")
+        data.append(codecs.encode(img, fmt))
+        ws.append(w); hs.append(h); fmts.append(fmt)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(data, pa.binary()),
+        "w": pa.array(np.array(ws, dtype=np.int32)),
+        "h": pa.array(np.array(hs, dtype=np.int32)),
+        "fmt": pa.array(fmts, pa.string()),
+    })
+
+
+def letterbox_sql(n: int = N_IMAGES) -> str:
+    """q_letterbox: the fixture's closed-form border widths (the engine
+    derives the same numbers by scanning decoded pixels)."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(d % 4 AS BIGINT) AS top_px,
+       CAST((d // 4) % 4 AS BIGINT) AS bot_px,
+       CAST((d // 16) % 4 AS BIGINT) AS left_px,
+       CAST((d // 64) % 4 AS BIGINT) AS right_px,
+       CAST(16 - (d // 16) % 4 - (d // 64) % 4 AS BIGINT) AS inner_w,
+       CAST(16 - d % 4 - (d // 4) % 4 AS BIGINT) AS inner_h
+FROM ids
 """
 
 

@@ -1420,6 +1420,53 @@ def q_pagerank(sf_dir: str):
         batch_format="pandas")
 
 
+def _bfs_sql(iters: int = 4, seed_mod: int = 97) -> str:
+    """Unrolled fixed-depth BFS over the constructed doc link graph
+    (same edge formula as q_pagerank): level i = distinct successors of
+    the reached set not already reached. iters unrolled CTE rounds —
+    exact, deterministic, and frontier-equivalent to the engine's BSP."""
+    parts = [f"""WITH nn AS (SELECT count(*) AS c FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (SELECT node AS src, (node * 7 + 1) % (SELECT c FROM nn) AS dst
+          FROM nodes
+          UNION ALL
+          SELECT node, (node * 13 + 3) % (SELECT c FROM nn) FROM nodes),
+r0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % {seed_mod} = 0)"""]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""f{i} AS (SELECT DISTINCT e.dst AS node
+       FROM edges e JOIN r{i - 1} p ON p.node = e.src
+       WHERE e.dst NOT IN (SELECT node FROM r{i - 1})),
+r{i} AS (SELECT * FROM r{i - 1} UNION ALL SELECT node, {i} FROM f{i})""")
+    return (",\n".join(parts)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM r{iters}")
+
+
+@_q("q_bfs_layers", _bfs_sql())
+def q_bfs_layers(sf_dir: str):
+    # hop distance from the seed set within 4 supersteps (the crawl-depth
+    # question: which pages are reachable k hops from the seeds) —
+    # stages/graph.py::bfs_layers BSP with frontier-pruned messaging:
+    # only nodes reached so far send (dst, dist+1), folded by min. Same
+    # constructed graph as q_pagerank; seeds = node % 97 == 0.
+    from cocrawler_ray.stages.graph import bfs_layers
+    nodes = (read(sf_dir, "documents", ["doc_id"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow"))
+    n_total = nodes.count()
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([(d * 7 + 1) % n_total,
+                                            (d * 13 + 3) % n_total]),
+                            pa.int64())})
+
+    edges = nodes.map_batches(make_edges, batch_format="pyarrow")
+    return bfs_layers(nodes, edges, lambda nd: nd % 97 == 0, iters=4)
+
+
 @_q("q_topk_per_group", """
 SELECT source, doc_id, n_chars FROM documents
 QUALIFY row_number() OVER (PARTITION BY source
@@ -2776,6 +2823,47 @@ def q_bloom(sf_dir: str):
     return keyed.map_batches(probe, batch_format="pandas")
 
 
+@_q("q_theta_sketch", oracles.theta_sql())
+def q_theta_sketch(sf_dir: str):
+    # theta/KMV set algebra (stages/sketch.py::ThetaSketch): two distinct
+    # sketches built in ONE streaming pass (per-block k-smallest partials,
+    # k uint64s per block to the driver), union = k smallest of the merged
+    # retained sets, per-side membership flags over the union's retained
+    # sample — the overlap summary that replaces a distributed join when
+    # only |A∩B| is needed. Output is the retained hashes themselves
+    # (integer-exact rows, the HLL-register pattern); the float estimate
+    # formula is unit-tested separately.
+    from cocrawler_ray.stages.sketch import ThetaSketch
+
+    K, dom = oracles.THETA_K, oracles.THETA_KEYS
+    from cocrawler_ray.hashing import hash64
+    dom_h = hash64([f"k{i:03d}" for i in range(dom)])
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["event_id"].to_numpy()
+        out = {}
+        for tag, mask, m, c in (("a", e % 2 == 0, 7, 3),
+                                ("b", e % 3 == 0, 11, 5)):
+            s = ThetaSketch(K)
+            s.add_hashes(dom_h[(e[mask] * m + c) % dom])
+            out["hs_" + tag] = [s.hashes.tobytes()]
+        return pd.DataFrame(out)
+
+    ska, skb = ThetaSketch(K), ThetaSketch(K)
+    for row in (read(sf_dir, "events", ["event_id"])
+                .map_batches(per_block, batch_format="pandas")
+                .iter_rows()):
+        for sk, col in ((ska, "hs_a"), (skb, "hs_b")):
+            part = ThetaSketch(K)
+            part.hashes = np.frombuffer(row[col], np.uint64).copy()
+            sk.hashes = sk.merge(part).hashes
+    union = ska.merge(skb)
+    return pa.table({
+        "h": pa.array(union.hashes.view(np.int64), pa.int64()),
+        "in_a": pa.array(ska.contains(union.hashes).astype(np.int64)),
+        "in_b": pa.array(skb.contains(union.hashes).astype(np.int64))})
+
+
 # ===========================================================================
 # Round-3 additions: PII redaction, document chunking, BM25 scoring,
 # aspect-ratio bucketing (image axis), caption+phash composite dedup
@@ -3279,6 +3367,19 @@ def q_clip_score_gate(sf_dir: str):
                          batch_size=16, concurrency=2,
                          fn_constructor_kwargs={"threshold": 0.93}))
 
+@_q("q_letterbox", oracles.letterbox_sql())
+def q_letterbox(sf_dir: str):
+    # letterbox/pillarbox border detection over the analytic-border
+    # fixture: actor-pool decode -> per-image signal-row/col scan
+    # (stages/multimodal.py::LetterboxDetect). The engine measures
+    # decoded pixels; the oracle restates the fixture's closed form —
+    # two independent algorithms (the q_box_blur pattern).
+    from cocrawler_ray.stages.multimodal import LetterboxDetect
+    return (_from_arrow_blocks(oracles.conformance_letterbox_images(), 4)
+            .map_batches(LetterboxDetect, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_window_frame", """
 WITH q AS (SELECT event_id, user_id, ts,
                   CAST(round(value * 1e6) AS BIGINT) AS v_micro
@@ -3326,6 +3427,36 @@ def q_rank_events(sf_dir: str):
     return exchange.grouped_shuffle(
         read(sf_dir, "events", ["event_id", "user_id", "value"]),
         ["user_id"], window.rank_reduce)
+
+
+@_q("q_percent_rank", """
+WITH q AS (SELECT event_id, user_id,
+                  CAST(round(value * 1e6) AS BIGINT) AS v_micro
+           FROM events),
+w AS (SELECT event_id, user_id, v_micro,
+             rank() OVER (PARTITION BY user_id ORDER BY v_micro) AS rnk,
+             count(*) OVER (PARTITION BY user_id) AS cnt,
+             count(*) OVER (PARTITION BY user_id ORDER BY v_micro) AS cle
+      FROM q)
+SELECT event_id, user_id, v_micro,
+       CAST(CASE WHEN cnt = 1 THEN 0
+                 ELSE (rnk - 1) * 1000000 // (cnt - 1) END
+            AS BIGINT) AS prk_micro,
+       CAST(cle * 1000000 // cnt AS BIGINT) AS cume_micro
+FROM w
+""")
+def q_percent_rank(sf_dir: str):
+    # distribution window functions (percent_rank / cume_dist per user by
+    # value) as EXACT integer micro-units — (rank-1)*1e6 // (n-1) and
+    # rows<= * 1e6 // n, so no float rounding can diverge between the
+    # sides (both numerators are non-negative, where DuckDB's truncating
+    # // and numpy's flooring // agree). One entity exchange, then one
+    # sort + boundary-flag scans in the partition reduce
+    # (stages/window.py::percent_cume_reduce); SQL's RANGE default frame
+    # makes count(*) OVER (ORDER BY v) the tie-inclusive rows<= count.
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"], window.percent_cume_reduce)
 
 
 @_q("q_mad_outliers", """

@@ -64,6 +64,9 @@ def _presplit(ds: rd.Dataset, keys: list[str], P: int) -> list:
     return [merge.remote(*[s[p] for s in subs]) for p in range(P)]
 
 
+_BFS_INF = np.int64(1) << np.int64(62)  # "unreached" BFS distance
+
+
 def _contrib_split(mode: str, damping: float, P: int, E: pa.Table,
                    S: pa.Table) -> list[pa.Table]:
     """Superstep send half: join the partition's edges with its node state
@@ -74,6 +77,12 @@ def _contrib_split(mode: str, damping: float, P: int, E: pa.Table,
     j = e.merge(s, left_on="src", right_on="node", how="inner")
     if mode in ("sum", "psum"):
         c = damping * j["r"].to_numpy() / j["outdeg"].to_numpy()
+    elif mode == "dist":
+        # BFS relaxation: the message is sender-dist + 1, and UNREACHED
+        # senders (label = _BFS_INF) send nothing — message volume stays
+        # proportional to the current frontier, not the whole graph
+        j = j[j["label"].to_numpy() < _BFS_INF]
+        c = j["label"].to_numpy() + 1
     else:  # min-label: the message is the sender's current label
         c = j["label"].to_numpy()
     msgs = pa.table({"node": pa.array(j["dst"].to_numpy(), pa.int64()),
@@ -200,6 +209,45 @@ def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
         batch_format="pyarrow")
     return _bsp(_presplit(labels, ["node"], P), _presplit(und, ["src"], P),
                 "min", iters, 0.0, 0.0, P)
+
+
+def bfs_layers(nodes: rd.Dataset, edges: rd.Dataset, seed_mask_fn,
+               iters: int = 4,
+               num_partitions: int | None = None) -> rd.Dataset:
+    """Hop distance from a seed set over a DIRECTED graph — ``iters``
+    synchronous BFS supersteps (the crawl-analysis primitive: "which URLs
+    are within k hops of the seed list", reference semantics =
+    cocrawler's seed-depth crawl frontier). ``seed_mask_fn(node_array)
+    -> bool mask`` marks distance-0 nodes inside the init map (no seed
+    list ships to the driver). Same BSP machinery as pagerank/components:
+    edges pre-split ONCE, per-superstep messages are (dst, sender_dist+1)
+    from FRONTIER nodes only (unreached senders pruned in the send half),
+    folded by min — message volume tracks the frontier, not the graph.
+    Returns (node, dist:int64) for nodes reached within ``iters`` hops;
+    fixed-depth semantics, identical on both oracle sides whether or not
+    the BFS converged."""
+    n_total = nodes.count()
+    P = _pick_p(n_total, num_partitions)
+
+    def init(t: pa.Table) -> pa.Table:
+        nd = t.column("node").to_numpy(zero_copy_only=False)
+        lab = np.where(seed_mask_fn(nd), np.int64(0), _BFS_INF)
+        return t.append_column("label", pa.array(lab, pa.int64()))
+
+    state0 = nodes.map_batches(init, batch_format="pyarrow")
+    out = _bsp(_presplit(state0, ["node"], P), _presplit(edges, ["src"], P),
+               "dist", iters, 0.0, 0.0, P)
+
+    def finish(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        keep = lab <= iters
+        return pa.table({
+            "node": pa.array(
+                t.column("node").to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "dist": pa.array(lab[keep], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

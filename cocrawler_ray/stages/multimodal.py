@@ -615,3 +615,49 @@ class ClipScoreGate:
         from cocrawler_ray.stages.text import round_half_away
         return out.append_column("clip_score", pa.array(
             round_half_away(np.asarray(scores, dtype=np.float64), 6)))
+
+
+class LetterboxDetect:
+    """Black-border (letterbox / pillarbox) detection: decode, then find
+    the first/last row and column carrying signal — a pixel with any
+    channel >= ``threshold`` (8 by default: the qnt codec decodes a true
+    0 to 4, so black bars survive every in-tree codec while the dimmest
+    real content the fixtures emit is >= 16). Emits the four border
+    widths plus the content-box size; an all-black image reports borders
+    covering the full frame and a 0x0 box. The crop itself is a separate
+    map (this stage is the measurement half, so the gate/crop policy can
+    be decided from the stats without re-decoding)."""
+
+    def __init__(self, threshold: int = 8):
+        self.decode = codecs.decode
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        top = np.zeros(n, np.int64); bot = np.zeros(n, np.int64)
+        lef = np.zeros(n, np.int64); rig = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            sig = (img >= self.threshold).any(axis=2)
+            rows = sig.any(axis=1)
+            cols = sig.any(axis=0)
+            if rows.any():
+                top[i] = int(np.argmax(rows))
+                bot[i] = int(np.argmax(rows[::-1]))
+                lef[i] = int(np.argmax(cols))
+                rig[i] = int(np.argmax(cols[::-1]))
+            else:  # all-black frame: borders cover everything
+                top[i], bot[i] = int(hs[i]), 0
+                lef[i], rig[i] = int(ws[i]), 0
+        inner_w = ws.astype(np.int64) - lef - rig
+        inner_h = hs.astype(np.int64) - top - bot
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "top_px": pa.array(top), "bot_px": pa.array(bot),
+            "left_px": pa.array(lef), "right_px": pa.array(rig),
+            "inner_w": pa.array(np.maximum(inner_w, 0)),
+            "inner_h": pa.array(np.maximum(inner_h, 0))})

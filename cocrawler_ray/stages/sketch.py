@@ -384,3 +384,78 @@ def quantile_sketch_from_dataset(ds: rd.Dataset, col: str,
     for row in parts:
         out = out.merge(pickle.loads(row["sk"]))
     return out
+
+
+class ThetaSketch:
+    """KMV / theta distinct sketch (Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007;
+    the Apache DataSketches theta family — public algorithms): keep the
+    ``k`` smallest DISTINCT 64-bit hashes of the stream. Unlike HLL it
+    supports SET ALGEBRA: union = k smallest of the merged retained
+    sets, and an intersection ESTIMATE falls out of the union's retained
+    sample (|A∩B| ≈ theta-scaled count of union-retained hashes present
+    in both sides) — the summary a 100 TB engine keeps when it needs
+    overlap between two corpora (crawl frontiers, dedup universes)
+    without a distributed join. Retained state is k uint64s (~KB);
+    merges are associative/commutative, so per-block partials combine in
+    any order."""
+
+    def __init__(self, k: int = 48):
+        self.k = int(k)
+        self.hashes = np.empty(0, dtype=np.uint64)  # sorted, distinct
+
+    def add(self, values) -> None:
+        h = hash64(np.asarray(values, dtype=object))
+        self.hashes = np.unique(
+            np.concatenate([self.hashes, h]))[: self.k]
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        self.hashes = np.unique(
+            np.concatenate([self.hashes, h.astype(np.uint64)]))[: self.k]
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        out = ThetaSketch(self.k)
+        out.hashes = np.unique(
+            np.concatenate([self.hashes, other.hashes]))[: self.k]
+        return out
+
+    def theta(self) -> float:
+        """Sampling threshold in [0, 1]: 1.0 while the sketch is exact
+        (fewer than k distinct hashes seen), else kth-smallest / 2^64."""
+        if len(self.hashes) < self.k:
+            return 1.0
+        return float(self.hashes[-1]) / 2.0 ** 64
+
+    def estimate(self) -> float:
+        """Distinct estimate: exact count below k, else (k-1)/theta."""
+        if len(self.hashes) < self.k:
+            return float(len(self.hashes))
+        return (self.k - 1) / self.theta()
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership of hash values in the retained set."""
+        h = h.astype(np.uint64)
+        idx = np.searchsorted(self.hashes, h)
+        idx[idx == len(self.hashes)] = 0
+        return (self.hashes[idx] == h) if len(self.hashes) else \
+            np.zeros(len(h), dtype=bool)
+
+
+def theta_from_dataset(ds: rd.Dataset, col: str,
+                       k: int = 48) -> ThetaSketch:
+    """Distributed build: one ThetaSketch per block inside the scan
+    (streaming map_batches), merged on the driver. Driver cost:
+    O(blocks) x k uint64s, independent of row count."""
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        s = ThetaSketch(k)
+        s.add(df[col].to_numpy())
+        return pd.DataFrame({"hs": [s.hashes.tobytes()]})
+
+    out = ThetaSketch(k)
+    for row in (ds.select_columns([col])
+                .map_batches(per_block, batch_format="pandas")
+                .iter_rows()):
+        part = ThetaSketch(k)
+        part.hashes = np.frombuffer(row["hs"], np.uint64).copy()
+        out = out.merge(part)
+    return out

@@ -322,3 +322,58 @@ def rank_reduce(df, val_col: str = "value", key_col: str = "user_id"):
     return pd.DataFrame({
         "event_id": df["event_id"].to_numpy(),
         key_col: g, "v_micro": vm, "rnk": rnk, "drnk": drnk})
+
+
+def percent_cume_reduce(df, val_col: str = "value",
+                        key_col: str = "user_id"):
+    """Partition reduce behind q_percent_rank: percent_rank + cume_dist
+    per key by value ASC, as EXACT integer micro-units so both oracle
+    sides share one arithmetic (truncating integer division — DuckDB
+    ``//`` truncates, numpy ``//`` floors; both operands are non-negative
+    here so the two agree):
+
+        prk_micro  = (rank - 1) * 1_000_000 // (n_group - 1)   (0 if n=1)
+        cume_micro = rows_with_value<=current * 1_000_000 // n_group
+
+    One sort + boundary-flag scans (the rank_reduce pattern): rank = min
+    position of the equal-value run, rows<= = max position of the run + 1,
+    so ties are deterministic under any input order."""
+    from cocrawler_ray.stages.text import round_half_away
+
+    v = round_half_away(df[val_col].to_numpy() * 1e6, 0).astype(np.int64)
+    df = df.assign(v_micro=v).sort_values(
+        [key_col, "v_micro"], ascending=[True, True], kind="stable")
+    g = df[key_col].to_numpy()
+    vm = df["v_micro"].to_numpy()
+    n = len(g)
+    idx = np.arange(n, dtype=np.int64)
+    new_grp = np.ones(n, dtype=bool)
+    new_val = np.ones(n, dtype=bool)
+    if n > 1:
+        new_grp[1:] = g[1:] != g[:-1]
+        new_val[1:] = new_grp[1:] | (vm[1:] != vm[:-1])
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    first_eq = np.maximum.accumulate(np.where(new_val, idx, 0))
+    # group end / run end via the reversed cumulative trick
+    end_grp = np.empty(n, dtype=np.int64)
+    end_val = np.empty(n, dtype=np.int64)
+    if n:
+        last_of_grp = np.append(new_grp[1:], True)
+        last_of_val = np.append(new_val[1:], True)
+        rev = idx[::-1]
+        end_grp = np.minimum.accumulate(
+            np.where(last_of_grp, idx, n - 1)[::-1])[::-1]
+        end_val = np.minimum.accumulate(
+            np.where(last_of_val, idx, n - 1)[::-1])[::-1]
+        del rev
+    n_grp = end_grp - grp_start + 1
+    rnk = first_eq - grp_start + 1
+    cnt_le = end_val - grp_start + 1
+    prk = np.where(n_grp > 1,
+                   (rnk - 1) * 1_000_000 // np.maximum(n_grp - 1, 1), 0)
+    cume = cnt_le * 1_000_000 // n_grp
+    return pd.DataFrame({
+        "event_id": df["event_id"].to_numpy(),
+        key_col: g, "v_micro": vm,
+        "prk_micro": prk.astype(np.int64),
+        "cume_micro": cume.astype(np.int64)})

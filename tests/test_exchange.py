@@ -723,3 +723,42 @@ def test_detect_hot_keys_string_keys(ray_session):
               for i in range(4)]
     hot = exchange.detect_hot_keys(rd.from_pandas(blocks), "host", 100)
     assert list(hot) == ["big.com"]
+
+
+def test_bfs_layers_exact(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import bfs_layers
+
+    # directed chain 0->1->2->3->4->5, a shortcut 0->3, a back edge
+    # 5->0, and unreachable nodes 6..9
+    edges = pd.DataFrame({"src": np.array([0, 1, 2, 3, 4, 0, 5],
+                                          dtype=np.int64),
+                          "dst": np.array([1, 2, 3, 4, 5, 3, 0],
+                                          dtype=np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(10, dtype=np.int64)})
+    got = (bfs_layers(rd.from_pandas(nodes).repartition(3),
+                      rd.from_pandas(edges).repartition(2),
+                      lambda nd: nd == 0, iters=3).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    # dist: 0->0, 1->1, 2->2, 3->1 (shortcut), 4->2, 5->3; 6..9 dropped
+    np.testing.assert_array_equal(got["node"].to_numpy(),
+                                  np.array([0, 1, 2, 3, 4, 5]))
+    np.testing.assert_array_equal(got["dist"].to_numpy(),
+                                  np.array([0, 1, 2, 1, 2, 3]))
+
+
+def test_bfs_layers_depth_bound(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import bfs_layers
+
+    # a pure chain: iters=2 must keep exactly hops 0..2
+    n = 8
+    edges = pd.DataFrame({"src": np.arange(n - 1, dtype=np.int64),
+                          "dst": np.arange(1, n, dtype=np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
+    got = (bfs_layers(rd.from_pandas(nodes).repartition(2),
+                      rd.from_pandas(edges).repartition(2),
+                      lambda nd: nd == 0, iters=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    np.testing.assert_array_equal(got["node"].to_numpy(), [0, 1, 2])
+    np.testing.assert_array_equal(got["dist"].to_numpy(), [0, 1, 2])

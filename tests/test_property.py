@@ -583,3 +583,22 @@ def test_skyline_min_max_matches_bruteforce(pts):
                           skyline_min_max(df.iloc[half:], "lo", "hi")])
         two_phase = skyline_min_max(cand, "lo", "hi")
         assert sorted(two_phase["id"]) == keep
+
+
+@settings(max_examples=100, deadline=None)
+@given(_event_frames)
+def test_percent_cume_reduce_matches_bruteforce(rows):
+    from cocrawler_ray.stages.window import percent_cume_reduce
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["event_id"] = np.arange(len(df))
+    df["value"] = df["value"].astype(float) / 1e6
+    out = percent_cume_reduce(df)
+    for _, grp in out.groupby("user_id"):
+        v = grp["v_micro"].to_numpy()
+        n = len(v)
+        for i in range(n):
+            rnk = 1 + (v < v[i]).sum()
+            cle = (v <= v[i]).sum()
+            want_prk = 0 if n == 1 else (rnk - 1) * 1_000_000 // (n - 1)
+            assert grp["prk_micro"].to_numpy()[i] == want_prk
+            assert grp["cume_micro"].to_numpy()[i] == cle * 1_000_000 // n

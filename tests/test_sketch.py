@@ -156,3 +156,62 @@ def test_kll_dataset_stage(ray_session):
     assert s.n == len(vals)
     for q in (0.1, 0.5, 0.95):
         assert abs((vals <= s.quantile(q)).mean() - q) < 0.03
+
+
+# ---------------------------------------------------------------------------
+# ThetaSketch (KMV distinct + set algebra)
+# ---------------------------------------------------------------------------
+
+def test_theta_exact_below_k():
+    s = sketch.ThetaSketch(64)
+    s.add(_vals(40))
+    s.add(_vals(40))  # duplicates must not grow the sketch
+    assert len(s.hashes) == 40
+    assert s.theta() == 1.0
+    assert s.estimate() == 40.0
+
+
+def test_theta_estimate_accuracy():
+    # k=256 -> RSE ~ 1/sqrt(k-2) ~ 6.3%; allow 3 sigma
+    for n in (5_000, 50_000):
+        s = sketch.ThetaSketch(256)
+        s.add(_vals(n))
+        assert abs(s.estimate() - n) / n < 0.19, (n, s.estimate())
+
+
+def test_theta_merge_equals_single_pass():
+    a = sketch.ThetaSketch(128)
+    b = sketch.ThetaSketch(128)
+    a.add(_vals(3_000, "x"))
+    b.add(_vals(3_000, "y"))
+    both = sketch.ThetaSketch(128)
+    both.add(_vals(3_000, "x"))
+    both.add(_vals(3_000, "y"))
+    m = a.merge(b)
+    assert (m.hashes == both.hashes).all()
+    # merge is commutative
+    assert (b.merge(a).hashes == m.hashes).all()
+
+
+def test_theta_intersection_estimate():
+    # |A| = |B| = 20k, |A ∩ B| = 10k (shared suffix)
+    a = sketch.ThetaSketch(512)
+    b = sketch.ThetaSketch(512)
+    a.add(_vals(20_000, "s"))                      # s0..s19999
+    b.add([f"s{i:07d}" for i in range(10_000, 30_000)])
+    u = a.merge(b)
+    in_both = (a.contains(u.hashes) & b.contains(u.hashes)).sum()
+    est_inter = in_both / len(u.hashes) * u.estimate()
+    assert abs(est_inter - 10_000) / 10_000 < 0.25, est_inter
+
+
+def test_theta_dataset_build(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    vals = _vals(8_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals * 2})).repartition(8)
+    s = sketch.theta_from_dataset(ds, "v", k=128)
+    one = sketch.ThetaSketch(128)
+    one.add(vals)
+    assert (s.hashes == one.hashes).all()
