@@ -124,6 +124,9 @@ BENCH_QUERIES_R4 = [
     "q_market_share",      # TPC-H Q8 8-table share tree (1 fact-fact exchange)
     "q_waiting_suppliers",  # TPC-H Q21 sole-late-supplier census
     "q_important_parts",   # TPC-H Q11 global-threshold HAVING (2 passes)
+    "q_percent_rank",      # distribution window fns (1 entity exchange)
+    "q_theta_sketch",      # KMV set algebra (per-block k-min partials)
+    "q_sample_k",          # exact-k order-statistics sample (no sort)
 ]
 
 

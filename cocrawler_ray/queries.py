@@ -2530,6 +2530,57 @@ def q_semantic_dedup(sf_dir: str):
     return exchange.grouped_shuffle(assigned, ["cid"], rep)
 
 
+def _sample_k_sql(k: int = 100) -> str:
+    sm, fin = oracles.splitmix_ctes(
+        "base", "event_id, user_id, v_micro", "event_id::HUGEINT",
+        "smx", "sk")
+    return f"""
+WITH base AS (SELECT event_id, user_id,
+                     CAST(round(value * 1e6) AS BIGINT) AS v_micro
+              FROM events),
+{sm}
+SELECT event_id, user_id, v_micro, {oracles.to_i64('smx')} AS sm
+FROM {fin} ORDER BY smx LIMIT {k}
+"""
+
+
+@_q("q_sample_k", _sample_k_sql())
+def q_sample_k(sf_dir: str):
+    # EXACT-k distributed uniform sample by order statistics: rank every
+    # row by splitmix64(id) and keep the k smallest — a deterministic
+    # reservoir sample with no global sort and no coordination. Each
+    # block contributes its own k smallest candidates (carrying the
+    # output columns, so no join-back); the driver merges <= blocks * k
+    # tiny rows (the q_topk_hosts bound) and takes the global k. The
+    # splitmix rank is a bijection of the unique id, so there are no
+    # ties and the sample is exactly reproducible at any parallelism.
+    from cocrawler_ray.hashing import splitmix64
+    k = 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy()
+        smx = splitmix64(e.astype(np.uint64))
+        take = np.argsort(smx)[:k]
+        from cocrawler_ray.stages.text import round_half_away
+        vm = round_half_away(
+            t.column("value").to_numpy() * 1e6, 0).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(e[take], pa.int64()),
+            "user_id": pa.array(
+                t.column("user_id").to_numpy()[take], pa.int64()),
+            "v_micro": pa.array(vm[take], pa.int64()),
+            "smx": pa.array(smx[take], pa.uint64())})
+
+    cand = (read(sf_dir, "events", ["event_id", "user_id", "value"])
+            .map_batches(partial, batch_format="pyarrow").to_pandas())
+    cand = cand.sort_values("smx", kind="stable").head(k)
+    return pa.table({
+        "event_id": pa.array(cand["event_id"].to_numpy(), pa.int64()),
+        "user_id": pa.array(cand["user_id"].to_numpy(), pa.int64()),
+        "v_micro": pa.array(cand["v_micro"].to_numpy(), pa.int64()),
+        "sm": pa.array(cand["smx"].to_numpy().view(np.int64), pa.int64())})
+
+
 def _weighted_sample_sql() -> str:
     sm, fin = oracles.splitmix_ctes(
         "base", "event_id, event_type, value", "event_id::HUGEINT",
@@ -7502,15 +7553,22 @@ _PRIORITY = [
     # TPC-H join trees (Q5/Q7/Q13/Q16), the window/rank family, the
     # skew census, BM25, bloom-semijoin, watermark, quantile-rank, and
     # the round-4-rewritten q_latency_percentile.
-    # crawl-semantic operators (urls/parse/seeds/content)
-    "q_canonicalize", "q_link_extract", "q_frontier_order",
+    # LATE-ROUND-4 ROTATION: four more never-driver-proven ops swap in
+    # (q_theta_sketch, q_bfs_layers, q_percent_rank, q_letterbox) for
+    # four r01-r03-proven basics (q_canonicalize, q_link_extract,
+    # q_frontier_order, q_anti_join_seen — each family keeps another
+    # driver-proven member in the window: q_sitemap_extract/
+    # q_recrawl_priority are crawl-semantic, q_skew_hybrid_join/
+    # q_bloom_semijoin are joins).
+    # crawl-depth + sketch-set-algebra + window-distribution + image
+    "q_bfs_layers", "q_theta_sketch", "q_percent_rank",
     # joins: broadcast-anti (family rep), the skew-aware hybrid, the
     # bloom-prefiltered semi-join, and the TPC-H Q5/Q7/Q8/Q21 join
     # trees (Q5/Q7 rebuilt this round on auto_join; Q8 market-share and
     # Q21 sole-offender census are new this round — q_robots_join /
     # q_fetch_join rotate out, driver-proven in r01-r03 and still green
     # in the conformance tests)
-    "q_anti_join_seen", "q_market_share", "q_waiting_suppliers",
+    "q_letterbox", "q_market_share", "q_waiting_suppliers",
     "q_skew_hybrid_join", "q_bloom_semijoin",
     "q_local_supplier_volume", "q_nation_volume",
     # dedup family: exact, MinHash-LSH, embedding-LSH, semantic
