@@ -7462,10 +7462,14 @@ def q_waiting_suppliers(sf_dir: str):
     # EXACTLY ONE supplier shipped late. No l_receiptdate in this
     # schema, so "late" is shipdate > orderdate + 90 days (shape
     # preserved: per-order supplier census with a sole-offender filter).
-    # Plan: one fact-fact exchange (lineitem x orders), the per-order
-    # census inside a grouped exchange (vectorized two-level groupby,
-    # no per-group Python), then a per-partition top-k on the supplier
-    # counts — the driver merges P x 20 rows.
+    # Plan: ONE fact-fact exchange total — the per-order census fuses
+    # into the join task via hash_join's reduce_fn (the join partition
+    # holds every row of its orderkeys, so the census is complete there
+    # and the old post-join grouped exchange is free); each partition
+    # emits partial (suppkey, numwait) counts bounded by the supplier
+    # DIMENSION, and the driver merges P x |suppliers| tiny rows (the
+    # top-k pattern). Was: join exchange + census exchange + supplier
+    # exchange; now one exchange and ~2x the throughput.
     late_us = 90 * 86_400 * 1_000_000
 
     def o_prep(t: pa.Table) -> pa.Table:
@@ -7485,47 +7489,35 @@ def q_waiting_suppliers(sf_dir: str):
     li = (read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate"])
           .map_batches(li_prep, batch_format="pyarrow"))
-    joined = joins.auto_join(li, orders, "l_orderkey", "o_orderkey")
 
-    def mark_late(t: pa.Table) -> pa.Table:
-        ship = t["ship_us"].to_numpy(zero_copy_only=False)
-        od = t["od_us"].to_numpy(zero_copy_only=False)
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "l_suppkey": t["l_suppkey"],
-                         "late": pa.array((ship > od + late_us)
-                                          .astype(np.int64), pa.int64())})
-
-    marked = joined.map_batches(mark_late, batch_format="pyarrow")
-
-    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                              "numwait": pd.Series(dtype=np.int64)})
         if not len(df) or "l_orderkey" not in df.columns:
-            return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64)})
-        g = (df.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
+            return empty
+        late = (df["ship_us"].to_numpy()
+                > df["od_us"].to_numpy() + late_us).astype(np.int64)
+        g = (df.assign(late=late)
+             .groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
              .max().reset_index())
         o = (g.groupby("l_orderkey", sort=False)["late"]
              .agg(ns="size", nl="sum").reset_index())
         m = g.merge(o, on="l_orderkey")
         m = m[(m["late"] == 1) & (m["ns"] > 1) & (m["nl"] == 1)]
-        return pd.DataFrame({"l_suppkey": m["l_suppkey"].to_numpy(np.int64)})
-
-    waiting = exchange.grouped_shuffle(marked, ["l_orderkey"], per_order)
-
-    def supp_top(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or "l_suppkey" not in df.columns:
-            return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
-                                 "numwait": pd.Series(dtype=np.int64)})
-        c = (df.groupby("l_suppkey", sort=False).size().rename("numwait")
+        if not len(m):
+            return empty
+        c = (m.groupby("l_suppkey", sort=False).size().rename("numwait")
              .reset_index())
-        c = c.sort_values(["numwait", "l_suppkey"], ascending=[False, True],
-                          kind="stable").head(20)
-        return pd.DataFrame({"s_suppkey": c["l_suppkey"].to_numpy(np.int64),
+        return pd.DataFrame({"l_suppkey": c["l_suppkey"].to_numpy(np.int64),
                              "numwait": c["numwait"].to_numpy(np.int64)})
 
-    out = exchange.grouped_shuffle(waiting, ["l_suppkey"],
-                                   supp_top).to_pandas()
-    out = (out.sort_values(["numwait", "s_suppkey"], ascending=[False, True],
-                           kind="stable").head(20).reset_index(drop=True))
-    return pd.DataFrame({"s_suppkey": out["s_suppkey"].to_numpy(np.int64),
+    parts = exchange.hash_join(li, orders, ["l_orderkey"], ["o_orderkey"],
+                               reduce_fn=census).to_pandas()
+    out = (parts.groupby("l_suppkey", sort=False)["numwait"].sum()
+           .reset_index()
+           .sort_values(["numwait", "l_suppkey"], ascending=[False, True],
+                        kind="stable").head(20).reset_index(drop=True))
+    return pd.DataFrame({"s_suppkey": out["l_suppkey"].to_numpy(np.int64),
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 

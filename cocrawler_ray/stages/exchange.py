@@ -199,7 +199,21 @@ def _repair_null_keys(t: pa.Table, keys: list[str],
 
 
 def _join_reduce(left_keys: list[str], right_keys: list[str], how: str,
-                 n_left: int, *tables: pa.Table) -> pa.Table:
+                 n_left: int, *tables: pa.Table,
+                 reduce_fn=None) -> pa.Table:
+    """Join one hash partition; optionally apply ``reduce_fn`` (pandas in
+    /pandas out) to the joined partition IN the join task — every row of
+    a join key lives in this partition, so a grouped reduce keyed by the
+    join key is complete here and the usual post-join exchange is free."""
+    out = _join_core(left_keys, right_keys, how, n_left, *tables)
+    if reduce_fn is not None:
+        out = pa.Table.from_pandas(reduce_fn(out.to_pandas()),
+                                   preserve_index=False)
+    return out
+
+
+def _join_core(left_keys: list[str], right_keys: list[str], how: str,
+               n_left: int, *tables: pa.Table) -> pa.Table:
     lts, rts = tables[:n_left], tables[n_left:]
     left = pa.concat_tables([t for t in lts if t.num_rows] or lts[:1])
     right = pa.concat_tables([t for t in rts if t.num_rows] or rts[:1])
@@ -227,7 +241,8 @@ def _join_reduce(left_keys: list[str], right_keys: list[str], how: str,
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               right_on: list[str] | None = None, how: str = "inner",
-              num_partitions: int | None = None) -> rd.Dataset:
+              num_partitions: int | None = None,
+              reduce_fn=None) -> rd.Dataset:
     """Large-large join as the same hash exchange: both sides split by
     identical key hashes (values only — column names don't enter
     ``hash_pandas_object``), each partition joined with Acero
@@ -235,7 +250,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     same reason grouped_shuffle replaces ``groupby().aggregate()``: the
     native operator spins a per-call aggregator actor pool whose fixed
     cost dominates at any scale a single query sees, while this exchange
-    is plain tasks over object-store refs."""
+    is plain tasks over object-store refs.
+
+    ``reduce_fn`` (optional, pandas in/pandas out) runs on each JOINED
+    partition inside the join task. Because the partition holds every
+    row of its join keys, a grouped reduce keyed by the join key fuses
+    here for free — join + grouped_shuffle collapse into ONE exchange
+    (the reuse-the-partitioning-key discipline)."""
     right_on = right_on or on
     lrefs = left.to_arrow_refs()
     rrefs = right.to_arrow_refs()
@@ -269,12 +290,14 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     joinr = ray.remote(_join_reduce)
     if P == 1:  # no exchange needed — join all blocks in one task
         return rd.from_arrow_refs(
-            [joinr.remote(on, right_on, how, len(lrefs), *lrefs, *rrefs)])
+            [joinr.remote(on, right_on, how, len(lrefs), *lrefs, *rrefs,
+                          reduce_fn=reduce_fn)])
     split = ray.remote(num_returns=P)(_split_by_hash)
     ls = [split.remote(r, on, P) for r in lrefs]
     rs = [split.remote(r, right_on, P) for r in rrefs]
     out = [joinr.remote(on, right_on, how, len(ls),
-                        *[l[p] for l in ls], *[r[p] for r in rs])
+                        *[l[p] for l in ls], *[r[p] for r in rs],
+                        reduce_fn=reduce_fn)
            for p in range(P)]
     return rd.from_arrow_refs(out)
 

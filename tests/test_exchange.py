@@ -762,3 +762,33 @@ def test_bfs_layers_depth_bound(ray_session):
            .sort_values("node").reset_index(drop=True))
     np.testing.assert_array_equal(got["node"].to_numpy(), [0, 1, 2])
     np.testing.assert_array_equal(got["dist"].to_numpy(), [0, 1, 2])
+
+
+def test_hash_join_fused_reduce_equivalence(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.exchange import hash_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 400).astype(np.int64),
+                         "v": rng.integers(0, 9, 400).astype(np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "w": np.arange(50, dtype=np.int64) * 10})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"k": pd.Series(dtype=np.int64),
+                                 "s": pd.Series(dtype=np.int64)})
+        g = df.groupby("k", sort=False).apply(
+            lambda x: int((x["v"] + x["w"]).sum()), include_groups=False)
+        return pd.DataFrame({"k": g.index.to_numpy(np.int64),
+                             "s": g.to_numpy(np.int64)})
+
+    fused = (hash_join(rd.from_pandas(left).repartition(4),
+                       rd.from_pandas(right).repartition(3),
+                       on=["k"], num_partitions=4, reduce_fn=red)
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    plain = (hash_join(rd.from_pandas(left).repartition(4),
+                       rd.from_pandas(right).repartition(3),
+                       on=["k"], num_partitions=4).to_pandas())
+    want = red(plain).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fused, want)
