@@ -1963,6 +1963,44 @@ def q_word_count(sf_dir: str):
         ["term"], {"n": ("tf", "sum")})
 
 
+def _rake_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in sorted(textops._CLS_STOPWORDS))
+    return r"""
+WITH l AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''),
+tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos,
+               unnest(t) AS term
+        FROM l),
+seg AS (SELECT doc_id, pos, term,
+               CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END AS is_stop
+        FROM tok),
+ph AS (SELECT doc_id, pos, term, is_stop,
+              sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phid
+       FROM seg),
+w AS (SELECT doc_id, phid, term FROM ph WHERE is_stop = 0),
+plen AS (SELECT doc_id, phid, count(*) AS plen FROM w GROUP BY 1, 2)
+SELECT w.term, CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(p.plen) AS BIGINT) AS degree
+FROM w JOIN plen p ON p.doc_id = w.doc_id AND p.phid = w.phid
+GROUP BY w.term
+""".replace("{stop}", stop)
+
+
+@_q("q_rake_stats", _rake_sql())
+def q_rake_stats(sf_dir: str):
+    # RAKE keyword statistics (freq + degree per non-stop word, where
+    # degree sums the containing stopword-free phrase's length): phrase
+    # segmentation is doc-local, so the whole operator is per-batch
+    # pandas explode/cumsum partials + the combiner — zero shuffles,
+    # driver combine bounded by O(vocabulary). The word score degree/
+    # freq stays an integer pair so the SQL mirror is float-free
+    # (stages/text.py::rake_word_stats_batch).
+    return partial_groupby_agg(
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(textops.rake_word_stats_batch, batch_format="pandas"),
+        ["term"], {"freq": ("freq", "sum"), "degree": ("degree", "sum")})
+
+
 @_q("q_inverted_index", """
 SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs,
        CAST(count(*) AS BIGINT) AS df

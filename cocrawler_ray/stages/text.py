@@ -687,3 +687,40 @@ def dup_gram_partials_reduce(df: pd.DataFrame,
     return pd.DataFrame({id_col: out[id_col].to_numpy(np.int64),
                          "n_grams": out["n_grams"].to_numpy(np.int64),
                          "n_dup": out["n_dup"].to_numpy(np.int64)})
+
+
+def rake_word_stats_batch(df, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Per-batch PARTIAL RAKE word statistics (Rose et al., "Automatic
+    Keyword Extraction from Individual Documents", 2010 — the classic
+    unsupervised keyphrase scorer). Candidate phrases are maximal
+    stopword-free token runs; for every non-stop word occurrence,
+    freq += 1 and degree += length of its containing phrase (RAKE's
+    word score is degree/freq; the integer numerator/denominator pair
+    is emitted so the oracle stays float-free). Phrases never cross
+    doc boundaries and docs never cross batches, so per-batch partials
+    are exact and the global table is a combiner sum — zero shuffles
+    before the O(vocabulary) combine."""
+    import pandas as pd
+
+    s = df[text_col].astype(str).str.strip()
+    s = s[s != ""]
+    empty = pd.DataFrame({"term": pd.Series(dtype=object),
+                          "freq": pd.Series(dtype=np.int64),
+                          "degree": pd.Series(dtype=np.int64)})
+    if not len(s):
+        return empty
+    tok = s.str.split().explode()
+    t = pd.DataFrame({"doc": tok.index.to_numpy(), "term": tok.to_numpy()})
+    t["is_stop"] = t["term"].isin(_CLS_STOPWORDS)
+    t["phid"] = t.groupby("doc", sort=False)["is_stop"].cumsum()
+    w = t[~t["is_stop"]]
+    if not len(w):
+        return empty
+    plen = w.groupby(["doc", "phid"], sort=False)["term"].transform("size")
+    g = (w.assign(plen=plen.to_numpy(np.int64))
+         .groupby("term", sort=False)["plen"]
+         .agg(freq="size", degree="sum").reset_index())
+    return pd.DataFrame({"term": g["term"].to_numpy(object),
+                         "freq": g["freq"].to_numpy(np.int64),
+                         "degree": g["degree"].to_numpy(np.int64)})
