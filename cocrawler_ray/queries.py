@@ -4131,7 +4131,8 @@ def q_triangle_count(sf_dir: str):
                             pa.int64())})
 
     stats = triangle_count(nodes.map_batches(make_edges,
-                                             batch_format="pyarrow"))
+                                             batch_format="pyarrow"),
+                           est_bytes=n_total * 3 * 24)
     return pd.DataFrame({k: np.array([v], np.int64)
                          for k, v in stats.items()})
 

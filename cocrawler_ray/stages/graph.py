@@ -284,7 +284,8 @@ def _wedges_reduce(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def triangle_count(edges: rd.Dataset,
-                   num_partitions: int | None = None) -> dict[str, int]:
+                   num_partitions: int | None = None,
+                   est_bytes: int | None = None) -> dict[str, int]:
     """Exact triangle count over an undirected edge list (src, dst) via
     degree orientation + wedge closure — the MapReduce formulation of
     Suri & Vassilvitskii (WWW'11), re-expressed on the hash exchange:
@@ -309,18 +310,24 @@ def triangle_count(edges: rd.Dataset,
     Returns {n_nodes, n_edges, n_triangles}. Each triangle is counted
     exactly once (its unique apex = the (degree, id)-minimal vertex).
     """
-    from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
+    from cocrawler_ray.stages.exchange import (grouped_shuffle, hash_join,
+                                               materialize_if_small)
     from cocrawler_ray.stages.joins import auto_join
 
-    canon = edges.map_batches(_canon_edges,
-                              batch_format="pyarrow").materialize()
+    # multi-consumer edge tables (canon: count + exchange; und:
+    # endpoints + join; ori: wedges + closing edges) are SIZE-GATED
+    # pins: edges scale with the corpus, and above the budget a re-run
+    # of the short lineage beats holding the graph in the object store
+    # (``est_bytes``: caller's edge-volume estimate, e.g. rows x 24 B).
+    canon = materialize_if_small(
+        edges.map_batches(_canon_edges, batch_format="pyarrow"), est_bytes)
     # adapt exchange width to edge volume (the _pick_p rule): a small
     # graph at cluster-CPU width pays ~P^2 split/reduce fixed costs per
     # exchange with nothing to parallelize
     num_partitions = _pick_p(canon.count(), num_partitions)
-    und = grouped_shuffle(
+    und = materialize_if_small(grouped_shuffle(
         canon, ["a", "b"], lambda df: df.drop_duplicates(),
-        num_partitions=num_partitions).materialize()
+        num_partitions=num_partitions), est_bytes)
 
     def endpoints(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -352,7 +359,8 @@ def triangle_count(edges: rd.Dataset,
             "t": pa.array(np.where(lt, b, a), pa.int64()),
             "dt": pa.array(np.where(lt, db, da), pa.int64())})
 
-    ori = j.map_batches(orient, batch_format="pyarrow").materialize()
+    ori = materialize_if_small(
+        j.map_batches(orient, batch_format="pyarrow"), est_bytes)
     wedges = grouped_shuffle(ori, ["s"], _wedges_reduce,
                              num_partitions=num_partitions)
     ori_vw = ori.map_batches(
