@@ -547,6 +547,22 @@ px AS (SELECT d, x, y, ch, {_DECODED_SQL} AS p
        FROM ys CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c)"""
 
 
+def transcode_audit_sql(n: int = N_IMAGES) -> str:
+    """q_transcode_audit: qnt re-encode of the decoded pixels — p2 =
+    (p // 8) * 8 + 4 (the qnt decode formula; p <= 255 so the engine's
+    clip never binds), enc_bytes = 3*w*h, sse = sum (p - p2)^2. qnt-
+    source images (d % 3 = 2) restate as sse 0 (idempotent re-encode)."""
+    return f"""
+WITH {_px_ctes(n)},
+t AS (SELECT d, p, (p // 8) * 8 + 4 AS p2 FROM px)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(3 * (16 * (1 + d % 2)) * (16 * (1 + (d // 2) % 2))
+            AS BIGINT) AS enc_bytes,
+       CAST(sum((p - p2) * (p - p2)) AS BIGINT) AS sse
+FROM t GROUP BY d
+"""
+
+
 def image_decode_stats_sql(n: int = N_IMAGES) -> str:
     """Means are dyadic-exact (no rounding); stds round-4; phash bits via
     the integer-exact 64*blocksum > totalsum comparison."""

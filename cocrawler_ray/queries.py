@@ -3456,6 +3456,20 @@ def q_clip_score_gate(sf_dir: str):
                          batch_size=16, concurrency=2,
                          fn_constructor_kwargs={"threshold": 0.93}))
 
+@_q("q_transcode_audit", oracles.transcode_audit_sql())
+def q_transcode_audit(sf_dir: str):
+    # format-migration audit over the decode corpus: actor-pool decode ->
+    # REAL qnt re-encode + decode-back -> integer (enc_bytes, sse) per
+    # image (stages/multimodal.py::TranscodeAudit). The oracle restates
+    # the quantizer analytically over the decoded-pixel CTE; qnt-source
+    # rows must come back sse 0 (idempotent re-encode — what makes a
+    # 100 TB migration safely re-runnable).
+    from cocrawler_ray.stages.multimodal import TranscodeAudit
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(TranscodeAudit, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_letterbox", oracles.letterbox_sql())
 def q_letterbox(sf_dir: str):
     # letterbox/pillarbox border detection over the analytic-border
@@ -3826,6 +3840,50 @@ def q_url_trap(sf_dir: str):
             "n_dup": st["n_dup"], "trap": st["trap"]})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+@_q("q_url_templates", r"""
+WITH u AS (
+  SELECT doc_id,
+         '/' || source || '/p' || CAST(doc_id % 7 AS VARCHAR)
+             || '/' || CASE WHEN doc_id % 3 = 0 THEN source
+                            ELSE 'q' || CAST(doc_id % 11 AS VARCHAR) END
+             || '/' || CASE WHEN doc_id % 5 = 0
+                            THEN 'p' || CAST(doc_id % 7 AS VARCHAR)
+                            ELSE 'z' END
+             || '/item' || CAST(doc_id % 13 AS VARCHAR) AS path
+  FROM documents)
+SELECT regexp_replace(path, '[0-9]+', 'N', 'g') AS tmpl,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY tmpl
+""")
+def q_url_templates(sf_dir: str):
+    # URL template mining (digit runs collapse to 'N'): the structure-
+    # discovery pass a crawl planner runs to find parametric URL spaces
+    # (pagination, ids, calendars) worth budget caps — the aggregate
+    # companion to q_url_trap's per-URL gate. Same synthesized paths as
+    # q_url_trap; the collapse is one vectorized C-regex per batch and
+    # the counts ride the combiner (templates are a tiny domain, the
+    # whole reduce is O(distinct templates)).
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        src = df["source"].to_numpy(dtype=object)
+        paths = pd.Series(
+            ["/%s/p%d/%s/%s/item%d"
+             % (s, di % 7,
+                s if di % 3 == 0 else "q%d" % (di % 11),
+                ("p%d" % (di % 7)) if di % 5 == 0 else "z",
+                di % 13)
+             for di, s in zip(d, src)], dtype=object)
+        tmpl = paths.str.replace(r"[0-9]+", "N", regex=True)
+        g = tmpl.groupby(tmpl, sort=False).size()
+        return pd.DataFrame({"tmpl": g.index.to_numpy(object),
+                             "n": g.to_numpy(np.int64)})
+
+    return partial_groupby_agg(ds.map_batches(f, batch_format="pandas"),
+                               ["tmpl"], {"n": ("n", "sum")})
 
 
 @_q("q_funnel", """

@@ -661,3 +661,38 @@ class LetterboxDetect:
             "left_px": pa.array(lef), "right_px": pa.array(rig),
             "inner_w": pa.array(np.maximum(inner_w, 0)),
             "inner_h": pa.array(np.maximum(inner_h, 0))})
+
+
+class TranscodeAudit:
+    """Format-migration audit (the batch transcode pipeline's measure
+    half): decode each payload, re-encode through the lossy ``qnt``
+    codec, and report the REAL round-trip cost — encoded size and the
+    integer sum of squared pixel error vs the decoded source. Exact
+    integers (no PSNR float) so the decision gate ("migrate iff
+    sse/npx under budget") is reproducible; already-quantized sources
+    re-encode losslessly (sse 0), the idempotence a migration job
+    relies on to be safely re-runnable."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+        self.encode = codecs.encode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        enc_bytes = np.zeros(n, np.int64)
+        sse = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            enc = self.encode(img, "qnt")
+            back = self.decode(enc, int(ws[i]), int(hs[i]), "qnt")
+            enc_bytes[i] = len(enc)
+            d = img.astype(np.int64) - back.astype(np.int64)
+            sse[i] = int((d * d).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "enc_bytes": pa.array(enc_bytes),
+            "sse": pa.array(sse)})
