@@ -86,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="image-corpus curation: fetched cells/parquet -> "
                          "PSNR + flat gates -> dhash near-dup removal -> "
                          "resumable image shards")
+    ap.add_argument("--transcode", nargs=2, metavar=("SRC", "DEST"),
+                    help="bulk format migration: fetched cells/parquet -> "
+                         "qnt re-encode with an integer loss gate "
+                         "(originals kept over budget) -> resumable "
+                         "shards")
+    ap.add_argument("--max-mse-milli", type=int, default=6500,
+                    help="loss budget for --transcode: migrate iff "
+                         "sse*1000 <= budget*npx (6500 = PSNR>=40dB)")
     return ap
 
 
@@ -141,6 +149,29 @@ def main(argv: list[str] | None = None) -> int:
             if os.path.isdir(src) else [src]
         res = curate_image_shards(files, args.curate_images[1],
                                   num_shards=args.curate_shards)
+        print(json.dumps({
+            "counts": res["counts"],
+            "shards": res["manifest"].to_dict("records")}))
+        return 0
+
+    if args.transcode:
+        import os
+
+        import ray
+
+        if not ray.is_initialized():  # standalone; ray job submit attaches
+            kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR", **kw)
+        from cocrawler_ray.pipelines.transcode import transcode_shards
+        from cocrawler_ray.storage import Storage
+
+        src = args.transcode[0]
+        files = Storage(src).table_files("fetched") \
+            if os.path.isdir(src) else [src]
+        res = transcode_shards(files, args.transcode[1],
+                               num_shards=args.curate_shards,
+                               max_mse_milli=args.max_mse_milli)
         print(json.dumps({
             "counts": res["counts"],
             "shards": res["manifest"].to_dict("records")}))

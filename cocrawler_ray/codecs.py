@@ -23,7 +23,12 @@ import numpy as np
 
 from cocrawler_ray.hashing import hash64, splitmix64
 
-FORMATS = ("raw16", "pngz", "qnt")
+FORMATS = ("raw16", "pngz", "qnt", "qntz")
+# qntz = 5-bit quantization THEN zlib: the quantized plane's entropy is
+# ~5 bits/sample, so deflate actually bites — the archive/migration
+# target format (qnt alone stores one byte per sample, saving nothing).
+# Fixture round-robins index with % 3, so corpora stay three-format;
+# qntz appears via pipelines/transcode.py output.
 
 
 def make_image(image_id: str, w: int, h: int) -> np.ndarray:
@@ -50,6 +55,8 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return zlib.compress(img.tobytes(), level=1)
     if fmt == "qnt":
         return (img >> 3).astype(np.uint8).tobytes()
+    if fmt == "qntz":
+        return zlib.compress((img >> 3).astype(np.uint8).tobytes(), level=1)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -60,6 +67,9 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
     if fmt == "qnt":
         q = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        return ((q.astype(np.uint16) << 3) + 4).clip(0, 255).astype(np.uint8)
+    if fmt == "qntz":
+        q = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
         return ((q.astype(np.uint16) << 3) + 4).clip(0, 255).astype(np.uint8)
     raise ValueError(f"unknown fmt {fmt!r}")
 

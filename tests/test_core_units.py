@@ -144,10 +144,14 @@ def test_codec_roundtrip_psnr(fmt):
     dec = codecs.decode(data, 32, 16, fmt)
     assert dec.shape == img.shape
     p = codecs.psnr(img, dec)
-    if fmt == "qnt":
+    if fmt in ("qnt", "qntz"):  # same quantizer; qntz adds lossless zlib
         assert 40.0 <= p < 45.0
     else:
         assert p == float("inf")
+    if fmt == "qntz":  # the migration target genuinely shrinks payloads
+        assert len(data) < len(codecs.encode(img, "raw16"))
+        np.testing.assert_array_equal(
+            dec, codecs.decode(codecs.encode(img, "qnt"), 32, 16, "qnt"))
 
 
 def test_phash_properties():
