@@ -421,3 +421,26 @@ def test_scene_cut_single_frame_is_empty():
     out = SceneCut()(batch)
     assert out.num_rows == 0
     assert out.column_names == ["video_id", "frame_idx", "sad", "cut"]
+
+
+def test_letterbox_detect_all_black_and_borders():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import LetterboxDetect
+    img = np.zeros((10, 12, 3), np.uint8)
+    img[2:8, 3:9, :] = 100  # top=2 bottom=2 left=3 right=3
+    black = np.zeros((6, 6, 3), np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "bytes": pa.array([codecs.encode(img, "raw16"),
+                           codecs.encode(black, "qnt")], pa.binary()),
+        "w": pa.array(np.array([12, 6], np.int32)),
+        "h": pa.array(np.array([10, 6], np.int32)),
+        "fmt": pa.array(["raw16", "qnt"])})
+    out = LetterboxDetect()(batch).to_pandas().set_index("image_id")
+    a = out.loc["a"]
+    assert (a.top_px, a.bot_px, a.left_px, a.right_px) == (2, 2, 3, 3)
+    assert (a.inner_w, a.inner_h) == (6, 6)
+    b = out.loc["b"]  # all-black (qnt decodes 0 -> 4, still under p<8)
+    assert (b.top_px, b.bot_px, b.left_px, b.right_px) == (6, 0, 6, 0)
+    assert (b.inner_w, b.inner_h) == (0, 0)

@@ -792,3 +792,17 @@ def test_hash_join_fused_reduce_equivalence(ray_session):
                        on=["k"], num_partitions=4).to_pandas())
     want = red(plain).sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(fused, want)
+
+
+def test_bfs_layers_no_seeds(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import bfs_layers
+
+    edges = pd.DataFrame({"src": np.array([0, 1], dtype=np.int64),
+                          "dst": np.array([1, 2], dtype=np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(5, dtype=np.int64)})
+    got = bfs_layers(rd.from_pandas(nodes).repartition(2),
+                     rd.from_pandas(edges).repartition(2),
+                     lambda nd: np.zeros(len(nd), dtype=bool),
+                     iters=3).to_pandas()
+    assert len(got) == 0
