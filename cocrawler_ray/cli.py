@@ -81,14 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="tokens per training pack for --curate")
     ap.add_argument("--curate-shards", type=int, default=16,
-                    help="output shard count for --curate / --curate-images")
+                    help="output shard count for --curate / --curate-images / "
+                         "--transcode")
     ap.add_argument("--curate-images", nargs=2, metavar=("SRC", "DEST"),
                     help="image-corpus curation: fetched cells/parquet -> "
                          "PSNR + flat gates -> dhash near-dup removal -> "
                          "resumable image shards")
     ap.add_argument("--transcode", nargs=2, metavar=("SRC", "DEST"),
                     help="bulk format migration: fetched cells/parquet -> "
-                         "qnt re-encode with an integer loss gate "
+                         "qntz re-encode with an integer loss gate "
                          "(originals kept over budget) -> resumable "
                          "shards")
     ap.add_argument("--max-mse-milli", type=int, default=6500,

@@ -74,6 +74,17 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def roundtrip_sse(img: np.ndarray, fmt: str) -> tuple[bytes, int]:
+    """Encode ``img`` as ``fmt``, decode back, return (encoded bytes,
+    integer sum of squared pixel error) — the ONE loss kernel shared by
+    the q_transcode_audit measure stage and the transcode migration
+    gate, so the two can never drift."""
+    enc = encode(img, fmt)
+    back = decode(enc, img.shape[1], img.shape[0], fmt)
+    d = img.astype(np.int64) - back.astype(np.int64)
+    return enc, int((d * d).sum())
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

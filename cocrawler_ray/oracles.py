@@ -1149,7 +1149,9 @@ FROM u
 
 def conformance_letterbox_images(n: int = N_IMAGES):
     """16x16 images whose BLACK BORDERS are analytic in d — top = d % 4,
-    bottom = (d//4) % 4, left = (d//16) % 4, right = (d//64) % 4 — and
+    bottom = (d//4) % 4, left = (d//16) % 4, right = (d//7) % 4 (a
+    divisor coprime to the others so ALL FOUR borders vary within the
+    64-image corpus) — and
     whose interior pixels are 16 + formula % 240 (never below 16, so
     every interior row/column carries signal through every codec: qnt
     decodes interior >= 20, border 0 -> 4, both sides of the engine's
@@ -1169,7 +1171,7 @@ def conformance_letterbox_images(n: int = N_IMAGES):
                                    + ((x * y + d) % 31) * 7) % 240
                              ).astype(np.uint8)
         t_, b_ = d % 4, (d // 4) % 4
-        l_, r_ = (d // 16) % 4, (d // 64) % 4
+        l_, r_ = (d // 16) % 4, (d // 7) % 4
         if t_:
             img[:t_, :, :] = 0
         if b_:
@@ -1200,8 +1202,8 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        CAST(d % 4 AS BIGINT) AS top_px,
        CAST((d // 4) % 4 AS BIGINT) AS bot_px,
        CAST((d // 16) % 4 AS BIGINT) AS left_px,
-       CAST((d // 64) % 4 AS BIGINT) AS right_px,
-       CAST(16 - (d // 16) % 4 - (d // 64) % 4 AS BIGINT) AS inner_w,
+       CAST((d // 7) % 4 AS BIGINT) AS right_px,
+       CAST(16 - (d // 16) % 4 - (d // 7) % 4 AS BIGINT) AS inner_w,
        CAST(16 - d % 4 - (d // 4) % 4 AS BIGINT) AS inner_h
 FROM ids
 """

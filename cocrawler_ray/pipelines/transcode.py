@@ -59,10 +59,7 @@ def _transcode_batch(t: pa.Table, max_mse_milli: int) -> pa.Table:
     migrated = np.zeros(n, np.int64)
     for i in range(n):
         img = codecs.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
-        enc = codecs.encode(img, "qntz")
-        back = codecs.decode(enc, int(ws[i]), int(hs[i]), "qntz")
-        d = img.astype(np.int64) - back.astype(np.int64)
-        s = int((d * d).sum())
+        enc, s = codecs.roundtrip_sse(img, "qntz")
         sse[i] = s
         if s * 1000 <= max_mse_milli * img.size:
             out_bytes.append(enc)

@@ -1392,13 +1392,12 @@ def q_curate_corpus(sf_dir: str):
     return stratified_sample(gated, ["source"], 10, "doc_id")
 
 
-@_q("q_pagerank", oracles.pagerank_sql(3, 0.85))
-def q_pagerank(sf_dir: str):
-    # 3-iteration PageRank over the constructed doc link graph
-    # (stages/graph.py::pagerank — per-iteration hash-join + contribution
-    # exchange; ranks never leave the object store). The SQL oracle unrolls
-    # the same three synchronous iterations.
-    from cocrawler_ray.stages.graph import pagerank
+def _doc_link_graph(sf_dir: str):
+    """Constructed doc link graph shared by q_pagerank /
+    q_pagerank_personalized / q_bfs_layers: dst = (d*7+1) % n and
+    (d*13+3) % n. The three queries' SQL mirrors restate the SAME
+    formula — change it here and in those generators in lockstep.
+    Returns (nodes, edges, n_total)."""
     nodes = (read(sf_dir, "documents", ["doc_id"])
              .map_batches(lambda t: t.rename_columns(["node"]),
                           batch_format="pyarrow"))
@@ -1413,6 +1412,17 @@ def q_pagerank(sf_dir: str):
                             pa.int64())})
 
     edges = nodes.map_batches(make_edges, batch_format="pyarrow")
+    return nodes, edges, n_total
+
+
+@_q("q_pagerank", oracles.pagerank_sql(3, 0.85))
+def q_pagerank(sf_dir: str):
+    # 3-iteration PageRank over the constructed doc link graph
+    # (stages/graph.py::pagerank — per-iteration hash-join + contribution
+    # exchange; ranks never leave the object store). The SQL oracle unrolls
+    # the same three synchronous iterations.
+    from cocrawler_ray.stages.graph import pagerank
+    nodes, edges, n_total = _doc_link_graph(sf_dir)
     out = pagerank(nodes, edges, iters=3, damping=0.85)
     return out.map_batches(
         lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
@@ -1450,21 +1460,9 @@ def q_bfs_layers(sf_dir: str):
     # only nodes reached so far send (dst, dist+1), folded by min. Same
     # constructed graph as q_pagerank; seeds = node % 97 == 0.
     from cocrawler_ray.stages.graph import bfs_layers
-    nodes = (read(sf_dir, "documents", ["doc_id"])
-             .map_batches(lambda t: t.rename_columns(["node"]),
-                          batch_format="pyarrow"))
-    n_total = nodes.count()
-
-    def make_edges(t: pa.Table) -> pa.Table:
-        d = t.column("node").to_numpy()
-        return pa.table({
-            "src": pa.array(np.concatenate([d, d]), pa.int64()),
-            "dst": pa.array(np.concatenate([(d * 7 + 1) % n_total,
-                                            (d * 13 + 3) % n_total]),
-                            pa.int64())})
-
-    edges = nodes.map_batches(make_edges, batch_format="pyarrow")
-    return bfs_layers(nodes, edges, lambda nd: nd % 97 == 0, iters=4)
+    nodes, edges, n_total = _doc_link_graph(sf_dir)
+    return bfs_layers(nodes, edges, lambda nd: nd % 97 == 0, iters=4,
+                      n_total=n_total)
 
 
 @_q("q_topk_per_group", """
@@ -6821,20 +6819,7 @@ def q_pagerank_personalized(sf_dir: str):
     # column (graph.py mode "psum"). The oracle unrolls the identical
     # three iterations.
     from cocrawler_ray.stages.graph import pagerank_personalized
-    nodes = (read(sf_dir, "documents", ["doc_id"])
-             .map_batches(lambda t: t.rename_columns(["node"]),
-                          batch_format="pyarrow"))
-    n_total = nodes.count()
-
-    def make_edges(t: pa.Table) -> pa.Table:
-        d = t.column("node").to_numpy()
-        return pa.table({
-            "src": pa.array(np.concatenate([d, d]), pa.int64()),
-            "dst": pa.array(np.concatenate([(d * 7 + 1) % n_total,
-                                            (d * 13 + 3) % n_total]),
-                            pa.int64())})
-
-    edges = nodes.map_batches(make_edges, batch_format="pyarrow")
+    nodes, edges, _ = _doc_link_graph(sf_dir)
     out = pagerank_personalized(nodes, edges, seed_mod=20, iters=3,
                                 damping=0.85)
     return out.map_batches(

@@ -68,20 +68,23 @@ _BFS_INF = np.int64(1) << np.int64(62)  # "unreached" BFS distance
 
 
 def _contrib_split(mode: str, damping: float, P: int, E: pa.Table,
-                   S: pa.Table) -> list[pa.Table]:
+                   S: pa.Table, rnd: int = 0) -> list[pa.Table]:
     """Superstep send half: join the partition's edges with its node state
     (both hashed here by the SAME key hash) and emit (node, c) messages
     pre-split by destination hash."""
     e = E.to_pandas()
     s = S.to_pandas()
+    if mode == "dist":
+        # BFS relaxation: only the CURRENT FRONTIER sends — nodes first
+        # reached in the previous superstep (label == rnd; labels only
+        # decrease and a reached node's label is final, so every older
+        # sender's message was already folded — pruning them is exact).
+        # Message volume tracks the frontier, not the reached set.
+        s = s[s["label"].to_numpy() == np.int64(rnd)]
     j = e.merge(s, left_on="src", right_on="node", how="inner")
     if mode in ("sum", "psum"):
         c = damping * j["r"].to_numpy() / j["outdeg"].to_numpy()
     elif mode == "dist":
-        # BFS relaxation: the message is sender-dist + 1, and UNREACHED
-        # senders (label = _BFS_INF) send nothing — message volume stays
-        # proportional to the current frontier, not the whole graph
-        j = j[j["label"].to_numpy() < _BFS_INF]
         c = j["label"].to_numpy() + 1
     else:  # min-label: the message is the sender's current label
         c = j["label"].to_numpy()
@@ -128,8 +131,8 @@ def _bsp(nodes_parts: list, edges_parts: list, mode: str, iters: int,
     send = ray.remote(num_returns=P)(_contrib_split)
     fold = ray.remote(_fold)
     state = nodes_parts
-    for _ in range(iters):
-        outs = [send.remote(mode, damping, P, edges_parts[p], state[p])
+    for i in range(iters):
+        outs = [send.remote(mode, damping, P, edges_parts[p], state[p], i)
                 for p in range(P)]
         if P == 1:
             outs = [[o] for o in outs]
@@ -213,7 +216,8 @@ def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
 
 def bfs_layers(nodes: rd.Dataset, edges: rd.Dataset, seed_mask_fn,
                iters: int = 4,
-               num_partitions: int | None = None) -> rd.Dataset:
+               num_partitions: int | None = None,
+               n_total: int | None = None) -> rd.Dataset:
     """Hop distance from a seed set over a DIRECTED graph — ``iters``
     synchronous BFS supersteps (the crawl-analysis primitive: "which URLs
     are within k hops of the seed list", reference semantics =
@@ -221,12 +225,16 @@ def bfs_layers(nodes: rd.Dataset, edges: rd.Dataset, seed_mask_fn,
     -> bool mask`` marks distance-0 nodes inside the init map (no seed
     list ships to the driver). Same BSP machinery as pagerank/components:
     edges pre-split ONCE, per-superstep messages are (dst, sender_dist+1)
-    from FRONTIER nodes only (unreached senders pruned in the send half),
-    folded by min — message volume tracks the frontier, not the graph.
+    from the CURRENT FRONTIER only — nodes whose label equals the
+    superstep number, i.e. first reached in the previous round (labels
+    are final once set, so pruning older senders is exact) — folded by
+    min; message volume tracks the frontier, not the reached set.
     Returns (node, dist:int64) for nodes reached within ``iters`` hops;
     fixed-depth semantics, identical on both oracle sides whether or not
-    the BFS converged."""
-    n_total = nodes.count()
+    the BFS converged. ``n_total``: caller-known node count (skips one
+    extra execution of the nodes lineage)."""
+    if n_total is None:
+        n_total = nodes.count()
     P = _pick_p(n_total, num_partitions)
 
     def init(t: pa.Table) -> pa.Table:

@@ -687,11 +687,9 @@ class TranscodeAudit:
         sse = np.zeros(n, np.int64)
         for i in range(n):
             img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
-            enc = self.encode(img, "qnt")
-            back = self.decode(enc, int(ws[i]), int(hs[i]), "qnt")
+            enc, s = codecs.roundtrip_sse(img, "qnt")
             enc_bytes[i] = len(enc)
-            d = img.astype(np.int64) - back.astype(np.int64)
-            sse[i] = int((d * d).sum())
+            sse[i] = s
         return pa.table({
             "image_id": batch.column("image_id"),
             "enc_bytes": pa.array(enc_bytes),
