@@ -1209,6 +1209,40 @@ FROM ids
 """
 
 
+def letterbox_crop_sql(n: int = N_IMAGES) -> str:
+    """q_letterbox_crop: restate the letterbox fixture's pixels (interior
+    16 + formula % 240, borders 0, qnt decode for d % 3 = 2), then the
+    cropped-box dimensions AND the integer pixel sum over the box — a
+    checksum that the engine's crop took exactly the content box."""
+    formula = ("16 + (x * 3 + y * 5 + ch * 11 + d * 17"
+               " + ((x * y + d) % 31) * 7) % 240")
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+b AS (SELECT d, d % 4 AS t_, (d // 4) % 4 AS b_,
+             (d // 16) % 4 AS l_, (d // 7) % 4 AS r_
+      FROM ids),
+xs AS (SELECT d, t_, b_, l_, r_, unnest(generate_series(0, 15)) AS x
+       FROM b),
+ys AS (SELECT d, t_, b_, l_, r_, x, unnest(generate_series(0, 15)) AS y
+       FROM xs),
+raw AS (SELECT d, t_, b_, l_, r_, x, y, ch,
+               CASE WHEN x < l_ OR x >= 16 - r_
+                         OR y < t_ OR y >= 16 - b_
+                    THEN 0 ELSE {formula} END AS p0
+        FROM ys CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c),
+dec AS (SELECT d, t_, b_, l_, r_, x, y,
+               CASE WHEN d % 3 = 2 THEN (p0 // 8) * 8 + 4 ELSE p0 END AS p
+        FROM raw)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(16 - l_ - r_ AS BIGINT) AS new_w,
+       CAST(16 - t_ - b_ AS BIGINT) AS new_h,
+       CAST(sum(CASE WHEN x >= l_ AND x < 16 - r_
+                      AND y >= t_ AND y < 16 - b_ THEN p ELSE 0 END)
+            AS BIGINT) AS px_sum
+FROM dec GROUP BY d, t_, b_, l_, r_
+"""
+
+
 def conformance_captioned_images(n: int = N_IMAGES):
     """The decode corpus + a deterministic color-word caption per image
     (caption token counts are a pure function of d, so the SQL mirror

@@ -3481,6 +3481,19 @@ def q_letterbox(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_letterbox_crop", oracles.letterbox_crop_sql())
+def q_letterbox_crop(sf_dir: str):
+    # the APPLY half of letterbox handling: decode -> content-box scan ->
+    # crop -> (new dims, integer pixel-sum checksum). The oracle restates
+    # the fixture's bordered pixels (with qnt decode for every third
+    # image) and sums over the analytic box — crop-off-by-one on ANY side
+    # in ANY codec breaks the sum (stages/multimodal.py::LetterboxCrop).
+    from cocrawler_ray.stages.multimodal import LetterboxCrop
+    return (_from_arrow_blocks(oracles.conformance_letterbox_images(), 4)
+            .map_batches(LetterboxCrop, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_window_frame", """
 WITH q AS (SELECT event_id, user_id, ts,
                   CAST(round(value * 1e6) AS BIGINT) AS v_micro

@@ -694,3 +694,42 @@ class TranscodeAudit:
             "image_id": batch.column("image_id"),
             "enc_bytes": pa.array(enc_bytes),
             "sse": pa.array(sse)})
+
+
+class LetterboxCrop:
+    """The APPLY half of letterbox handling: decode, find the content box
+    (same signal scan as LetterboxDetect), crop to it, and report the
+    cropped dimensions plus the integer sum of the cropped pixels — the
+    checksum that proves the crop took exactly the content box without
+    shipping pixels to the checker. An all-black frame crops to 0x0 with
+    sum 0."""
+
+    def __init__(self, threshold: int = 8):
+        self.decode = codecs.decode
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        new_w = np.zeros(n, np.int64)
+        new_h = np.zeros(n, np.int64)
+        px_sum = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            sig = (img >= self.threshold).any(axis=2)
+            rows = sig.any(axis=1)
+            cols = sig.any(axis=0)
+            if not rows.any():
+                continue
+            top = int(np.argmax(rows)); bot = int(np.argmax(rows[::-1]))
+            lef = int(np.argmax(cols)); rig = int(np.argmax(cols[::-1]))
+            crop = img[top:int(hs[i]) - bot, lef:int(ws[i]) - rig, :]
+            new_h[i], new_w[i] = crop.shape[0], crop.shape[1]
+            px_sum[i] = int(crop.astype(np.int64).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "new_w": pa.array(new_w), "new_h": pa.array(new_h),
+            "px_sum": pa.array(px_sum)})
