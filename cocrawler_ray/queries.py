@@ -2617,6 +2617,54 @@ def q_sample_k(sf_dir: str):
         "sm": pa.array(cand["smx"].to_numpy().view(np.int64), pa.int64())})
 
 
+def _abtest_sql() -> str:
+    sm, fin = oracles.splitmix_ctes("base", "event_id, user_id, value",
+                                    "user_id::HUGEINT", "hx", "ab")
+    return f"""
+WITH base AS (SELECT event_id, user_id, value FROM events),
+{sm},
+v AS (SELECT CAST(hx % 2 AS BIGINT) AS variant,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+      FROM {fin})
+SELECT variant, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(conv) AS BIGINT) AS conversions,
+       CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS rate_micro
+FROM v GROUP BY variant
+"""
+
+
+@_q("q_abtest_rates", _abtest_sql())
+def q_abtest_rates(sf_dir: str):
+    # experiment analysis: deterministic USER-level variant assignment
+    # (splitmix64(user_id) % 2 — the unit of randomization is the user,
+    # so a user's events never straddle arms) -> per-variant event and
+    # conversion counts with an exact integer micro-rate. Per-batch
+    # partials + the combiner; zero shuffles — the A/B readout shape
+    # over the crawl's event stream.
+    from cocrawler_ray.hashing import splitmix64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hx = splitmix64(df["user_id"].to_numpy().astype(np.uint64))
+        variant = (hx % np.uint64(2)).astype(np.int64)
+        conv = (df["value"].to_numpy() > 50).astype(np.int64)
+        g = (pd.DataFrame({"variant": variant, "conv": conv})
+             .groupby("variant", sort=False)["conv"]
+             .agg(n="size", conversions="sum").reset_index())
+        return g.astype({"variant": np.int64, "n": np.int64,
+                         "conversions": np.int64})
+
+    agg = partial_groupby_agg(
+        read(sf_dir, "events", ["event_id", "user_id", "value"])
+        .map_batches(partial, batch_format="pandas"),
+        ["variant"], {"n": ("n", "sum"),
+                      "conversions": ("conversions", "sum")})
+    agg = agg.astype({"variant": np.int64, "n": np.int64,
+                      "conversions": np.int64})
+    agg["rate_micro"] = (agg["conversions"] * 1_000_000
+                         // agg["n"]).astype(np.int64)
+    return agg
+
+
 def _weighted_sample_sql() -> str:
     sm, fin = oracles.splitmix_ctes(
         "base", "event_id, event_type, value", "event_id::HUGEINT",

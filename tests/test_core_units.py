@@ -444,3 +444,24 @@ def test_letterbox_detect_all_black_and_borders():
     b = out.loc["b"]  # all-black (qnt decodes 0 -> 4, still under p<8)
     assert (b.top_px, b.bot_px, b.left_px, b.right_px) == (6, 0, 6, 0)
     assert (b.inner_w, b.inner_h) == (0, 0)
+
+
+def test_letterbox_crop_checksum_and_all_black():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import LetterboxCrop
+    img = np.zeros((10, 12, 3), np.uint8)
+    img[2:8, 3:9, :] = 100
+    black = np.zeros((6, 6, 3), np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "bytes": pa.array([codecs.encode(img, "raw16"),
+                           codecs.encode(black, "raw16")], pa.binary()),
+        "w": pa.array(np.array([12, 6], np.int32)),
+        "h": pa.array(np.array([10, 6], np.int32)),
+        "fmt": pa.array(["raw16", "raw16"])})
+    out = LetterboxCrop()(batch).to_pandas().set_index("image_id")
+    assert (out.loc["a", "new_w"], out.loc["a", "new_h"]) == (6, 6)
+    assert out.loc["a", "px_sum"] == 6 * 6 * 3 * 100
+    assert (out.loc["b", "new_w"], out.loc["b", "new_h"]) == (0, 0)
+    assert out.loc["b", "px_sum"] == 0
