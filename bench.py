@@ -127,6 +127,7 @@ BENCH_QUERIES_R4 = [
     "q_percent_rank",      # distribution window fns (1 entity exchange)
     "q_theta_sketch",      # KMV set algebra (per-block k-min partials)
     "q_sample_k",          # exact-k order-statistics sample (no sort)
+    "q_politeness_sim",    # token-bucket dispatch sim (closed-form cummax)
 ]
 
 

@@ -3591,6 +3591,62 @@ def q_rank_events(sf_dir: str):
         ["user_id"], window.rank_reduce)
 
 
+@_q("q_politeness_sim", """
+WITH q AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events),
+o AS (SELECT event_id, user_id, ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) - 1 AS j
+      FROM q),
+r AS (SELECT event_id, user_id, ts_us, j,
+             max(ts_us - j * 250000) OVER (PARTITION BY user_id
+                                           ORDER BY j) AS run
+      FROM o)
+SELECT event_id, user_id, ts_us,
+       CAST(run + j * 250000 AS BIGINT) AS allowed_us,
+       CAST(run + j * 250000 - ts_us AS BIGINT) AS delay_us
+FROM r
+""")
+def q_politeness_sim(sf_dir: str):
+    # token-bucket politeness simulation (the scheduler burrow/ratelimit
+    # shape the frontier enforces live): per entity, the earliest
+    # dispatch time of each request under a fixed 250 ms same-host gap.
+    # The sequential recurrence allowed_i = max(ts_i, allowed_{i-1}+gap)
+    # has the closed form allowed_i = i*gap + running_max(ts_j - j*gap),
+    # so the whole operator is ONE entity exchange + a vectorized
+    # grouped cummax — no per-row loop, and the SQL mirror is the same
+    # window max. Integer microseconds throughout (exact).
+    gap = 250_000
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "ts_us": pd.Series(dtype=np.int64),
+                "allowed_us": pd.Series(dtype=np.int64),
+                "delay_us": pd.Series(dtype=np.int64)})
+        ts_us = window._ts_us(df["ts"])
+        df = (df.assign(ts_us=ts_us)
+              .sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+              .reset_index(drop=True))
+        j = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        base = df["ts_us"].to_numpy() - j * gap
+        run = (pd.Series(base).groupby(df["user_id"].to_numpy(), sort=False)
+               .cummax().to_numpy())
+        allowed = run + j * gap
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts_us"].to_numpy(np.int64),
+            "allowed_us": allowed.astype(np.int64),
+            "delay_us": (allowed - df["ts_us"].to_numpy()).astype(np.int64)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        ["user_id"], reduce)
+
+
 @_q("q_percent_rank", """
 WITH q AS (SELECT event_id, user_id,
                   CAST(round(value * 1e6) AS BIGINT) AS v_micro
