@@ -1423,7 +1423,7 @@ def q_pagerank(sf_dir: str):
     # the same three synchronous iterations.
     from cocrawler_ray.stages.graph import pagerank
     nodes, edges, n_total = _doc_link_graph(sf_dir)
-    out = pagerank(nodes, edges, iters=3, damping=0.85)
+    out = pagerank(nodes, edges, iters=3, damping=0.85, n_total=n_total)
     return out.map_batches(
         lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
                                  "pr": df["r"].round(6).to_numpy()}),
@@ -6936,9 +6936,9 @@ def q_pagerank_personalized(sf_dir: str):
     # column (graph.py mode "psum"). The oracle unrolls the identical
     # three iterations.
     from cocrawler_ray.stages.graph import pagerank_personalized
-    nodes, edges, _ = _doc_link_graph(sf_dir)
+    nodes, edges, n_total = _doc_link_graph(sf_dir)
     out = pagerank_personalized(nodes, edges, seed_mod=20, iters=3,
-                                damping=0.85)
+                                damping=0.85, n_total=n_total)
     return out.map_batches(
         lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
                                  "ppr": df["r"].round(8).to_numpy()}),

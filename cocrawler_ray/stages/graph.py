@@ -144,13 +144,16 @@ def _bsp(nodes_parts: list, edges_parts: list, mode: str, iters: int,
 
 def pagerank(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 3,
              damping: float = 0.85,
-             num_partitions: int | None = None) -> rd.Dataset:
+             num_partitions: int | None = None,
+             n_total: int | None = None) -> rd.Dataset:
     """``nodes``: (node:int64) — every vertex, exactly once. ``edges``:
     (src, dst) int64 rows, parallel edges allowed (each contributes).
     Returns (node, r:float64) after ``iters`` synchronous iterations from
     a uniform start; dangling mass is dropped (teleport base only), the
-    convention of the unrolled SQL oracle."""
-    n_total = nodes.count()
+    convention of the unrolled SQL oracle. ``n_total``: caller-known
+    node count (skips one extra execution of the nodes lineage)."""
+    if n_total is None:
+        n_total = nodes.count()
     base = (1.0 - damping) / n_total
     P = _pick_p(n_total, num_partitions)
 
@@ -534,7 +537,8 @@ def kcore_peel(nodes: rd.Dataset, edges: rd.Dataset, k: int = 4,
 def pagerank_personalized(nodes: rd.Dataset, edges: rd.Dataset,
                           seed_mod: int = 20, iters: int = 3,
                           damping: float = 0.85,
-                          num_partitions: int | None = None) -> rd.Dataset:
+                          num_partitions: int | None = None,
+                          n_total: int | None = None) -> rd.Dataset:
     """Personalized (seed-biased) PageRank — the topic-sensitive variant
     a crawl uses to prioritize pages near its seed list: the teleport
     mass lands ONLY on seed nodes (here ``node % seed_mod == 0``, so the
@@ -542,7 +546,8 @@ def pagerank_personalized(nodes: rd.Dataset, edges: rd.Dataset,
     discipline to ``pagerank``; the only change is a per-node base
     column carried in the state (mode "psum"). Start state r0 = b
     (teleport distribution), the unrolled-oracle convention."""
-    n_total = nodes.count()
+    if n_total is None:
+        n_total = nodes.count()
     n_seeds = (n_total + seed_mod - 1) // seed_mod  # nodes 0,20,40,...
     P = _pick_p(n_total, num_partitions)
 

@@ -617,6 +617,20 @@ class ClipScoreGate:
             round_half_away(np.asarray(scores, dtype=np.float64), 6)))
 
 
+def _content_box(img, threshold: int):
+    """Shared content-box scan for the letterbox measure/apply halves:
+    (top, bottom, left, right) border widths of the signal box — a pixel
+    with any channel >= threshold counts as signal. All-black frames
+    return borders covering the whole image (h, 0, w, 0)."""
+    sig = (img >= threshold).any(axis=2)
+    rows = sig.any(axis=1)
+    cols = sig.any(axis=0)
+    if not rows.any():
+        return img.shape[0], 0, img.shape[1], 0
+    return (int(np.argmax(rows)), int(np.argmax(rows[::-1])),
+            int(np.argmax(cols)), int(np.argmax(cols[::-1])))
+
+
 class LetterboxDetect:
     """Black-border (letterbox / pillarbox) detection: decode, then find
     the first/last row and column carrying signal — a pixel with any
@@ -642,17 +656,8 @@ class LetterboxDetect:
         lef = np.zeros(n, np.int64); rig = np.zeros(n, np.int64)
         for i in range(n):
             img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
-            sig = (img >= self.threshold).any(axis=2)
-            rows = sig.any(axis=1)
-            cols = sig.any(axis=0)
-            if rows.any():
-                top[i] = int(np.argmax(rows))
-                bot[i] = int(np.argmax(rows[::-1]))
-                lef[i] = int(np.argmax(cols))
-                rig[i] = int(np.argmax(cols[::-1]))
-            else:  # all-black frame: borders cover everything
-                top[i], bot[i] = int(hs[i]), 0
-                lef[i], rig[i] = int(ws[i]), 0
+            top[i], bot[i], lef[i], rig[i] = _content_box(img,
+                                                          self.threshold)
         inner_w = ws.astype(np.int64) - lef - rig
         inner_h = hs.astype(np.int64) - top - bot
         return pa.table({
@@ -675,7 +680,6 @@ class TranscodeAudit:
 
     def __init__(self):
         self.decode = codecs.decode
-        self.encode = codecs.encode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -719,13 +723,9 @@ class LetterboxCrop:
         px_sum = np.zeros(n, np.int64)
         for i in range(n):
             img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
-            sig = (img >= self.threshold).any(axis=2)
-            rows = sig.any(axis=1)
-            cols = sig.any(axis=0)
-            if not rows.any():
+            top, bot, lef, rig = _content_box(img, self.threshold)
+            if top == int(hs[i]):  # all-black: 0x0 box, sum 0
                 continue
-            top = int(np.argmax(rows)); bot = int(np.argmax(rows[::-1]))
-            lef = int(np.argmax(cols)); rig = int(np.argmax(cols[::-1]))
             crop = img[top:int(hs[i]) - bot, lef:int(ws[i]) - rig, :]
             new_h[i], new_w[i] = crop.shape[0], crop.shape[1]
             px_sum[i] = int(crop.astype(np.int64).sum())
