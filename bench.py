@@ -128,6 +128,7 @@ BENCH_QUERIES_R4 = [
     "q_theta_sketch",      # KMV set algebra (per-block k-min partials)
     "q_sample_k",          # exact-k order-statistics sample (no sort)
     "q_politeness_sim",    # token-bucket dispatch sim (closed-form cummax)
+    "q_sharpness_gate",    # variance-of-Laplacian blur gate (actor-pool decode)
 ]
 
 

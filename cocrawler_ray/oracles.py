@@ -1335,3 +1335,90 @@ SELECT m.d AS doc_id, m.chunk_ix, m."start", m.length,
        {to_i64(f"(xhi::HUGEINT * {H32} + xlo::HUGEINT)")} AS chunk_hash
 FROM meta m JOIN folded f ON m.d = f.d AND m.chunk_ix = f.chunk_ix
 """
+
+
+def sharpness_sql(n: int = N_IMAGES,
+                  threshold_micro: int = 776_000_000_000) -> str:
+    """q_sharpness_gate: variance-of-Laplacian restated over the decoded
+    pixel formula — gray = channel sum, 4-neighbour Laplacian via an
+    offset/weight join (HAVING count(*)=5 keeps interior pixels only),
+    then the exact integer micro-variance (m*ss - s^2)*10^6 // m^2 in
+    HUGEINT so the intermediate never wraps."""
+    return f"""
+WITH {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+loff AS (SELECT * FROM (VALUES (0,0,4),(1,0,-1),(-1,0,-1),
+                               (0,1,-1),(0,-1,-1)) t(dx, dy, wt)),
+lap AS (SELECT g.d, g.x, g.y, sum(nb.s3 * o.wt) AS L
+        FROM g3 g CROSS JOIN loff o
+        JOIN g3 nb ON nb.d = g.d AND nb.x = g.x + o.dx
+                  AND nb.y = g.y + o.dy
+        GROUP BY g.d, g.x, g.y HAVING count(*) = 5),
+st AS (SELECT d, count(*)::HUGEINT AS m, sum(L)::HUGEINT AS s,
+              sum(L * L)::HUGEINT AS ss
+       FROM lap GROUP BY d),
+v AS (SELECT d, CAST((m * ss - s * s) * 1000000 // (m * m) AS BIGINT)
+               AS var_micro
+      FROM st)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       var_micro, var_micro > {threshold_micro} AS sharp
+FROM v
+"""
+
+
+def edge_density_sql(n: int = N_IMAGES, mag_threshold: int = 800,
+                     frac_permille: int = 570) -> str:
+    """q_edge_density: 3x3 Sobel restated via a 9-offset join on the
+    gray-sum CTE with inline kernel weights wx = dx*(2-|dy|),
+    wy = dy*(2-|dx|); interior pixels are the ones with all 9
+    neighbours. Edge census + the integer cross-multiplied density
+    gate (1000*edge_px > permille*n_int — no float division)."""
+    return f"""
+WITH {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+soff AS (SELECT a.dx, b.dy
+         FROM (VALUES (-1),(0),(1)) a(dx)
+         CROSS JOIN (VALUES (-1),(0),(1)) b(dy)),
+sob AS (SELECT g.d, g.x, g.y,
+               sum(nb.s3 * o.dx * (2 - abs(o.dy))) AS gx,
+               sum(nb.s3 * o.dy * (2 - abs(o.dx))) AS gy
+        FROM g3 g CROSS JOIN soff o
+        JOIN g3 nb ON nb.d = g.d AND nb.x = g.x + o.dx
+                  AND nb.y = g.y + o.dy
+        GROUP BY g.d, g.x, g.y HAVING count(*) = 9),
+per AS (SELECT d,
+               CAST(sum(CASE WHEN abs(gx) + abs(gy) > {mag_threshold}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS edge_px,
+               CAST(count(*) AS BIGINT) AS n_int
+        FROM sob GROUP BY d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       edge_px, n_int,
+       1000 * edge_px > {frac_permille} * n_int AS dense_edges
+FROM per
+"""
+
+
+def augment_checksum_sql(n: int = N_IMAGES) -> str:
+    """q_augment_checksum: the flip / rot90-clockwise position-weighted
+    checksums restated in SOURCE coordinates — a source pixel (x, y, ch)
+    lands at flipped position (w-1-x, y) and at rotated position
+    (col h-1-y, row x) of an (h x w)-swapped frame, so
+    chk_flip = sum p*(1 + (w-1-x) + y*w + ch*w*h) and
+    chk_rot = sum p*(1 + (h-1-y) + x*h + ch*w*h). Any axis swap or
+    off-by-one in the engine's transform shifts the weights and breaks
+    the sum."""
+    return f"""
+WITH {_px_ctes(n)},
+dims AS (SELECT d, 16 * (1 + d % 2) AS w, 16 * (1 + (d // 2) % 2) AS h
+         FROM (SELECT DISTINCT d FROM px)),
+t AS (SELECT p.d, p.p, p.x, p.y, p.ch, m.w, m.h
+      FROM px p JOIN dims m ON m.d = p.d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(p * (1 + (w - 1 - x) + y * w + ch * w * h))
+            AS BIGINT) AS chk_flip,
+       CAST(sum(p * (1 + (h - 1 - y) + x * h + ch * w * h))
+            AS BIGINT) AS chk_rot,
+       CAST(any_value(h) AS BIGINT) AS rot_w,
+       CAST(any_value(w) AS BIGINT) AS rot_h
+FROM t GROUP BY d
+"""

@@ -3542,6 +3542,47 @@ def q_letterbox_crop(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_sharpness_gate", oracles.sharpness_sql())
+def q_sharpness_gate(sf_dir: str):
+    # blur/sharpness gate by variance-of-Laplacian: decode -> gray
+    # channel-sum -> interior 4-neighbour Laplacian -> exact integer
+    # micro-variance + the integer gate (threshold splits the fixture
+    # near its median — the gate column carries real coverage). The
+    # oracle re-derives the same variance via an offset/weight join on
+    # the pixel formula (stages/multimodal.py::SharpnessGate).
+    from cocrawler_ray.stages.multimodal import SharpnessGate
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(SharpnessGate, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_edge_density", oracles.edge_density_sql())
+def q_edge_density(sf_dir: str):
+    # texture census: 3x3 Sobel |gx|+|gy| over interior gray pixels,
+    # edge-pixel count + the cross-multiplied density gate
+    # (1000*edge_px > 570*n_int). Oracle restates the kernel as a
+    # 9-offset join with inline weights dx*(2-|dy|) / dy*(2-|dx|)
+    # (stages/multimodal.py::SobelEdgeStats).
+    from cocrawler_ray.stages.multimodal import SobelEdgeStats
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(SobelEdgeStats, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_augment_checksum", oracles.augment_checksum_sql())
+def q_augment_checksum(sf_dir: str):
+    # deterministic augmentation (hflip + rot90-clockwise) certified by
+    # position-weighted checksums of the TRANSFORMED arrays — the engine
+    # weighs output coordinates, the oracle weighs source coordinates
+    # through the coordinate map, so they agree only if the geometry is
+    # exactly right (a plain pixel sum would pass a broken flip)
+    # (stages/multimodal.py::AugmentChecksum).
+    from cocrawler_ray.stages.multimodal import AugmentChecksum
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(AugmentChecksum, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_window_frame", """
 WITH q AS (SELECT event_id, user_id, ts,
                   CAST(round(value * 1e6) AS BIGINT) AS v_micro

@@ -733,3 +733,136 @@ class LetterboxCrop:
             "image_id": batch.column("image_id"),
             "new_w": pa.array(new_w), "new_h": pa.array(new_h),
             "px_sum": pa.array(px_sum)})
+
+
+class SharpnessGate:
+    """Blur detection by variance-of-Laplacian (the classic focus /
+    sharpness measure used to gate blurry images out of training sets;
+    reference analogue: the facet/quality gating family, SURVEY §2 M5/M6
+    applied to the image axis). Decode -> channel-sum gray (int, 0..765)
+    -> 4-neighbour Laplacian L = 4g - g_up - g_down - g_left - g_right
+    over INTERIOR pixels -> exact integer variance in micro-units:
+    var_micro = (n*ssq - s^2) * 10^6 // n^2 (Python-int arithmetic; the
+    n*ssq*10^6 intermediate exceeds int64 for large frames, so the
+    per-image reduction is done in unbounded ints). ``sharp`` is the
+    integer-exact gate var_micro > threshold_micro — no float crosses
+    the comparison, so engine and oracle agree bit-for-bit."""
+
+    def __init__(self, threshold_micro: int = 776_000_000_000):
+        self.decode = codecs.decode
+        self.threshold_micro = int(threshold_micro)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        var_micro = np.zeros(n, np.int64)
+        sharp = np.zeros(n, np.bool_)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            g = img.sum(axis=2)
+            if g.shape[0] < 3 or g.shape[1] < 3:
+                continue  # no interior: var 0, not sharp
+            L = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+                 - g[1:-1, :-2] - g[1:-1, 2:])
+            m = int(L.size)
+            s = int(L.sum())
+            ss = int((L.astype(object) * L).sum())  # unbounded ints
+            var_micro[i] = (m * ss - s * s) * 1_000_000 // (m * m)
+            sharp[i] = var_micro[i] > self.threshold_micro
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "var_micro": pa.array(var_micro),
+            "sharp": pa.array(sharp)})
+
+
+class SobelEdgeStats:
+    """Edge-density census: decode -> gray (channel sum) -> 3x3 Sobel
+    gx/gy over interior pixels -> integer magnitude |gx| + |gy| -> count
+    of edge pixels over ``mag_threshold``. The gate ``dense_edges`` is
+    the integer cross-multiplication 1000*edge_px > frac_permille*n_int
+    (no float division). Edge density separates texture-rich content
+    from flat/synthetic frames — a standard image-curation signal next
+    to the sharpness and flatness gates."""
+
+    def __init__(self, mag_threshold: int = 800, frac_permille: int = 570):
+        self.decode = codecs.decode
+        self.mag_threshold = int(mag_threshold)
+        self.frac_permille = int(frac_permille)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        edge_px = np.zeros(n, np.int64)
+        n_int = np.zeros(n, np.int64)
+        dense = np.zeros(n, np.bool_)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            g = img.sum(axis=2)
+            if g.shape[0] < 3 or g.shape[1] < 3:
+                continue
+            gx = ((g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2]))
+            gy = ((g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:]))
+            m = np.abs(gx) + np.abs(gy)
+            edge_px[i] = int((m > self.mag_threshold).sum())
+            n_int[i] = m.size
+            dense[i] = 1000 * edge_px[i] > self.frac_permille * n_int[i]
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "edge_px": pa.array(edge_px),
+            "n_int": pa.array(n_int),
+            "dense_edges": pa.array(dense)})
+
+
+def _pos_checksum(a: np.ndarray) -> int:
+    """Position-weighted integer checksum of an (h, w, 3) array:
+    sum p(y, x, c) * (1 + x + y*w + c*w*h). Unlike a plain pixel sum it
+    is NOT invariant under flips/rotations/crop-shifts, so it certifies
+    the geometry of a transform, not just its pixel multiset."""
+    h, w, c = a.shape
+    wx = 1 + np.arange(w, dtype=np.int64)
+    wy = w * np.arange(h, dtype=np.int64)
+    wc = w * h * np.arange(c, dtype=np.int64)
+    weights = wy[:, None, None] + wx[None, :, None] + wc[None, None, :]
+    return int((a.astype(np.int64) * weights).sum())
+
+
+class AugmentChecksum:
+    """Deterministic geometric augmentation (horizontal flip + 90-degree
+    clockwise rotation — the two cheap members of a training-time
+    augmentation stack) with position-weighted integer checksums of each
+    OUTPUT array. A plain pixel sum is flip-invariant and would pass a
+    broken transform; the positional weights make any off-by-one or
+    axis-swap in either transform change the checksum. Emits the rotated
+    dims too (w/h swap) so downstream shard writers can re-bucket."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        chk_flip = np.zeros(n, np.int64)
+        chk_rot = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            chk_flip[i] = _pos_checksum(img[:, ::-1, :])
+            chk_rot[i] = _pos_checksum(np.rot90(img, k=-1))
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "chk_flip": pa.array(chk_flip),
+            "chk_rot": pa.array(chk_rot),
+            "rot_w": pa.array(hs.astype(np.int64)),
+            "rot_h": pa.array(ws.astype(np.int64))})

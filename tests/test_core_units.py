@@ -465,3 +465,66 @@ def test_letterbox_crop_checksum_and_all_black():
     assert out.loc["a", "px_sum"] == 6 * 6 * 3 * 100
     assert (out.loc["b", "new_w"], out.loc["b", "new_h"]) == (0, 0)
     assert out.loc["b", "px_sum"] == 0
+
+
+def test_sharpness_flat_image_and_tiny_frame():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import SharpnessGate
+    flat = np.full((8, 8, 3), 50, np.uint8)   # zero Laplacian everywhere
+    tiny = np.zeros((2, 2, 3), np.uint8)      # no interior pixels
+    batch = pa.table({
+        "image_id": pa.array(["flat", "tiny"]),
+        "bytes": pa.array([codecs.encode(flat, "raw16"),
+                           codecs.encode(tiny, "raw16")], pa.binary()),
+        "w": pa.array(np.array([8, 2], np.int32)),
+        "h": pa.array(np.array([8, 2], np.int32)),
+        "fmt": pa.array(["raw16", "raw16"])})
+    out = SharpnessGate()(batch).to_pandas().set_index("image_id")
+    assert out.loc["flat", "var_micro"] == 0
+    assert not out.loc["flat", "sharp"]
+    assert out.loc["tiny", "var_micro"] == 0
+    assert not out.loc["tiny", "sharp"]
+
+
+def test_sobel_step_edge_counts():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import SobelEdgeStats
+    # vertical step edge: left half 0, right half 200 -> interior
+    # columns adjacent to the step carry |gx| = 4*600, rest 0
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, 4:, :] = 200
+    batch = pa.table({
+        "image_id": pa.array(["step"]),
+        "bytes": pa.array([codecs.encode(img, "raw16")], pa.binary()),
+        "w": pa.array(np.array([8], np.int32)),
+        "h": pa.array(np.array([8], np.int32)),
+        "fmt": pa.array(["raw16"])})
+    out = SobelEdgeStats()(batch).to_pandas().iloc[0]
+    assert out["n_int"] == 36
+    # gx != 0 only at interior x in {3, 4} -> 2 cols x 6 rows
+    assert out["edge_px"] == 12
+    assert not out["dense_edges"]  # 12/36 < 0.57
+
+
+def test_augment_checksum_geometry():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import AugmentChecksum, \
+        _pos_checksum
+    rng = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    batch = pa.table({
+        "image_id": pa.array(["g"]),
+        "bytes": pa.array([codecs.encode(rng, "raw16")], pa.binary()),
+        "w": pa.array(np.array([6], np.int32)),
+        "h": pa.array(np.array([4], np.int32)),
+        "fmt": pa.array(["raw16"])})
+    out = AugmentChecksum()(batch).to_pandas().iloc[0]
+    assert (out["rot_w"], out["rot_h"]) == (4, 6)
+    # independent recomputation straight from numpy transforms
+    assert out["chk_flip"] == _pos_checksum(rng[:, ::-1, :])
+    assert out["chk_rot"] == _pos_checksum(np.rot90(rng, k=-1))
+    # positional weighting certifies geometry: flip of an asymmetric
+    # frame must NOT checksum like the identity
+    assert out["chk_flip"] != _pos_checksum(rng)
