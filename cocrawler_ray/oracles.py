@@ -1422,3 +1422,50 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        CAST(any_value(w) AS BIGINT) AS rot_h
 FROM t GROUP BY d
 """
+
+
+def mip_pyramid_sql(n: int = N_IMAGES, levels: int = 2) -> str:
+    """q_mip_pyramid: nested floor-mean 2x2 downsampling restated as
+    chained GROUP BY (x//2, y//2) CTEs with sum(p)//4 — the same exact
+    integer rounding as the engine's level loop — plus the
+    position-weighted checksum (1 + x + y*lw + ch*lw*lh) per level."""
+    lvl_ctes, selects = [], []
+    for lv in range(levels + 1):
+        src = "px" if lv == 0 else f"l{lv - 1}"
+        if lv == 0:
+            lvl_ctes.append(
+                "l0 AS (SELECT d, ch, x, y, p FROM px)")
+        else:
+            # fixture dims are 16/32 so every level halves evenly; the
+            # engine's odd-trailing-drop never binds on this corpus
+            lvl_ctes.append(
+                f"l{lv} AS (SELECT d, ch, x // 2 AS x, y // 2 AS y, "
+                f"sum(p) // 4 AS p FROM {src} "
+                f"GROUP BY d, ch, x // 2, y // 2)")
+        w_expr = f"(16 * (1 + d % 2)) // {2 ** lv}"
+        h_expr = f"(16 * (1 + (d // 2) % 2)) // {2 ** lv}"
+        selects.append(f"""
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST({lv} AS BIGINT) AS level,
+       CAST({w_expr} AS BIGINT) AS lw, CAST({h_expr} AS BIGINT) AS lh,
+       CAST(sum(p * (1 + x + y * ({w_expr})
+                     + ch * ({w_expr}) * ({h_expr}))) AS BIGINT) AS chk
+FROM l{lv} GROUP BY d""")
+    return (f"WITH {_px_ctes(n)},\n" + ",\n".join(lvl_ctes)
+            + "\nSELECT * FROM (" + "\nUNION ALL".join(selects) + ") u")
+
+
+def gamma_lut_sql(n: int = N_IMAGES, highlight: int = 200) -> str:
+    """q_gamma_hist: the gamma-0.5 transfer curve restated as
+    floor(sqrt(255*p)) — exact for p in [0, 255] (perfect squares are
+    exact in double, non-squares are >= 2e-3 from an integer) — with
+    the same per-image sum + highlight census as the engine's LUT."""
+    return f"""
+WITH {_px_ctes(n)},
+g AS (SELECT d, CAST(floor(sqrt(255.0 * p)) AS BIGINT) AS c FROM px)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(c) AS BIGINT) AS gamma_sum,
+       CAST(sum(CASE WHEN c > {highlight} THEN 1 ELSE 0 END)
+            AS BIGINT) AS highlight_px
+FROM g GROUP BY d
+"""

@@ -3583,6 +3583,33 @@ def q_augment_checksum(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_mip_pyramid", oracles.mip_pyramid_sql())
+def q_mip_pyramid(sf_dir: str):
+    # thumbnail/mip pyramid: decode -> 2 successive exact floor-mean
+    # 2x2 downsamples, one OUTPUT ROW PER LEVEL (the fan-out shape a
+    # multi-resolution shard writer consumes), each level certified by
+    # a position-weighted checksum. Oracle chains GROUP BY (x//2, y//2)
+    # CTEs with the same sum//4 rounding
+    # (stages/multimodal.py::MipPyramid).
+    from cocrawler_ray.stages.multimodal import MipPyramid
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(MipPyramid, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_gamma_hist", oracles.gamma_lut_sql())
+def q_gamma_hist(sf_dir: str):
+    # LUT point-op (gamma 0.5 as exact integers p' = isqrt(255*p)):
+    # the canonical stateful-stage shape — 256-entry LUT built once per
+    # actor in __init__, vectorized np.take per batch — with per-image
+    # brightness-lift sum + highlight census
+    # (stages/multimodal.py::GammaLUT).
+    from cocrawler_ray.stages.multimodal import GammaLUT
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(GammaLUT, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_window_frame", """
 WITH q AS (SELECT event_id, user_id, ts,
                   CAST(round(value * 1e6) AS BIGINT) AS v_micro

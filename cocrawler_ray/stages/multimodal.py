@@ -866,3 +866,83 @@ class AugmentChecksum:
             "chk_rot": pa.array(chk_rot),
             "rot_w": pa.array(hs.astype(np.int64)),
             "rot_h": pa.array(ws.astype(np.int64))})
+
+
+class MipPyramid:
+    """Thumbnail / mip pyramid: decode -> ``levels`` successive 2x2
+    box downsamples with FLOOR division (p1 = (4 pixels' sum) // 4 —
+    exact integers, so the nested rounding is reproducible), each level
+    emitted as a row with its dims and the position-weighted checksum
+    of the level array (weights from _pos_checksum certify the
+    downsample geometry, not just the pixel mass). One input row fans
+    out to levels+1 output rows — the expansion shape shard writers
+    consume when building multi-resolution training sets. Odd trailing
+    rows/cols are dropped (floor halving), matching the oracle's
+    x//2, y//2 grouping."""
+
+    def __init__(self, levels: int = 2):
+        self.decode = codecs.decode
+        self.levels = int(levels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        ids_in = batch.column("image_id").to_pylist()
+        ids, lvls, lws, lhs, chks = [], [], [], [], []
+        for i in range(batch.num_rows):
+            a = self.decode(data[i], int(ws[i]), int(hs[i]),
+                            fmts[i]).astype(np.int64)
+            for lv in range(self.levels + 1):
+                if lv:
+                    h2, w2 = a.shape[0] // 2, a.shape[1] // 2
+                    a = (a[:2 * h2:2, :2 * w2:2] + a[1:2 * h2:2, :2 * w2:2]
+                         + a[:2 * h2:2, 1:2 * w2:2]
+                         + a[1:2 * h2:2, 1:2 * w2:2]) // 4
+                ids.append(ids_in[i]); lvls.append(lv)
+                lhs.append(a.shape[0]); lws.append(a.shape[1])
+                chks.append(_pos_checksum(a))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "level": pa.array(np.array(lvls, np.int64)),
+            "lw": pa.array(np.array(lws, np.int64)),
+            "lh": pa.array(np.array(lhs, np.int64)),
+            "chk": pa.array(np.array(chks, np.int64))})
+
+
+class GammaLUT:
+    """Point-op via a lookup table built once per actor (the canonical
+    stateful-stage shape: 256-entry LUT in ``__init__``, vectorized
+    np.take per batch). The transfer curve is gamma-0.5 in EXACT
+    integers: p' = isqrt(255 * p) (floor square root — equals
+    floor(255 * (p/255)^0.5) with no float in the loop), so engine and
+    SQL oracle agree bit-for-bit. Emits per-image brightness-lift
+    stats: sum of corrected pixels and the highlight census
+    (corrected > 200)."""
+
+    def __init__(self, highlight: int = 200):
+        self.decode = codecs.decode
+        self.highlight = int(highlight)
+        p = np.arange(256, dtype=np.int64)
+        self.lut = np.sqrt(255.0 * p).astype(np.int64)  # exact floor:
+        # 255*p <= 65025 and double sqrt is exact on perfect squares,
+        # >2e-3 from an integer otherwise — no misrounding possible
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        csum = np.zeros(n, np.int64)
+        hi = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]), fmts[i])
+            c = self.lut[img]
+            csum[i] = int(c.sum())
+            hi[i] = int((c > self.highlight).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "gamma_sum": pa.array(csum),
+            "highlight_px": pa.array(hi)})

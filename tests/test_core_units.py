@@ -528,3 +528,34 @@ def test_augment_checksum_geometry():
     # positional weighting certifies geometry: flip of an asymmetric
     # frame must NOT checksum like the identity
     assert out["chk_flip"] != _pos_checksum(rng)
+
+
+def test_mip_pyramid_odd_dims_drop_trailing():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import MipPyramid, _pos_checksum
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    batch = pa.table({
+        "image_id": pa.array(["odd"]),
+        "bytes": pa.array([codecs.encode(img, "raw16")], pa.binary()),
+        "w": pa.array(np.array([7], np.int32)),
+        "h": pa.array(np.array([5], np.int32)),
+        "fmt": pa.array(["raw16"])})
+    out = MipPyramid(levels=1)(batch).to_pandas().set_index("level")
+    assert (out.loc[0, "lw"], out.loc[0, "lh"]) == (7, 5)
+    assert (out.loc[1, "lw"], out.loc[1, "lh"]) == (3, 2)
+    a = img.astype(np.int64)
+    l1 = (a[:4:2, :6:2] + a[1:4:2, :6:2] + a[:4:2, 1:6:2]
+          + a[1:4:2, 1:6:2]) // 4
+    assert out.loc[1, "chk"] == _pos_checksum(l1)
+
+
+def test_gamma_lut_endpoints_and_monotone():
+    from cocrawler_ray.stages.multimodal import GammaLUT
+    lut = GammaLUT().lut
+    assert lut[0] == 0 and lut[255] == 255
+    assert lut[1] == 15  # isqrt(255)
+    assert (np.diff(lut) >= 0).all()
+    # exact floor: spot-check against unbounded-int isqrt
+    import math
+    assert all(int(lut[p]) == math.isqrt(255 * p) for p in range(256))
