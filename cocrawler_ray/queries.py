@@ -3610,6 +3610,116 @@ def q_gamma_hist(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_winsorize", """
+WITH q AS (SELECT event_type,
+                  CAST(round(value * 1e6) AS BIGINT) AS v FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM q),
+b AS (SELECT event_type, any_value(n) AS n,
+             max(CASE WHEN rn = ((n - 1) * 10) // 100 + 1 THEN v END)
+                 AS lo_micro,
+             max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN v END)
+                 AS hi_micro
+      FROM r GROUP BY event_type)
+SELECT q.event_type, b.lo_micro, b.hi_micro, CAST(b.n AS BIGINT) AS n,
+       CAST(sum(LEAST(GREATEST(q.v, b.lo_micro), b.hi_micro)) AS BIGINT)
+           AS wsum_micro
+FROM q JOIN b ON b.event_type = q.event_type
+GROUP BY q.event_type, b.lo_micro, b.hi_micro, b.n
+""")
+def q_winsorize(sf_dir: str):
+    # robust (winsorized) aggregate: per event_type, clamp value-micros
+    # into the group's exact DISCRETE p10/p90 rank bounds and sum —
+    # integers end to end, no interpolation float. One histogram scan +
+    # one tiny group exchange; the clamped sum reads off the histogram
+    # itself (agg.grouped_winsorized_mean), so a hot group never needs
+    # its raw rows in one worker. Oracle derives the same rank bounds
+    # via row_number and re-clamps.
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def to_micro(t: pa.Table) -> pa.Table:
+        v = textops.round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6,
+            0).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "v": pa.array(v, pa.int64())})
+
+    return agg.grouped_winsorized_mean(
+        ds.map_batches(to_micro, batch_format="pyarrow"),
+        ["event_type"], "v", lo_pct=10, hi_pct=90)
+
+
+@_q("q_shingle_containment", """
+WITH pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         regexp_split_to_array(trim(a.text), '\\s+') AS ta,
+         regexp_split_to_array(trim(b.text), '\\s+') AS tb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 20 = 0 AND trim(a.text) <> '' AND trim(b.text) <> ''
+),
+sh AS (SELECT doc_a, doc_b,
+         list_distinct([array_to_string(list_slice(ta, i, least(i + 2, len(ta))), ' ')
+                        for i in generate_series(1, greatest(len(ta) - 2, 1))]) AS sha,
+         list_distinct([array_to_string(list_slice(tb, i, least(i + 2, len(tb))), ' ')
+                        for i in generate_series(1, greatest(len(tb) - 2, 1))]) AS shb
+       FROM pairs)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sha, shb)) AS BIGINT) AS inter_n,
+       CAST(len(sha) AS BIGINT) AS n_a,
+       CAST(len(shb) AS BIGINT) AS n_b,
+       CAST(len(list_intersect(sha, shb)) * 1000000 // len(sha)
+            AS BIGINT) AS cont_ab_micro,
+       CAST(len(list_intersect(sha, shb)) * 1000000 // len(shb)
+            AS BIGINT) AS cont_ba_micro
+FROM sh
+""")
+def q_shingle_containment(sf_dir: str):
+    # ASYMMETRIC near-dup: shingle containment C(A,B) = |A∩B|/|A|
+    # (Broder) — the quote/inclusion detector Jaccard misses when a
+    # short doc is wholly embedded in a long one. Same adjacent-pair
+    # plumbing as q_ngram_jaccard (pair exchange, per-pair set kernel),
+    # but exact integer micro-units in BOTH directions plus the raw
+    # set sizes.
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        is_a = d % 20 == 0
+        is_b = d % 20 == 1
+        keep = is_a | is_b
+        pair = np.where(is_a[keep], d[keep], d[keep] - 1).astype(np.int64)
+        return pa.table({"pair_id": pa.array(pair),
+                         "doc_id": pa.array(d[keep]),
+                         "text": t.column("text").filter(pa.array(keep))})
+
+    def cont_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("pair_id", sort=False):
+            if len(g) != 2:
+                continue
+            g = g.sort_values("doc_id")
+            ta, tb = g["text"].iloc[0], g["text"].iloc[1]
+            if not ta.strip() or not tb.strip():
+                continue
+            sa = dedup.shingle_hashes(ta, k=3)
+            sb = dedup.shingle_hashes(tb, k=3)
+            inter = int(len(np.intersect1d(sa, sb)))
+            na, nb = len(sa), len(sb)
+            rows.append((int(g["doc_id"].iloc[0]),
+                         int(g["doc_id"].iloc[1]), inter, na, nb,
+                         inter * 1_000_000 // na,
+                         inter * 1_000_000 // nb))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter_n",
+                                           "n_a", "n_b", "cont_ab_micro",
+                                           "cont_ba_micro"]
+                            ).astype(np.int64)
+
+    return exchange.grouped_shuffle(
+        ds.map_batches(key, batch_format="pyarrow"),
+        ["pair_id"], cont_partition)
+
+
 @_q("q_window_frame", """
 WITH q AS (SELECT event_id, user_id, ts,
                   CAST(round(value * 1e6) AS BIGINT) AS v_micro

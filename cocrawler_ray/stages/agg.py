@@ -220,6 +220,64 @@ def grouped_quantile_cont(ds: rd.Dataset, keys: list[str], col: str,
     return res[out_cols]
 
 
+def grouped_winsorized_mean(ds: rd.Dataset, keys: list[str], col: str,
+                            lo_pct: int = 10,
+                            hi_pct: int = 90) -> pd.DataFrame:
+    """Per-group WINSORIZED sum (robust mean's numerator) over an
+    integer column, exact end to end: clamp every value into the group's
+    [lo_pct, hi_pct] DISCRETE percentile bounds, then sum. Discrete
+    bounds are rank statistics — the ((n-1)*pct//100 + 1)-th smallest —
+    so no interpolation float ever enters; the clamped sum is read
+    directly OFF the value histogram (sum cnt * clip(v)), making the
+    whole operator one streaming histogram pass + one tiny group
+    exchange (the grouped_quantile_cont plan, same memory bound:
+    O(distinct values) per group, never the group's row count).
+
+    Returns one row per group: [*keys, lo_micro, hi_micro, n,
+    wsum_micro] — all int64; consumers derive the robust mean as
+    wsum/n in their own rounding discipline."""
+    out_cols = [*keys, "lo_micro", "hi_micro", "n", "wsum_micro"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            # keep the INPUT dtypes on the empty block (a dtype-blind
+            # empty frame makes Ray Data see two schemas for the stage
+            # — the string-key vs int64 RefBundle warning)
+            out = df[[*keys, col]].copy()
+            out["cnt"] = pd.Series(dtype=np.int64)
+            return out
+        return (df.groupby([*keys, col], sort=False, observed=True)
+                .size().rename("cnt").reset_index())
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or any(k not in df.columns for k in keys):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in out_cols})
+        hist = (df.groupby([*keys, col], sort=False, observed=True)["cnt"]
+                .sum().reset_index().sort_values([*keys, col]))
+        rows = []
+        for gk, g in hist.groupby(keys, sort=False, observed=True):
+            vals = g[col].to_numpy(np.int64)
+            cnt = g["cnt"].to_numpy(np.int64)
+            cum = cnt.cumsum()
+            n = int(cum[-1])
+            lo = int(vals[np.searchsorted(cum, (n - 1) * lo_pct // 100 + 1)])
+            hi = int(vals[np.searchsorted(cum, (n - 1) * hi_pct // 100 + 1)])
+            wsum = int((cnt * np.clip(vals, lo, hi)).sum())
+            row = dict(zip(keys, gk if isinstance(gk, tuple) else (gk,)))
+            row.update(lo_micro=lo, hi_micro=hi, n=n, wsum_micro=wsum)
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    parts = ds.select_columns([*keys, col]).map_batches(
+        partial, batch_format="pandas")
+    res = grouped_shuffle(parts, keys, reduce).to_pandas()
+    if not len(res):
+        return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                             for c in out_cols})
+    return res[out_cols]
+
+
 def heavy_hitters(make_ds, keys: list[str], phi: float) -> pd.DataFrame:
     """EXACT phi-frequent keys (count > phi*N) in two bounded-memory passes
     — the scale-correct form of the crawl loop's hot-host detection

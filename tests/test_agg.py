@@ -114,3 +114,43 @@ def test_mad_outliers_matches_numpy(ray_session):
         assert abs(row["med"] - round(med / 1e6, 6)) < 1e-9
         assert abs(row["mad"] - round(madv / 1e6, 6)) < 1e-9
         assert row["n_outliers"] == int((dev > 3.0 * madv).sum())
+
+
+def test_grouped_winsorized_mean_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cocrawler_ray.stages import agg
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 3, 500)
+    v = rng.randint(-50, 200, 500).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"g": g, "v": v})).repartition(6)
+    out = (agg.grouped_winsorized_mean(ds, ["g"], "v", 10, 90)
+           .set_index("g").sort_index())
+    for k in range(3):
+        vals = np.sort(v[g == k])
+        n = len(vals)
+        lo = vals[(n - 1) * 10 // 100]
+        hi = vals[(n - 1) * 90 // 100]
+        assert out.loc[k, "lo_micro"] == lo
+        assert out.loc[k, "hi_micro"] == hi
+        assert out.loc[k, "n"] == n
+        assert out.loc[k, "wsum_micro"] == int(np.clip(vals, lo, hi).sum())
+
+
+def test_grouped_winsorized_mean_ties_and_tiny_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cocrawler_ray.stages import agg
+    # all-equal group: bounds collapse to the value, sum = n*value;
+    # single-row group: rank formulas hit index 0 on both sides
+    df = pd.DataFrame({"g": ["a"] * 9 + ["b"],
+                       "v": np.array([7] * 9 + [42], np.int64)})
+    out = (agg.grouped_winsorized_mean(rd.from_pandas(df).repartition(3),
+                                       ["g"], "v").set_index("g"))
+    assert (out.loc["a", "lo_micro"], out.loc["a", "hi_micro"]) == (7, 7)
+    assert out.loc["a", "wsum_micro"] == 63
+    assert (out.loc["b", "n"], out.loc["b", "wsum_micro"]) == (1, 42)
