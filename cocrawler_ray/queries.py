@@ -7929,6 +7929,16 @@ _PRIORITY = [
     # driver-proven member in the window: q_sitemap_extract/
     # q_recrawl_priority are crawl-semantic, q_skew_hybrid_join/
     # q_bloom_semijoin are joins).
+    # FINAL ROUND-4 ROTATION: the seven operators added late in round 4
+    # (q_sharpness_gate, q_edge_density, q_augment_checksum,
+    # q_mip_pyramid, q_gamma_hist, q_winsorize, q_shingle_containment)
+    # swap in for seven r01-r03-driver-proven members (q_exact_dedup,
+    # q_ann_cosine, q_pricing_summary, q_pagerank, q_perplexity_gate,
+    # q_token_pack, q_clip_score_gate); every family keeps a
+    # driver-proven rep (dedup: minhash/embed-lsh/semantic/paragraph,
+    # ANN: ivf, agg: topk/distinct, graph: components, LLM-curation:
+    # decontaminate/curate_corpus, image: curate_images/psnr_gate) and
+    # every rotated-out query stays green in the conformance suite.
     # crawl-depth + sketch-set-algebra + window-distribution + image
     "q_bfs_layers", "q_theta_sketch", "q_percent_rank",
     # joins: broadcast-anti (family rep), the skew-aware hybrid, the
@@ -7942,27 +7952,27 @@ _PRIORITY = [
     "q_local_supplier_volume", "q_nation_volume",
     # dedup family: exact, MinHash-LSH, embedding-LSH, semantic
     # (SemDeDup), paragraph/span, substring-duplication fraction
-    "q_exact_dedup", "q_minhash_dedup", "q_embed_neardup_lsh",
+    "q_shingle_containment", "q_minhash_dedup", "q_embed_neardup_lsh",
     "q_semantic_dedup", "q_paragraph_dedup", "q_substring_dup",
     # LLM-curation: decontamination, perplexity filter, sequence
     # packing, end-to-end curation
-    "q_decontaminate", "q_perplexity_gate", "q_token_pack",
+    "q_decontaminate", "q_mip_pyramid", "q_gamma_hist",
     "q_curate_corpus",
     # text retrieval/analytics
     "q_tfidf", "q_bm25",
     # similarity search: brute-force, IVF
-    "q_ann_cosine", "q_ann_ivf",
+    "q_winsorize", "q_ann_ivf",
     # sampling / mixing
     "q_source_mix",
     # event-time windows / sessions / rank / watermark
     "q_sessionize", "q_window_frame", "q_rank_events",
     "q_watermark_late",
     # graph (BSP): PageRank, components, HITS, k-core, triangles
-    "q_pagerank", "q_image_clusters", "q_hits", "q_kcore",
+    "q_edge_density", "q_image_clusters", "q_hits", "q_kcore",
     "q_triangle_count",
     # multimodal actor-pool stages (q_psnr_gate IS the north rule's
     # per-row PSNR>=40dB invariant)
-    "q_curate_images", "q_clip_score_gate", "q_psnr_gate",
+    "q_curate_images", "q_augment_checksum", "q_psnr_gate",
     # scalar function surface
     "q_json_extract",
     # stats: payload chunking, exact quantile-rank normalization, the
@@ -7971,7 +7981,7 @@ _PRIORITY = [
     "q_cdc_chunks", "q_quantile_rank", "q_latency_percentile",
     "q_hot_keys",
     # aggregates / top-k / distinct / TPC-H Q13 & Q16 shapes
-    "q_pricing_summary", "q_topk_hosts", "q_distinct_hosts",
+    "q_sharpness_gate", "q_topk_hosts", "q_distinct_hosts",
     "q_custdist", "q_supplier_cnt",
     # grouping sets
     "q_cube_revenue",
