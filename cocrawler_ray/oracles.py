@@ -1469,3 +1469,62 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
             AS BIGINT) AS highlight_px
 FROM g GROUP BY d
 """
+
+
+def keyframe_select_sql(n: int = N_VIDEOS, frames: int = VIDEO_FRAMES,
+                        threshold: int = 45) -> str:
+    """q_keyframe_select: the SceneCut x SharpnessGate composition
+    restated end to end — SAD cuts from the frame-pair formula join,
+    scene_id as a running cut count (frame 0 opens scene 0), Laplacian
+    micro-variance per frame via the 5-offset join, then the sharpest
+    frame per scene by window rank (tie -> earliest frame). Every gate
+    and score is integer, so the full composition hashes exactly."""
+    npx = VIDEO_W * VIDEO_H * 3
+    return f"""
+WITH v AS (SELECT unnest(generate_series(0, {n - 1})) AS vid),
+fr AS (SELECT vid, unnest(generate_series(0, {frames - 1})) AS fi FROM v),
+xs AS (SELECT vid, fi, unnest(generate_series(0, {VIDEO_W - 1})) AS x
+       FROM fr),
+ys AS (SELECT vid, fi, x, unnest(generate_series(0, {VIDEO_H - 1})) AS y
+       FROM xs),
+px AS (SELECT vid, fi, x, y, ch,
+              (x*3 + y*5 + ch*11 + (vid*101 + fi)*17
+               + ((x*y + vid*101 + fi) % 31) * 7) % 256 AS p
+       FROM ys CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c),
+sadpx AS (SELECT a.vid, a.fi, sum(abs(a.p - b.p)) AS sad
+          FROM px a JOIN px b ON b.vid = a.vid AND b.fi = a.fi - 1
+                             AND b.x = a.x AND b.y = a.y AND b.ch = a.ch
+          WHERE a.fi >= 1 GROUP BY a.vid, a.fi),
+cuts AS (SELECT vid, fi, sad >= {threshold} * {npx} AS cut FROM sadpx),
+scn AS (SELECT f.vid, f.fi,
+               sum(CASE WHEN c.cut THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY f.vid ORDER BY f.fi) AS scene_id
+        FROM fr f LEFT JOIN cuts c ON c.vid = f.vid AND c.fi = f.fi),
+g3 AS (SELECT vid, fi, x, y, sum(p) AS s3 FROM px
+       GROUP BY vid, fi, x, y),
+loff AS (SELECT * FROM (VALUES (0,0,4),(1,0,-1),(-1,0,-1),
+                               (0,1,-1),(0,-1,-1)) t(dx, dy, wt)),
+lap AS (SELECT g.vid, g.fi, g.x, g.y, sum(nb.s3 * o.wt) AS L
+        FROM g3 g CROSS JOIN loff o
+        JOIN g3 nb ON nb.vid = g.vid AND nb.fi = g.fi
+                  AND nb.x = g.x + o.dx AND nb.y = g.y + o.dy
+        GROUP BY g.vid, g.fi, g.x, g.y HAVING count(*) = 5),
+st AS (SELECT vid, fi, count(*)::HUGEINT AS m, sum(L)::HUGEINT AS s,
+              sum(L * L)::HUGEINT AS ss
+       FROM lap GROUP BY vid, fi),
+vr AS (SELECT vid, fi,
+              CAST((m * ss - s * s) * 1000000 // (m * m) AS BIGINT)
+                  AS var_micro
+       FROM st),
+j AS (SELECT s.vid, s.scene_id, s.fi, w.var_micro,
+             row_number() OVER (PARTITION BY s.vid, s.scene_id
+                                ORDER BY w.var_micro DESC, s.fi) AS rn,
+             count(*) OVER (PARTITION BY s.vid, s.scene_id)
+                 AS scene_len
+      FROM scn s JOIN vr w ON w.vid = s.vid AND w.fi = s.fi)
+SELECT 'vid' || lpad(CAST(vid AS VARCHAR), 4, '0') AS video_id,
+       CAST(scene_id AS BIGINT) AS scene_id,
+       CAST(fi AS BIGINT) AS key_frame, var_micro,
+       CAST(scene_len AS BIGINT) AS scene_len
+FROM j WHERE rn = 1
+"""

@@ -3610,6 +3610,20 @@ def q_gamma_hist(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_keyframe_select", oracles.keyframe_select_sql())
+def q_keyframe_select(sf_dir: str):
+    # video curation end to end: SAD scene segmentation (SceneCut's
+    # gate) x Laplacian sharpness scoring (SharpnessGate's measure) ->
+    # sharpest frame per scene, one manifest row per scene — what a
+    # shard writer consumes instead of every-k-th-frame sampling. The
+    # whole composition is integer-exact and restated by the oracle
+    # (stages/multimodal.py::KeyframeSelect).
+    from cocrawler_ray.stages.multimodal import KeyframeSelect
+    return (_from_arrow_blocks(oracles.conformance_videos(), 3)
+            .map_batches(KeyframeSelect, batch_format="pyarrow",
+                         batch_size=4, concurrency=2))
+
+
 @_q("q_winsorize", """
 WITH q AS (SELECT event_type,
                   CAST(round(value * 1e6) AS BIGINT) AS v FROM events),

@@ -946,3 +946,70 @@ class GammaLUT:
             "image_id": batch.column("image_id"),
             "gamma_sum": pa.array(csum),
             "highlight_px": pa.array(hi)})
+
+
+class KeyframeSelect:
+    """Per-SCENE keyframe selection — the video-curation composition of
+    SceneCut and SharpnessGate: split the payload into raw frames,
+    segment scenes by the same integer SAD gate as SceneCut
+    (cut at frame fi when sad(fi, fi-1) >= threshold * w * h * 3;
+    scene_id = running cut count, frame 0 opens scene 0), score every
+    frame by the exact Laplacian micro-variance of SharpnessGate, and
+    keep the sharpest frame per scene (tie -> earliest frame). One
+    output row per scene: (video_id, scene_id, key_frame, var_micro,
+    scene_len) — the manifest a training-shard writer consumes instead
+    of every-k-th-frame sampling. All decisions are integer-exact, so
+    the whole composition is SQL-restatable."""
+
+    def __init__(self, threshold: int = 45):
+        self.threshold = int(threshold)
+
+    def _frames(self, data: bytes, w: int, h: int) -> np.ndarray:
+        fsz = w * h * 3
+        n = len(data) // fsz
+        return np.frombuffer(data[:n * fsz], dtype=np.uint8) \
+            .reshape(n, h, w, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("video_id").to_pylist()
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        vids, scns, keys, vrs, lens = [], [], [], [], []
+        for i in range(batch.num_rows):
+            fr = self._frames(data[i], int(ws[i]), int(hs[i])) \
+                .astype(np.int64)
+            if not len(fr):
+                continue
+            npx = int(ws[i]) * int(hs[i]) * 3
+            if len(fr) > 1:
+                sad = np.abs(fr[1:] - fr[:-1]).sum(axis=(1, 2, 3))
+                scene = np.concatenate(
+                    [[0], np.cumsum(sad >= self.threshold * npx)])
+            else:
+                scene = np.zeros(1, np.int64)
+            g = fr.sum(axis=3)
+            if g.shape[1] < 3 or g.shape[2] < 3:
+                var = np.zeros(len(fr), np.int64)
+            else:
+                L = (4 * g[:, 1:-1, 1:-1] - g[:, :-2, 1:-1]
+                     - g[:, 2:, 1:-1] - g[:, 1:-1, :-2] - g[:, 1:-1, 2:])
+                m = L.shape[1] * L.shape[2]
+                s = L.sum(axis=(1, 2))
+                ss = (L * L).sum(axis=(1, 2))
+                # int64-safe for frame areas up to ~1 MPx (|L| <= 3060:
+                # m*ss*1e6 < 2^63 needs m*ss < 9.2e12); larger frames
+                # should switch this line to Python-int per-frame math
+                var = (m * ss - s * s) * 1_000_000 // (m * m)
+            for sc in range(int(scene[-1]) + 1):
+                idx = np.flatnonzero(scene == sc)
+                best = idx[np.argmax(var[idx])]  # argmax keeps first tie
+                vids.append(ids[i]); scns.append(sc)
+                keys.append(int(best)); vrs.append(int(var[best]))
+                lens.append(len(idx))
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "scene_id": pa.array(np.array(scns, np.int64)),
+            "key_frame": pa.array(np.array(keys, np.int64)),
+            "var_micro": pa.array(np.array(vrs, np.int64)),
+            "scene_len": pa.array(np.array(lens, np.int64))})

@@ -559,3 +559,47 @@ def test_gamma_lut_endpoints_and_monotone():
     # exact floor: spot-check against unbounded-int isqrt
     import math
     assert all(int(lut[p]) == math.isqrt(255 * p) for p in range(256))
+
+
+def test_keyframe_select_single_frame_and_tie():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import KeyframeSelect
+    flat = np.full((4, 4, 3), 9, np.uint8)
+    # single-frame video: one scene, key_frame 0, var 0 (no 3x3 interior
+    # matters: 4x4 has a 2x2 interior with zero Laplacian on a flat frame)
+    one = flat.tobytes()
+    # two identical frames: no cut (SAD 0), one scene of length 2,
+    # variance ties at 0 -> earliest frame wins
+    two = flat.tobytes() * 2
+    batch = pa.table({
+        "video_id": pa.array(["one", "two"]),
+        "bytes": pa.array([one, two], pa.binary()),
+        "w": pa.array(np.array([4, 4], np.int32)),
+        "h": pa.array(np.array([4, 4], np.int32))})
+    out = KeyframeSelect()(batch).to_pandas().set_index("video_id")
+    assert (out.loc["one", "scene_id"], out.loc["one", "key_frame"],
+            out.loc["one", "scene_len"]) == (0, 0, 1)
+    assert (out.loc["two", "key_frame"], out.loc["two", "scene_len"]) \
+        == (0, 2)
+
+
+def test_keyframe_select_hard_cut_splits_scenes():
+    import pyarrow as pa
+
+    from cocrawler_ray.stages.multimodal import KeyframeSelect
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = np.full((8, 8, 3), 255, np.uint8)  # SAD = 255*npx >> 45*npx
+    # sharpen frame 1 of scene 0 so the keyframe is NOT frame 0
+    a2 = a.copy(); a2[4, 4, :] = 40  # tiny delta: SAD 120 < 45*192
+    vid = a.tobytes() + a2.tobytes() + b.tobytes()
+    batch = pa.table({
+        "video_id": pa.array(["v"]),
+        "bytes": pa.array([vid], pa.binary()),
+        "w": pa.array(np.array([8], np.int32)),
+        "h": pa.array(np.array([8], np.int32))})
+    out = KeyframeSelect()(batch).to_pandas().set_index("scene_id")
+    assert len(out) == 2
+    assert out.loc[0, "key_frame"] == 1  # the textured frame wins
+    assert out.loc[0, "scene_len"] == 2
+    assert (out.loc[1, "key_frame"], out.loc[1, "scene_len"]) == (2, 1)

@@ -215,3 +215,24 @@ def test_cdc_chunks_empty_and_tiny_payloads():
     # payloads shorter than the window still emit exactly their one chunk
     assert df[df.doc_id == 1]["length"].tolist() == [2]
     assert int(df[df.doc_id == 2]["length"].sum()) == 10
+
+
+def test_shingle_containment_asymmetry():
+    # a short doc wholly quoted inside a long one: containment of the
+    # short side is 1.0 while Jaccard is diluted by the long side
+    import numpy as np
+
+    from cocrawler_ray.stages import dedup
+    short = "alpha beta gamma delta epsilon zeta"
+    long = ("intro words here " + short + " and a very long tail "
+            "of unrelated filler tokens stretching onward")
+    sa = dedup.shingle_hashes(short, k=3)
+    sb = dedup.shingle_hashes(long, k=3)
+    inter = len(np.intersect1d(sa, sb))
+    assert inter == len(sa)  # short fully contained
+    cont_ab = inter * 1_000_000 // len(sa)
+    cont_ba = inter * 1_000_000 // len(sb)
+    assert cont_ab == 1_000_000
+    assert cont_ba < 500_000
+    jac = dedup.ngram_jaccard(short, long, k=3)
+    assert jac < 0.5  # the signal containment keeps and Jaccard loses
