@@ -1528,3 +1528,61 @@ SELECT 'vid' || lpad(CAST(vid AS VARCHAR), 4, '0') AS video_id,
        CAST(scene_len AS BIGINT) AS scene_len
 FROM j WHERE rn = 1
 """
+
+
+def conformance_silence_payloads(n: int = N_PAYLOADS,
+                                 length: int = PAYLOAD_LEN):
+    """Audio payloads whose SILENCE BORDERS are analytic in d — front =
+    (d % 6) * 32 samples at DC (128), tail = ((d // 6) % 5) * 32, every
+    13th payload entirely silent — and whose middle samples are
+    144 + formula % 100 (offset >= 16 from DC, so signal survives the
+    |s - 128| >= 8 gate with margin). The letterbox pattern on the audio
+    axis: the engine SCANS samples for the signal span, the oracle
+    restates the closed form."""
+    import pyarrow as pa
+    ids, data = [], []
+    for d in range(n):
+        if d % 13 == 0:
+            s = np.full(length, 128, np.uint8)
+        else:
+            i = np.arange(length, dtype=np.int64)
+            s = (144 + (d * 31 + i * 7 + ((i * i) % 97) * 5) % 100) \
+                .astype(np.uint8)
+            f = (d % 6) * 32
+            t = (d // 6) % 5 * 32
+            if f:
+                s[:f] = 128
+            if t:
+                s[length - t:] = 128
+        ids.append(f"img{d:04d}")
+        data.append(s.tobytes())
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(data, pa.binary())})
+
+
+def silence_trim_sql(n: int = N_PAYLOADS, length: int = PAYLOAD_LEN) -> str:
+    """q_audio_trim: closed-form silence borders + the exact integer
+    energy of the trimmed span (sum (s - 128)^2 over the signal
+    samples); all-silent payloads restate as (length, 0, 0, 0) —
+    the letterbox all-black convention."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+b AS (SELECT d,
+             CASE WHEN d % 13 = 0 THEN {length} ELSE (d % 6) * 32 END
+                 AS front,
+             CASE WHEN d % 13 = 0 THEN 0 ELSE ((d // 6) % 5) * 32 END
+                 AS tail
+      FROM ids),
+mid AS (SELECT b.d, b.front, b.tail,
+               (16 + (b.d * 31 + i * 7 + ((i * i) % 97) * 5) % 100)
+                   AS v
+        FROM b, unnest(generate_series(0, {length - 1})) t(i)
+        WHERE b.d % 13 <> 0 AND i >= b.front AND i < {length} - b.tail)
+SELECT 'img' || lpad(CAST(b.d AS VARCHAR), 4, '0') AS image_id,
+       CAST(b.front AS BIGINT) AS front_n,
+       CAST(b.tail AS BIGINT) AS tail_n,
+       CAST({length} - b.front - b.tail AS BIGINT) AS signal_n,
+       CAST(COALESCE(sum(m.v * m.v), 0) AS BIGINT) AS signal_energy
+FROM b LEFT JOIN mid m ON m.d = b.d
+GROUP BY b.d, b.front, b.tail
+"""

@@ -3610,6 +3610,19 @@ def q_gamma_hist(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_audio_trim", oracles.silence_trim_sql())
+def q_audio_trim(sf_dir: str):
+    # leading/trailing silence trim (speech-curation's letterbox):
+    # DC-centered byte samples, |s-128| >= 8 marks signal; emits the
+    # silence borders + exact trimmed-span energy over the analytic-
+    # border payload fixture; all-silent payloads report
+    # (length, 0, 0, 0) (stages/multimodal.py::SilenceTrim).
+    from cocrawler_ray.stages.multimodal import SilenceTrim
+    return (_from_arrow_blocks(oracles.conformance_silence_payloads(), 4)
+            .map_batches(SilenceTrim, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_keyframe_select", oracles.keyframe_select_sql())
 def q_keyframe_select(sf_dir: str):
     # video curation end to end: SAD scene segmentation (SceneCut's

@@ -251,8 +251,15 @@ def grouped_winsorized_mean(ds: rd.Dataset, keys: list[str], col: str,
 
     def reduce(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df) or any(k not in df.columns for k in keys):
-            return pd.DataFrame({c: pd.Series(dtype=np.int64)
-                                 for c in out_cols})
+            # same dtype discipline as the partial: key columns keep
+            # their input dtype when present so empty partitions don't
+            # flip the stage's schema
+            out = pd.DataFrame({k: (df[k].iloc[:0] if k in df.columns
+                                    else pd.Series(dtype=np.int64))
+                                for k in keys})
+            for c in ("lo_micro", "hi_micro", "n", "wsum_micro"):
+                out[c] = pd.Series(dtype=np.int64)
+            return out
         hist = (df.groupby([*keys, col], sort=False, observed=True)["cnt"]
                 .sum().reset_index().sort_values([*keys, col]))
         rows = []

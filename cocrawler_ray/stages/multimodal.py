@@ -1013,3 +1013,44 @@ class KeyframeSelect:
             "key_frame": pa.array(np.array(keys, np.int64)),
             "var_micro": pa.array(np.array(vrs, np.int64)),
             "scene_len": pa.array(np.array(lens, np.int64))})
+
+
+class SilenceTrim:
+    """Leading/trailing silence trim over audio payloads — the speech-
+    curation analog of LetterboxDetect: a sample is SIGNAL when
+    ``|s - 128| >= threshold`` (DC-centered byte view, same sample
+    extraction as AudioZcr; a PCM decode swap changes only that line).
+    Emits the front/tail silence lengths, the signal span length, and
+    the exact integer energy of the TRIMMED span — the number a
+    downstream loudness/duration gate consumes without re-reading the
+    payload. All-silent payloads report (length, 0, 0, 0), mirroring
+    the letterbox all-black convention."""
+
+    def __init__(self, threshold: int = 8):
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        n = batch.num_rows
+        front = np.zeros(n, np.int64)
+        tail = np.zeros(n, np.int64)
+        sig_n = np.zeros(n, np.int64)
+        energy = np.zeros(n, np.int64)
+        for i, payload in enumerate(data):
+            v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) \
+                - 128
+            sig = np.abs(v) >= self.threshold
+            if not sig.any():
+                front[i] = len(v)
+                continue
+            f = int(np.argmax(sig))
+            t = int(np.argmax(sig[::-1]))
+            front[i], tail[i] = f, t
+            sig_n[i] = len(v) - f - t
+            mid = v[f:len(v) - t]
+            energy[i] = int((mid * mid).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "front_n": pa.array(front), "tail_n": pa.array(tail),
+            "signal_n": pa.array(sig_n),
+            "signal_energy": pa.array(energy)})
