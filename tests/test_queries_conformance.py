@@ -106,16 +106,22 @@ def test_priority_window_covers_every_family():
     assert names[:50] == _PRIORITY
     # every window query has a full value-hash oracle (not rows-only)
     assert all(n in ORACLE for n in names[:50])
-    # spot-pin one representative per family; the round-4 rotation adds
+    # spot-pin one representative per family; the round-4 rotations add
     # the never-driver-proven families the round-3 verdict called out
-    for must in ("q_decontaminate", "q_semantic_dedup", "q_token_pack",
-                 "q_tfidf", "q_pagerank", "q_curate_corpus",
-                 "q_approx_distinct", "q_bloom",
+    # (q_token_pack/q_tfidf/q_pagerank/q_clip_score_gate etc. rotated
+    # OUT in the final round-4 rotation — r01-r03-driver-proven, still
+    # green in this suite)
+    for must in ("q_decontaminate", "q_semantic_dedup",
+                 "q_curate_corpus", "q_approx_distinct", "q_bloom",
                  # round-4 rotation: families gaining their first driver row
                  "q_substring_dup", "q_hits", "q_kcore", "q_triangle_count",
                  "q_local_supplier_volume", "q_nation_volume", "q_custdist",
                  "q_supplier_cnt", "q_window_frame", "q_rank_events",
                  "q_hot_keys", "q_bm25", "q_bloom_semijoin",
                  "q_watermark_late", "q_quantile_rank",
-                 "q_latency_percentile"):
+                 "q_latency_percentile",
+                 # final round-4 rotation: the late-round operators
+                 "q_sharpness_gate", "q_edge_density",
+                 "q_augment_checksum", "q_mip_pyramid", "q_gamma_hist",
+                 "q_winsorize", "q_shingle_containment"):
         assert must in names[:50], must
