@@ -1586,3 +1586,53 @@ SELECT 'img' || lpad(CAST(b.d AS VARCHAR), 4, '0') AS image_id,
 FROM b LEFT JOIN mid m ON m.d = b.d
 GROUP BY b.d, b.front, b.tail
 """
+
+
+def bpe_merges_sql(rounds: int = 3) -> str:
+    """q_bpe_merges: the three-round BPE training loop restated in
+    unrolled SQL — word census from trim/regexp-split (the vocab_build
+    discipline), per-round overlapping pair counts via list
+    comprehension, best pair by (count DESC, l, r), greedy
+    left-to-right application as gaps-and-islands + run parity (a run
+    of consecutive match positions means l == r; the greedy scan takes
+    the odd-ranked members of each run), and the corpus token count
+    after each merge."""
+    sql = """
+WITH docs AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> ''),
+wtab AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY w),
+s0 AS (SELECT w, n, regexp_split_to_array(w, '') AS s FROM wtab)"""
+    for k in range(rounds):
+        sql += f""",
+p{k} AS (SELECT pr[1] AS l, pr[2] AS r, sum(n) AS cnt
+         FROM (SELECT n, unnest([[s[i], s[i + 1]]
+                       for i in generate_series(1, len(s) - 1)]) AS pr
+               FROM s{k}) GROUP BY l, r),
+b{k} AS (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p{k}
+         ORDER BY cnt DESC, l, r LIMIT 1),
+m{k} AS (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i)
+                       AS isl
+         FROM s{k}, b{k},
+              unnest(generate_series(1, len(s) - 1)) t(i)
+         WHERE s[i] = b{k}.l AND s[i + 1] = b{k}.r),
+mm{k} AS (SELECT w, i FROM
+          (SELECT w, i,
+                  row_number() OVER (PARTITION BY w, isl ORDER BY i) AS o
+           FROM m{k}) WHERE o % 2 = 1),
+s{k + 1} AS (
+  SELECT t.w, t.n, list(CASE WHEN mm.i IS NOT NULL
+                              THEN t.s[j] || t.s[j + 1]
+                              ELSE t.s[j] END ORDER BY j) AS s
+  FROM (SELECT w, n, s, unnest(generate_series(1, len(s))) AS j
+        FROM s{k}) t
+  LEFT JOIN mm{k} mm ON mm.w = t.w AND mm.i = t.j
+  LEFT JOIN mm{k} prev ON prev.w = t.w AND prev.i = t.j - 1
+  WHERE prev.i IS NULL
+  GROUP BY t.w, t.n)"""
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, b{k}.l AS left_sym, "
+        f"b{k}.r AS right_sym, b{k}.cnt AS pair_n, "
+        f"(SELECT CAST(sum(n * len(s)) AS BIGINT) FROM s{k + 1}) "
+        f"AS tokens_after FROM b{k}" for k in range(rounds))
+    return sql + "\nSELECT * FROM (" + sel + ") u"

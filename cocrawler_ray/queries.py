@@ -3610,6 +3610,113 @@ def q_gamma_hist(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_bpe_merges", oracles.bpe_merges_sql())
+def q_bpe_merges(sf_dir: str):
+    # tokenizer TRAINING (the learn half q_tokenize_apply consumes):
+    # three BPE merge rounds over the corpus word-frequency table.
+    # Scale shape: the corpus is scanned ONCE for the word census
+    # (per-block combiner -> one word exchange); every round after that
+    # touches only the DISTINCT-WORD table (vocabulary-bounded, the
+    # standard BPE training structure — Sennrich et al. train on the
+    # frequency dict, not the corpus). Pair counting is a per-block
+    # partial -> tiny driver combine (bounded by distinct symbol
+    # pairs); the chosen merge broadcasts in the apply closure; greedy
+    # left-to-right application resolves overlapping matches by run
+    # parity. Output per round: the rule, its exact pair count, and
+    # the corpus token count after applying it.
+    ds = read(sf_dir, "documents", ["text"])
+    import re as _re
+    ws_split = _re.compile(r"[\t\n\f\r ]+")  # RE2 \s, spelled out
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        chunks = [ws_split.split(t.strip(" "))
+                  for t in df["text"].to_numpy() if t.strip(" ") != ""]
+        words = [w for ts in chunks for w in ts]
+        if not words:
+            return pd.DataFrame({"w": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        u, c = np.unique(np.asarray(words, object), return_counts=True)
+        return pd.DataFrame({"w": u, "n": c.astype(np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (df.groupby("w", sort=False)["n"].sum().reset_index())
+
+    words = exchange.grouped_shuffle(
+        ds.map_batches(word_counts, batch_format="pandas"),
+        ["w"], combine)
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "w": df["w"], "n": df["n"].astype(np.int64),
+            "syms": [list(w) for w in df["w"]]})
+
+    # the distinct-word table is vocabulary-bounded — pinning it for
+    # the per-round passes is the documented contract (NOT the corpus)
+    cur = words.map_batches(to_syms, batch_format="pandas").materialize()
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict[tuple, int] = {}
+        for s, n in zip(df["syms"], df["n"]):
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                cnt[k] = cnt.get(k, 0) + int(n)
+        if not cnt:
+            return pd.DataFrame({"l": np.array([], object),
+                                 "r": np.array([], object),
+                                 "cnt": np.array([], np.int64)})
+        ls, rs = zip(*cnt)
+        return pd.DataFrame({"l": np.array(ls, object),
+                             "r": np.array(rs, object),
+                             "cnt": np.array(list(cnt.values()),
+                                             np.int64)})
+
+    rows = []
+    for rnd in range(3):
+        pairs = (cur.map_batches(pair_partials, batch_format="pandas")
+                 .to_pandas())
+        pairs = pairs.groupby(["l", "r"], sort=False)["cnt"].sum() \
+            .reset_index()
+        best = min(pairs.itertuples(index=False),
+                   key=lambda t: (-t.cnt, t.l, t.r))
+        l, r = best.l, best.r
+
+        def apply_merge(df: pd.DataFrame, l=l, r=r) -> pd.DataFrame:
+            out = []
+            for s in df["syms"]:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                out.append(ns)
+            return pd.DataFrame({"w": df["w"],
+                                 "n": df["n"].astype(np.int64),
+                                 "syms": out})
+
+        cur = cur.map_batches(apply_merge,
+                              batch_format="pandas").materialize()
+
+        def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"t": np.array(
+                [sum(int(n) * len(s)
+                     for n, s in zip(df["n"], df["syms"]))], np.int64)})
+
+        toks = int(cur.map_batches(tok_partial, batch_format="pandas")
+                   .to_pandas()["t"].sum())
+        rows.append((rnd, l, r, int(best.cnt), toks))
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], pa.int64()),
+        "left_sym": pa.array([x[1] for x in rows], pa.string()),
+        "right_sym": pa.array([x[2] for x in rows], pa.string()),
+        "pair_n": pa.array([x[3] for x in rows], pa.int64()),
+        "tokens_after": pa.array([x[4] for x in rows], pa.int64())})
+
+
 @_q("q_audio_trim", oracles.silence_trim_sql())
 def q_audio_trim(sf_dir: str):
     # leading/trailing silence trim (speech-curation's letterbox):

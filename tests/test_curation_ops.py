@@ -294,3 +294,34 @@ def test_perplexity_batch_oov_floor():
     df = pd.DataFrame({"doc_id": [7], "text": ["zzz a"]})
     out = textops.perplexity_batch(df, (vocab, lp), 1e9)
     assert out["nll_micro"].iloc[0] == -(textops._OOV_LP_FLOOR + lp[0])
+
+
+def test_bpe_merges_overlap_run_parity(ray_session, tmp_path):
+    # the l == r regime: greedy left-to-right must merge the odd-ranked
+    # members of each run ("aaaa" -> [aa, aa], "aaa" -> [aa, a]) and the
+    # conformance corpus never hits it — craft one that does, and check
+    # engine and oracle agree on it end to end
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cocrawler_ray.queries import QUERIES, ORACLE
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["aaaa aaa", "baa aaaa"],
+                                      pa.string())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = QUERIES["q_bpe_merges"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(ORACLE["q_bpe_merges"]).fetchdf()
+    got = got.sort_values("round").reset_index(drop=True)
+    want = want.sort_values("round").reset_index(drop=True)
+    assert got.astype(str).equals(want[got.columns].astype(str))
+    # hand-check round 0: pair (a,a) counted overlapping
+    # ("aaaa" x2 -> 3 each, "aaa" -> 2, "baa" -> 1 = 9), and greedy
+    # application leaves 2+2+2+2 = 8 tokens
+    r0 = got.iloc[0]
+    assert (r0["left_sym"], r0["right_sym"]) == ("a", "a")
+    assert r0["pair_n"] == 9
+    assert r0["tokens_after"] == 8
