@@ -8032,6 +8032,191 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_unchanged_revisits", """
+WITH s AS (SELECT user_id, event_type, value,
+                  lag(value) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_revisits,
+       CAST(sum(CASE WHEN value = prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unchanged,
+       CAST(1000 * sum(CASE WHEN value = prev THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS unchanged_permille
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1
+""")
+def q_unchanged_revisits(sf_dir: str):
+    # conditional-revalidation census (the recrawl scheduler's 304 model,
+    # SURVEY §2 fetcher::If-None-Match semantics): a revisit of the same
+    # (user, event_type) stream whose value matches the previous
+    # observation is an "unchanged" fetch — bandwidth a conditional GET
+    # would have saved. The SQL lag() collapses into ONE entity exchange
+    # + a sorted shift-compare per partition (a user's stream never
+    # splits across partitions), per-partition partial counts, and an
+    # event-type²-bounded driver combine; the permille rate is exact
+    # integer cross-division on the combined totals.
+    def revisits(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "n_revisits": pd.Series([], dtype=np.int64),
+                "n_unchanged": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                           kind="stable")
+        u = d["user_id"].to_numpy()
+        et = d["event_type"].to_numpy()
+        v = d["value"].to_numpy()
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        p = pd.DataFrame({"event_type": et[1:][same],
+                          "u": (v[1:] == v[:-1])[same].astype(np.int64)})
+        g = p.groupby("event_type", sort=False)["u"].agg(["size", "sum"])
+        return pd.DataFrame({"event_type": g.index.to_numpy(),
+                             "n_revisits": g["size"].to_numpy(np.int64),
+                             "n_unchanged": g["sum"].to_numpy(np.int64)})
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events",
+             ["user_id", "event_type", "ts", "value", "event_id"]),
+        ["user_id"], revisits)
+    out = partial_groupby_agg(parts, ["event_type"],
+                              {"n_revisits": ("n_revisits", "sum"),
+                               "n_unchanged": ("n_unchanged", "sum")})
+    out["unchanged_permille"] = (
+        1000 * out["n_unchanged"].to_numpy(np.int64)
+        // out["n_revisits"].to_numpy(np.int64))
+    return out.astype({"n_revisits": np.int64, "n_unchanged": np.int64,
+                       "unchanged_permille": np.int64})
+
+
+@_q("q_attribution", """
+WITH s AS (SELECT user_id, event_type,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS channel
+           FROM events)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
+FROM s WHERE event_type = 'purchase' AND channel IS NOT NULL
+GROUP BY 1
+""")
+def q_attribution(sf_dir: str):
+    # last-touch attribution: each conversion ('purchase') credits the
+    # user's most recent PRIOR non-conversion event type. The SQL
+    # IGNORE-NULLS carry window becomes one entity exchange; inside a
+    # partition the carry is a single searchsorted over the non-purchase
+    # row positions (sorted by user,ts,event_id — a candidate landing in
+    # an earlier user's rows fails the same-user check, which is exactly
+    # the window's PARTITION BY reset). Output is event-type-bounded.
+    def credit(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "channel": pd.Series([], dtype=str),
+                "n_conversions": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = d["user_id"].to_numpy()
+        et = d["event_type"].to_numpy()
+        conv = np.flatnonzero(et == "purchase")
+        nz = np.flatnonzero(et != "purchase")
+        if not len(conv) or not len(nz):
+            return pd.DataFrame({
+                "channel": pd.Series([], dtype=str),
+                "n_conversions": pd.Series([], dtype=np.int64)})
+        pos = np.searchsorted(nz, conv) - 1  # last non-purchase before
+        ok = pos >= 0
+        cand = nz[np.maximum(pos, 0)]
+        ok &= u[cand] == u[conv]  # same-user reset of the carry
+        p = pd.DataFrame({"channel": et[cand[ok]]})
+        g = p.groupby("channel", sort=False).size()
+        return pd.DataFrame({"channel": g.index.to_numpy(),
+                             "n_conversions": g.to_numpy(np.int64)})
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]),
+        ["user_id"], credit)
+    out = partial_groupby_agg(parts, ["channel"],
+                              {"n_conversions": ("n_conversions", "sum")})
+    return out.astype({"n_conversions": np.int64})
+
+
+@_q("q_gap_fill", """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+                  CAST(round(value * 100) AS BIGINT) AS v_cents
+           FROM events),
+lv AS (SELECT user_id, hr, v_cents FROM
+         (SELECT user_id, hr, v_cents,
+                 row_number() OVER (PARTITION BY user_id, hr
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e)
+       WHERE rn = 1),
+u AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY 1),
+b AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM u),
+f AS (SELECT b.user_id, b.hr, lv.v_cents IS NOT NULL AS has_event,
+             last_value(lv.v_cents IGNORE NULLS)
+                 OVER (PARTITION BY b.user_id ORDER BY b.hr) AS carried
+      FROM b LEFT JOIN lv ON lv.user_id = b.user_id AND lv.hr = b.hr)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN has_event THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_filled,
+       CAST(sum(CASE WHEN has_event THEN 0 ELSE carried END) AS BIGINT)
+           AS filled_sum
+FROM f GROUP BY 1
+""")
+def q_gap_fill(sf_dir: str):
+    # time-series densification (forward-fill over hourly buckets): per
+    # user, every hour between the first and last event carries the
+    # latest observation; the query reports how many buckets the fill
+    # synthesized and their carried sum (cents-exact). The oracle
+    # materializes the bucket grid (generate_series + IGNORE-NULLS
+    # carry); the engine instead uses the CLOSED FORM over consecutive
+    # distinct event hours — gap (h_next - h - 1) empty buckets all
+    # carry v(h), so filled_sum = Σ v(h)·gap and n_filled = span -
+    # distinct hours — one entity exchange, nothing bucket-sized ever
+    # materializes. A genuine two-implementation oracle; the result
+    # stays a Dataset (user-scaled output).
+    from cocrawler_ray.stages.text import round_half_away
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "n_filled": pd.Series([], dtype=np.int64),
+                "filled_sum": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        hr = window._ts_us(d["ts"]) // 3_600_000_000
+        v = round_half_away(d["value"].to_numpy() * 100.0,
+                            0).astype(np.int64)
+        last = (pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                              "hr": hr, "v": v})
+                .groupby(["user_id", "hr"], sort=True).last().reset_index())
+        U = last["user_id"].to_numpy()
+        H = last["hr"].to_numpy()
+        V = last["v"].to_numpy()
+        same = U[1:] == U[:-1]
+        gaps = np.where(same, H[1:] - H[:-1] - 1, 0)
+        seg = pd.DataFrame({
+            "user_id": U[:-1][same] if len(U) > 1 else U[:0],
+            "gap": gaps[same] if len(U) > 1 else gaps[:0],
+            "fsum": (V[:-1] * gaps)[same] if len(U) > 1 else gaps[:0]})
+        spans = (pd.DataFrame({"user_id": U, "hr": H})
+                 .groupby("user_id", sort=False)["hr"].agg(["min", "max"]))
+        gs = seg.groupby("user_id", sort=False).agg(
+            n_filled=("gap", "sum"), filled_sum=("fsum", "sum"))
+        out = spans.join(gs, how="left").fillna(0).reset_index()
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "n_buckets": (out["max"] - out["min"] + 1).to_numpy(np.int64),
+            "n_filled": out["n_filled"].to_numpy(np.int64),
+            "filled_sum": out["filled_sum"].to_numpy(np.int64)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "ts", "value", "event_id"]),
+        ["user_id"], fill)
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
