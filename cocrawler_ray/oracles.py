@@ -1636,3 +1636,56 @@ s{k + 1} AS (
         f"(SELECT CAST(sum(n * len(s)) AS BIGINT) FROM s{k + 1}) "
         f"AS tokens_after FROM b{k}" for k in range(rounds))
     return sql + "\nSELECT * FROM (" + sel + ") u"
+
+
+def rle_runs_sql(n: int = N_IMAGES, threshold: int = 380) -> str:
+    """q_rle_runs: row-wise RLE run census restated via a lag() window
+    over the thresholded gray-sum — a run starts where prev IS NULL
+    (row head) or the foreground bit flips; the compressibility gate is
+    the integer cross-multiplication 2*n_runs < n_px."""
+    return f"""
+WITH {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+m AS (SELECT d, x, y, CASE WHEN s3 > {threshold} THEN 1 ELSE 0 END AS b
+      FROM g3),
+r AS (SELECT d, y, b,
+             lag(b) OVER (PARTITION BY d, y ORDER BY x) AS prev
+      FROM m),
+per AS (SELECT d,
+               CAST(sum(CASE WHEN prev IS NULL THEN 1
+                             WHEN b <> prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_runs,
+               CAST(count(*) AS BIGINT) AS n_px
+        FROM r GROUP BY d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       n_runs, n_px, 2 * n_runs < n_px AS rle_saves
+FROM per
+"""
+
+
+def blob_count_sql(n: int = N_IMAGES, threshold: int = 640) -> str:
+    """q_blob_count: 4-connected components restated as recursive
+    min-label propagation — every foreground pixel seeds its own label,
+    the recursive step carries any neighbour's label across Manhattan-
+    distance-1 edges (UNION dedups, so the fixpoint is the full
+    label-reachability set), min per pixel is its component id, and
+    count(DISTINCT) per image is the blob census. Row volume is
+    sum(component_size^2) — measured 15k at threshold 640 over the
+    64-image conformance corpus."""
+    return f"""
+WITH RECURSIVE {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+base AS (SELECT d, x, y FROM g3 WHERE s3 > {threshold}),
+lab AS (
+    SELECT d, x, y, y * 64 + x AS l FROM base
+    UNION
+    SELECT b.d, b.x, b.y, lab.l
+    FROM lab JOIN base b ON b.d = lab.d
+         AND abs(b.x - lab.x) + abs(b.y - lab.y) = 1
+),
+ml AS (SELECT d, x, y, min(l) AS l FROM lab GROUP BY 1, 2, 3)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(count(DISTINCT l) AS BIGINT) AS n_blobs,
+       CAST(count(*) AS BIGINT) AS n_fg
+FROM ml GROUP BY d
+"""

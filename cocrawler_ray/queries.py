@@ -8032,6 +8032,36 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_rle_runs", oracles.rle_runs_sql())
+def q_rle_runs(sf_dir: str):
+    # compressibility probe over the image axis: row-wise RLE run
+    # census of the thresholded frame (stages/multimodal.py::RleRuns —
+    # decode once per actor, one vectorized transition compare per
+    # frame) with the integer 2*n_runs < n_px savings gate. Screenshot/
+    # synthetic frames collapse to few runs; noise approaches one run
+    # per pixel — a standard curation signal next to sharpness and
+    # flatness.
+    from cocrawler_ray.stages.multimodal import RleRuns
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(RleRuns, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_blob_count", oracles.blob_count_sql())
+def q_blob_count(sf_dir: str):
+    # segmentation census over the image axis: 4-connected component
+    # count of the thresholded frame (stages/multimodal.py::BlobCount —
+    # per-frame vectorized min-pool label propagation, the same
+    # fixpoint shape as the BSP graph components operator). Text and
+    # diagram frames fragment into many blobs; photographic content
+    # yields few large ones. The oracle restates the fixpoint as a
+    # recursive min-label CTE.
+    from cocrawler_ray.stages.multimodal import BlobCount
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(BlobCount, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_unchanged_revisits", """
 WITH s AS (SELECT user_id, event_type, value,
                   lag(value) OVER (PARTITION BY user_id, event_type

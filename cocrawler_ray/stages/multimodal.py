@@ -1054,3 +1054,94 @@ class SilenceTrim:
             "front_n": pa.array(front), "tail_n": pa.array(tail),
             "signal_n": pa.array(sig_n),
             "signal_energy": pa.array(energy)})
+
+
+class RleRuns:
+    """Row-wise run-length census of the thresholded gray image: a run
+    starts at each row's first pixel and at every foreground/background
+    transition along x, so ``n_runs = h + transitions``. RLE run count
+    is the classic compressibility probe for screenshot/synthetic
+    detection — near-flat frames collapse to a few runs per row while
+    photographic noise approaches one run per pixel. ``rle_saves`` is
+    the integer gate 2*n_runs < n_px (a (value, length) pair per run
+    beating one byte per pixel). Decode binds once per actor; the
+    transition count is one vectorized compare over the whole frame."""
+
+    def __init__(self, threshold: int = 380):
+        self.decode = codecs.decode
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n_runs = np.zeros(n, np.int64)
+        n_px = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            mask = img.sum(axis=2) > self.threshold
+            n_runs[i] = mask.shape[0] + int(
+                (mask[:, 1:] != mask[:, :-1]).sum())
+            n_px[i] = mask.size
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "n_runs": pa.array(n_runs), "n_px": pa.array(n_px),
+            "rle_saves": pa.array(2 * n_runs < n_px)})
+
+
+class BlobCount:
+    """Connected-component census (4-connectivity) of the thresholded
+    gray image — the blob-count segmentation signal (text/diagram frames
+    fragment into many small components; photos yield few large ones).
+    Labels start as each foreground pixel's linear index and iterate a
+    vectorized 4-neighbour min-pool to fixpoint — the same label-
+    propagation shape as the BSP graph components operator
+    (stages/graph.py), here as per-image numpy shifts; iterations are
+    bounded by the longest geodesic inside a component. Images with no
+    foreground pixel emit no row (matching the oracle's GROUP BY over
+    foreground pixels)."""
+
+    def __init__(self, threshold: int = 640):
+        self.decode = codecs.decode
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        ids, blobs, fgs = [], [], []
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            mask = img.sum(axis=2) > self.threshold
+            fg = int(mask.sum())
+            if not fg:
+                continue
+            h, w = mask.shape
+            big = h * w + 1
+            cur = np.where(mask, np.arange(h * w).reshape(h, w), big)
+            while True:
+                nxt = cur.copy()
+                nxt[1:, :] = np.minimum(nxt[1:, :], np.where(
+                    mask[1:, :] & mask[:-1, :], cur[:-1, :], big))
+                nxt[:-1, :] = np.minimum(nxt[:-1, :], np.where(
+                    mask[:-1, :] & mask[1:, :], cur[1:, :], big))
+                nxt[:, 1:] = np.minimum(nxt[:, 1:], np.where(
+                    mask[:, 1:] & mask[:, :-1], cur[:, :-1], big))
+                nxt[:, :-1] = np.minimum(nxt[:, :-1], np.where(
+                    mask[:, :-1] & mask[:, 1:], cur[:, 1:], big))
+                if np.array_equal(nxt, cur):
+                    break
+                cur = nxt
+            ids.append(batch.column("image_id")[i].as_py())
+            blobs.append(len(np.unique(cur[mask])))
+            fgs.append(fg)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "n_blobs": pa.array(np.asarray(blobs, np.int64)),
+            "n_fg": pa.array(np.asarray(fgs, np.int64))})
