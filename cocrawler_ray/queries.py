@@ -8032,6 +8032,135 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_rfm_segments", """
+WITH c AS (SELECT o_custkey,
+                  max(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+                      AS last_day,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                       AS BIGINT) AS mon
+           FROM orders GROUP BY 1),
+g AS (SELECT max(last_day) AS gmax FROM c),
+r AS (SELECT gmax - last_day AS rec, freq, mon FROM c, g),
+q AS (SELECT quantile_disc(rec, 0.25) AS r1, quantile_disc(rec, 0.50) AS r2,
+             quantile_disc(rec, 0.75) AS r3,
+             quantile_disc(freq, 0.25) AS f1, quantile_disc(freq, 0.50) AS f2,
+             quantile_disc(freq, 0.75) AS f3,
+             quantile_disc(mon, 0.25) AS m1, quantile_disc(mon, 0.50) AS m2,
+             quantile_disc(mon, 0.75) AS m3
+      FROM r)
+SELECT CAST(1 + (rec > r1)::INT + (rec > r2)::INT + (rec > r3)::INT
+            AS BIGINT) AS r_seg,
+       CAST(1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT
+            AS BIGINT) AS f_seg,
+       CAST(1 + (mon > m1)::INT + (mon > m2)::INT + (mon > m3)::INT
+            AS BIGINT) AS m_seg,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM r, q GROUP BY 1, 2, 3
+""")
+def q_rfm_segments(sf_dir: str):
+    # RFM (recency / frequency / monetary) customer segmentation — the
+    # classic training-label and marketing-mix census. Scale shape: ONE
+    # exchange builds the per-customer metric table; the quartile
+    # thresholds come from distributed VALUE-COUNT histograms whose
+    # domains are corpus-size-INDEPENDENT (day-number span, per-customer
+    # order counts, whole-dollar totals bounded by the price domain) —
+    # never a sort; the engine reproduces DuckDB quantile_disc exactly
+    # as the order statistic at floor(q*(n-1)) read off the cumulative
+    # histogram. The per-customer table is consumed twice (histograms,
+    # then segment assignment) so it is size-gate pinned like auto_join
+    # gates broadcast; the final census is 4^3-bounded.
+    DAY = np.int64(86_400_000_000)
+    from cocrawler_ray.stages.text import round_half_away
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "last_day": pd.Series([], dtype=np.int64),
+                "freq": pd.Series([], dtype=np.int64),
+                "mon": pd.Series([], dtype=np.int64)})
+        day = window._ts_us(df["o_orderdate"]) // DAY
+        cents = round_half_away(
+            df["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        g = (pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(),
+                           "day": day, "cents": cents})
+             .groupby("o_custkey", sort=False)
+             .agg(last_day=("day", "max"), freq=("day", "size"),
+                  cents=("cents", "sum")).reset_index())
+        g["mon"] = g["cents"].to_numpy(np.int64) // 100
+        return g[["o_custkey", "last_day", "freq", "mon"]].astype(np.int64)
+
+    cust = exchange.grouped_shuffle(
+        read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+        ["o_custkey"], per_cust)
+    cust = exchange.materialize_if_small(
+        cust, est_bytes=_tbl_bytes(sf_dir, "orders"))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"metric": pd.Series([], dtype=str),
+                                 "v": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        frames = []
+        for m in ("last_day", "freq", "mon"):
+            u, c = np.unique(df[m].to_numpy(np.int64), return_counts=True)
+            frames.append(pd.DataFrame(
+                {"metric": m, "v": u, "n": c.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    h = partial_groupby_agg(cust.map_batches(hist, batch_format="pandas"),
+                            ["metric", "v"], {"n": ("n", "sum")})
+    gmax = int(h.loc[h["metric"] == "last_day", "v"].max())
+
+    def thresholds(metric: str, transform=None) -> list[int]:
+        sub = h[h["metric"] == metric].sort_values("v")
+        v = sub["v"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        if transform is not None:
+            v = transform(v)[::-1]  # negation flips order; re-ascend
+            n = n[::-1]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        # DuckDB quantile_disc(q) is standard PERCENTILE_DISC — the
+        # smallest value whose cume_dist reaches q, i.e. 1-based rank
+        # ceil(q*n) (probed incl. ties and non-integer q*n): first value
+        # whose cumulative count covers that rank
+        return [int(v[np.searchsorted(cum, (nu * total + de - 1) // de)])
+                for nu, de in ((1, 4), (1, 2), (3, 4))]
+
+    r1, r2, r3 = thresholds("last_day", transform=lambda v: gmax - v)
+    f1, f2, f3 = thresholds("freq")
+    m1, m2, m3 = thresholds("mon")
+
+    def seg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "r_seg": pd.Series([], dtype=np.int64),
+                "f_seg": pd.Series([], dtype=np.int64),
+                "m_seg": pd.Series([], dtype=np.int64),
+                "n_customers": pd.Series([], dtype=np.int64)})
+        rec = gmax - df["last_day"].to_numpy(np.int64)
+        fr = df["freq"].to_numpy(np.int64)
+        mo = df["mon"].to_numpy(np.int64)
+        p = pd.DataFrame({
+            "r_seg": 1 + (rec > r1).astype(np.int64)
+                       + (rec > r2) + (rec > r3),
+            "f_seg": 1 + (fr > f1).astype(np.int64)
+                       + (fr > f2) + (fr > f3),
+            "m_seg": 1 + (mo > m1).astype(np.int64)
+                       + (mo > m2) + (mo > m3)})
+        return (p.groupby(["r_seg", "f_seg", "m_seg"], sort=False)
+                .size().rename("n_customers").reset_index())
+
+    out = partial_groupby_agg(
+        cust.map_batches(seg, batch_format="pandas"),
+        ["r_seg", "f_seg", "m_seg"],
+        {"n_customers": ("n_customers", "sum")})
+    return out.astype({"r_seg": np.int64, "f_seg": np.int64,
+                       "m_seg": np.int64, "n_customers": np.int64})
+
+
 @_q("q_rle_runs", oracles.rle_runs_sql())
 def q_rle_runs(sf_dir: str):
     # compressibility probe over the image axis: row-wise RLE run
