@@ -8032,6 +8032,141 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_mirror_hosts", """
+WITH f AS (SELECT DISTINCT source AS h, md5(substr(text, 1, 40)) AS fp
+           FROM documents),
+sz AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+ix AS (SELECT a.h AS h1, b.h AS h2, CAST(count(*) AS BIGINT) AS inter
+       FROM f a JOIN f b ON a.fp = b.fp AND a.h < b.h GROUP BY 1, 2)
+SELECT h1, h2, inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+       CAST(1000 * inter // (sa.n + sb.n - inter) AS BIGINT)
+           AS jac_permille
+FROM ix JOIN sz sa ON sa.h = ix.h1 JOIN sz sb ON sb.h = ix.h2
+""")
+def q_mirror_hosts(sf_dir: str):
+    # mirror-host detection: hosts (sources) whose CONTENT SETS overlap —
+    # the crawl-side dedup that catches mirrors/CDNs before per-document
+    # dedup spends cycles on them. Set Jaccard decomposes into exchange-
+    # local pieces: one fingerprint exchange co-locates every (host,
+    # digest) pair, so per-partition host-pair intersection counts and
+    # per-host set sizes are both globally exact partials; the driver
+    # combines a hosts²-bounded table and derives the integer-exact
+    # permille Jaccard. Per-fingerprint pair fanout is bounded by the
+    # hosts sharing a digest (a boilerplate-cap in a real crawl — the
+    # hot-key census (q_hot_keys) is the guard for pathological
+    # fingerprints).
+    from itertools import combinations
+
+    # host = source column; fingerprint = md5 of the 40-char content
+    # PREFIX (the template/boilerplate key — this corpus has no full-text
+    # exact dups, but mirrored sources share openings) — reusing the
+    # exact-dedup digest kernel so engine and oracle share the hash
+    def prefix40(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "text": pc.utf8_slice_codeunits(t["text"], 0, 40)})
+
+    ds = (read(sf_dir, "documents", ["source", "text"])
+          .map_batches(prefix40, batch_format="pyarrow")
+          .map_batches(dedup.content_hash_batch, batch_format="pyarrow")
+          .map_batches(lambda t: t.select(["source", "digest"])
+                       .rename_columns(["h", "fp"]),
+                       batch_format="pyarrow"))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"h1": pd.Series([], dtype=str),
+                                 "h2": pd.Series([], dtype=str),
+                                 "inter": pd.Series([], dtype=np.int64),
+                                 "h": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        d = df.drop_duplicates(["fp", "h"])  # exact: fp co-located
+        rows = []
+        for _, grp in d.groupby("fp", sort=False):
+            hs = sorted(grp["h"].to_numpy())
+            rows.extend((a, b) for a, b in combinations(hs, 2))
+        p = (pd.DataFrame(rows, columns=["h1", "h2"])
+             .groupby(["h1", "h2"], sort=False)
+             .size().rename("inter").reset_index()
+             if rows else
+             pd.DataFrame({"h1": pd.Series([], dtype=str),
+                           "h2": pd.Series([], dtype=str),
+                           "inter": pd.Series([], dtype=np.int64)}))
+        s = (d.groupby("h", sort=False).size().rename("n").reset_index())
+        return pd.concat([p, s], ignore_index=True)
+
+    parts = exchange.grouped_shuffle(ds, ["fp"], pairs).to_pandas()
+    inter = (parts.dropna(subset=["h1"])
+             .groupby(["h1", "h2"], sort=False)["inter"].sum()
+             .reset_index())
+    sizes = (parts.dropna(subset=["h"])
+             .groupby("h", sort=False)["n"].sum())
+    n1 = inter["h1"].map(sizes).to_numpy(np.int64)
+    n2 = inter["h2"].map(sizes).to_numpy(np.int64)
+    iv = inter["inter"].to_numpy(np.int64)
+    uni = n1 + n2 - iv
+    return pd.DataFrame({
+        "h1": inter["h1"], "h2": inter["h2"], "inter": iv,
+        "uni": uni, "jac_permille": 1000 * iv // uni})
+
+
+@_q("q_conversion_lag", """
+WITH t AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                      AS t_buy
+           FROM events GROUP BY 1)
+SELECT CAST(epoch_us(t_buy) - epoch_us(t_view) AS BIGINT)
+           // 3600000000 AS lag_hours,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM t WHERE t_buy IS NOT NULL AND t_view IS NOT NULL AND t_buy >= t_view
+GROUP BY 1
+""")
+def q_conversion_lag(sf_dir: str):
+    # funnel timing: per user, hours between the FIRST view and the
+    # FIRST purchase (only users who converted after first viewing),
+    # bucketed into an hour-lag histogram. One entity exchange derives
+    # both firsts per user (a user never splits), per-partition bucket
+    # counts are exact partials, and the driver combines a span-bounded
+    # histogram.
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "lag_hours": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64)})
+        d = df[df["event_type"].isin(("view", "purchase"))]
+        if not len(d):
+            return pd.DataFrame({
+                "lag_hours": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64)})
+        us = window._ts_us(d["ts"])
+        p = pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                          "et": d["event_type"].to_numpy(), "us": us})
+        g = p.pivot_table(index="user_id", columns="et", values="us",
+                          aggfunc="min")
+        for c in ("view", "purchase"):
+            if c not in g.columns:
+                g[c] = np.nan
+        g = g.dropna(subset=["view", "purchase"])
+        g = g[g["purchase"] >= g["view"]]
+        if not len(g):
+            return pd.DataFrame({
+                "lag_hours": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64)})
+        hrs = ((g["purchase"].to_numpy(np.int64)
+                - g["view"].to_numpy(np.int64)) // 3_600_000_000)
+        u, c = np.unique(hrs, return_counts=True)
+        return pd.DataFrame({"lag_hours": u, "n_users": c.astype(np.int64)})
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        ["user_id"], lag)
+    out = partial_groupby_agg(parts, ["lag_hours"],
+                              {"n_users": ("n_users", "sum")})
+    return out.astype({"lag_hours": np.int64, "n_users": np.int64})
+
+
 @_q("q_rfm_segments", """
 WITH c AS (SELECT o_custkey,
                   max(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
