@@ -1689,3 +1689,55 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        CAST(count(*) AS BIGINT) AS n_fg
 FROM ml GROUP BY d
 """
+
+
+def random_projection_sql(k: int = 16, dim: int = 64, seed: int = 29) -> str:
+    """q_random_projection: Johnson-Lindenstrauss sketch restated as k
+    literal Rademacher (+-1) dot products over the quantized vectors —
+    both sides generate the SAME plane matrix from rademacher_planes,
+    and a +-1 dot over |q|<=1000 milli-units stays exactly
+    representable in the DOUBLE accumulator (|proj| <= 64000)."""
+    planes = rademacher_planes(k, dim, seed)
+    cols = ",\n       ".join(
+        "CAST(list_dot_product(CAST(q AS DOUBLE[]), ["
+        + ", ".join(f"{v}.0" for v in planes[i])
+        + f"]) AS BIGINT) AS p{i}"
+        for i in range(k))
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings)
+SELECT vec_id,
+       {cols}
+FROM e
+"""
+
+
+def kmeans_update_sql(stride: int = 37, max_centroids: int = 256,
+                      dim: int = 64) -> str:
+    """q_kmeans_update: one Lloyd update step restated with NO division
+    (DuckDB // truncates while numpy floors, so the centroid shift is
+    the cross-multiplied drift_num = sum_j (n*c_j - S_j)^2 — exactly
+    n^2 * ||c - mean||^2 in milli-unit^2). inertia is the within-
+    cluster sum of the integer squared-L2 the assignment minimizes."""
+    d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"
+          " - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))"
+          " + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT)")
+    ssum = ", ".join(f"CAST(sum(q[{j + 1}]) AS BIGINT) AS s{j}"
+                     for j in range(dim))
+    drift = " + ".join(f"(g.n * c.cq[{j + 1}] - g.s{j})"
+                       f" * (g.n * c.cq[{j + 1}] - g.s{j})"
+                       for j in range(dim))
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_sql('embedding')} AS q FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         WHERE vec_id % {stride} = 1 AND vec_id < {stride * max_centroids}),
+a AS (SELECT a.vec_id, c.cid, {d2} AS d2, a.q
+      FROM e a CROSS JOIN cent c
+      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                 ORDER BY d2, c.cid) = 1),
+g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d2) AS BIGINT) AS inertia, {ssum}
+      FROM a GROUP BY 1)
+SELECT g.cid, g.n AS n_members, g.inertia,
+       CAST({drift} AS BIGINT) AS drift_num
+FROM g JOIN cent c ON c.cid = g.cid
+"""

@@ -8032,6 +8032,103 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_random_projection", oracles.random_projection_sql())
+def q_random_projection(sf_dir: str):
+    # Johnson-Lindenstrauss sketch: project the 64-d embeddings onto 16
+    # deterministic Rademacher (±1) hyperplanes — the dimensionality-
+    # reduction front end for billion-scale near-dup and ANN (project
+    # once, bucket/compare in 16-d). The plane matrix derives from
+    # splitmix64 bit 20 (the LSH hyperplane rule) so both sides generate
+    # it independently; the engine is ONE broadcast (ray.put of a 16x64
+    # int matrix) + a per-batch int64 matmul over quantized vectors —
+    # pure map, no shuffle, milli-unit exact.
+    K, DIM = 16, 64
+    planes = oracles.rademacher_planes(K, DIM, seed=29)
+    pref = ray.put(planes)
+
+    def proj(t: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        X = oracles.quantize_vecs(np.stack(
+            [np.asarray(v, np.float64)
+             for v in t.column("embedding").to_pylist()]))
+        Y = X @ P.T
+        cols = {"vec_id": t.column("vec_id")}
+        for i in range(K):
+            cols[f"p{i}"] = pa.array(Y[:, i], pa.int64())
+        return pa.table(cols)
+
+    return (read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(proj, batch_format="pyarrow"))
+
+
+@_q("q_kmeans_update", oracles.kmeans_update_sql())
+def q_kmeans_update(sf_dir: str):
+    # one Lloyd UPDATE step (the learn half of q_kmeans_assign): assign
+    # every vector to its stride-seeded centroid, then report per
+    # cluster the member count, the within-cluster inertia (sum of the
+    # integer squared-L2 the assignment minimizes), and the centroid
+    # drift as the division-free cross-multiplication drift_num =
+    # Σ_j (n·c_j − S_j)² = n²·||c − mean||² (DuckDB // truncates while
+    # numpy floors, so no quotient ever crosses the oracle boundary).
+    # Scale shape: centroids broadcast once; each block emits LONG
+    # partial rows (cid, j, s) — j∈{-2,-1} carrying inertia and count —
+    # through the standard partial combine, so driver state is
+    # k·(dim+2)-bounded regardless of corpus size; no shuffle.
+    from cocrawler_ray.oracles import quantize_vecs
+    STRIDE, MAXC, DIM = 37, 256, 64
+    bound = STRIDE * MAXC
+    ds = exchange.materialize_if_small(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        est_bytes=_tbl_bytes(sf_dir, "embeddings"))
+    cent = (ds.map_batches(
+        lambda t: t.filter(pa.array(
+            (t.column("vec_id").to_numpy() % STRIDE == 1)
+            & (t.column("vec_id").to_numpy() < bound))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    cids = cent["vec_id"].to_numpy(np.int64)
+    C = quantize_vecs(np.stack([np.asarray(v, np.float64)
+                                for v in cent["embedding"]]))
+    bref = ray.put((cids, C))
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        cid_arr, Cq = ray.get(bref)
+        if not t.num_rows:
+            return pd.DataFrame({"cid": pd.Series([], dtype=np.int64),
+                                 "j": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64)})
+        X = quantize_vecs(np.stack(
+            [np.asarray(v, np.float64)
+             for v in t.column("embedding").to_pylist()]))
+        d2 = ((X * X).sum(1)[:, None] - 2 * (X @ Cq.T)
+              + (Cq * Cq).sum(1)[None, :])
+        a = d2.argmin(1)  # first min == smallest cid (cids sorted)
+        dmin = d2[np.arange(len(X)), a]
+        out_cid, out_j, out_s = [], [], []
+        for ci in np.unique(a):
+            m = a == ci
+            S = X[m].sum(0)
+            out_cid.extend([cid_arr[ci]] * (DIM + 2))
+            out_j.extend([-2, -1] + list(range(DIM)))
+            out_s.extend([int(dmin[m].sum()), int(m.sum())]
+                         + S.tolist())
+        return pd.DataFrame({"cid": np.asarray(out_cid, np.int64),
+                             "j": np.asarray(out_j, np.int64),
+                             "s": np.asarray(out_s, np.int64)})
+
+    h = partial_groupby_agg(ds.map_batches(partials, batch_format="pyarrow"),
+                            ["cid", "j"], {"s": ("s", "sum")})
+    piv = h.pivot(index="cid", columns="j", values="s").fillna(0)
+    cid_order = {int(c): i for i, c in enumerate(cids)}
+    out_cid = piv.index.to_numpy(np.int64)
+    n = piv[-1].to_numpy(np.int64)
+    inertia = piv[-2].to_numpy(np.int64)
+    S = piv[list(range(DIM))].to_numpy(np.int64)
+    Crows = C[[cid_order[int(c)] for c in out_cid]]
+    drift = ((n[:, None] * Crows - S).astype(np.int64) ** 2).sum(1)
+    return pd.DataFrame({"cid": out_cid, "n_members": n,
+                         "inertia": inertia, "drift_num": drift})
+
+
 @_q("q_mirror_hosts", """
 WITH f AS (SELECT DISTINCT source AS h, md5(substr(text, 1, 40)) AS fp
            FROM documents),
