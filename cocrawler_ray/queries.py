@@ -8032,6 +8032,134 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_vocab_drift", r"""
+WITH t AS (SELECT doc_id % 2 AS par,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''),
+c AS (SELECT w AS term,
+             CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+             CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1
+      FROM t GROUP BY 1),
+n AS (SELECT CAST(sum(o0) AS BIGINT) AS n0,
+             CAST(sum(o1) AS BIGINT) AS n1 FROM c)
+SELECT term, o0, o1, CAST(abs(o0 * n1 - o1 * n0) AS BIGINT) AS drift
+FROM c, n
+ORDER BY drift DESC, term LIMIT 20
+""")
+def q_vocab_drift(sf_dir: str):
+    # distribution-shift detector: split the corpus into two cohorts
+    # (doc_id parity — in production, yesterday's crawl vs today's) and
+    # rank terms by the cross-multiplied count difference
+    # |o0·N1 − o1·N0| — the integer-exact numerator of the normalized
+    # frequency gap (drift = N0·N1·|p0 − p1|), so no float ratio ever
+    # crosses the oracle boundary. Scale shape: per-block (term, parity)
+    # partials → cohort totals ride a 2-row combiner; ONE term exchange
+    # makes per-term counts exact; each partition emits only its local
+    # top-20, the driver merges ≤20·P rows. At web scale the int64
+    # product wants HUGEINT or a per-million normalization — noted here,
+    # domain-safe at every test SF.
+    def term_parity(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"term": pd.Series([], dtype=str),
+                                 "par": pd.Series([], dtype=np.int64),
+                                 "tf": pd.Series([], dtype=np.int64)})
+        import re as _re
+        ws = _re.compile(r"[\t\n\f\r ]+")
+        terms, pars = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(),
+                            df["text"].to_numpy()):
+            t = txt.strip(" ")
+            if not t:
+                continue
+            toks = ws.split(t)
+            terms.extend(toks)
+            pars.extend([did % 2] * len(toks))
+        if not terms:
+            return pd.DataFrame({"term": pd.Series([], dtype=str),
+                                 "par": pd.Series([], dtype=np.int64),
+                                 "tf": pd.Series([], dtype=np.int64)})
+        p = pd.DataFrame({"term": np.asarray(terms, object),
+                          "par": np.asarray(pars, np.int64)})
+        g = p.groupby(["term", "par"], sort=False).size().rename("tf")
+        return g.reset_index()
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        term_parity, batch_format="pandas")
+    ds = exchange.materialize_if_small(
+        ds, est_bytes=_tbl_bytes(sf_dir, "documents"))
+    totals = partial_groupby_agg(ds, ["par"], {"tf": ("tf", "sum")})
+    tot = dict(zip(totals["par"].astype(int), totals["tf"].astype(int)))
+    n0, n1 = tot.get(0, 0), tot.get(1, 0)
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"term": pd.Series([], dtype=str),
+                              "o0": pd.Series([], dtype=np.int64),
+                              "o1": pd.Series([], dtype=np.int64),
+                              "drift": pd.Series([], dtype=np.int64)})
+        if not len(df):
+            return empty
+        g = (df.pivot_table(index="term", columns="par", values="tf",
+                            aggfunc="sum", fill_value=0))
+        for p in (0, 1):
+            if p not in g.columns:
+                g[p] = 0
+        o0 = g[0].to_numpy(np.int64)
+        o1 = g[1].to_numpy(np.int64)
+        out = pd.DataFrame({"term": g.index.to_numpy(object),
+                            "o0": o0, "o1": o1,
+                            "drift": np.abs(o0 * n1 - o1 * n0)})
+        return (out.sort_values(["drift", "term"],
+                                ascending=[False, True], kind="stable")
+                .head(20).reset_index(drop=True))
+
+    parts = exchange.grouped_shuffle(ds, ["term"], score_topk).to_pandas()
+    return (parts.sort_values(["drift", "term"],
+                              ascending=[False, True], kind="stable")
+            .head(20).reset_index(drop=True)
+            .astype({"o0": np.int64, "o1": np.int64, "drift": np.int64}))
+
+
+@_q("q_budget_alloc", """
+WITH w AS (SELECT source AS h, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM w),
+f AS (SELECT h, n, 10000 * n // tot AS base, (10000 * n) % tot AS rem
+      FROM w, t),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, h) AS rk FROM f),
+s AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS topup FROM f)
+SELECT h, n,
+       CAST(base + CASE WHEN rk <= topup THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM r, s
+""")
+def q_budget_alloc(sf_dir: str):
+    # crawl-budget allocator (SURVEY §2 O4's fleet-level counterpart):
+    # split a 10k-fetch budget across hosts proportional to observed
+    # page counts using the LARGEST-REMAINDER method — floor shares
+    # first, then one extra fetch to the hosts with the largest
+    # remainders (ties by host name) so the allocations sum to the
+    # budget EXACTLY, all in integers. Host weights ride the standard
+    # combiner; the allocation itself is host-bounded driver math.
+    B = 10_000
+    w = partial_groupby_agg(
+        read(sf_dir, "documents", ["source"]).map_batches(
+            lambda df: df.rename(columns={"source": "h"}),
+            batch_format="pandas"),
+        ["h"], {"n": (None, "count")})
+    w = w.reset_index(drop=True)
+    n = w["n"].to_numpy(np.int64)
+    tot = int(n.sum())
+    base = B * n // tot
+    rem = (B * n) % tot
+    order = (pd.DataFrame({"rem": rem, "h": w["h"]})
+             .sort_values(["rem", "h"], ascending=[False, True],
+                          kind="stable").index.to_numpy())
+    topup = B - int(base.sum())
+    alloc = base.copy()
+    alloc[order[:topup]] += 1
+    return pd.DataFrame({"h": w["h"], "n": n, "alloc": alloc})
+
+
 @_q("q_random_projection", oracles.random_projection_sql())
 def q_random_projection(sf_dir: str):
     # Johnson-Lindenstrauss sketch: project the 64-d embeddings onto 16
