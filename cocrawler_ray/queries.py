@@ -8777,6 +8777,20 @@ _PRIORITY = [
     # ANN: ivf, agg: topk/distinct, graph: components, LLM-curation:
     # decontaminate/curate_corpus, image: curate_images/psnr_gate) and
     # every rotated-out query stays green in the conformance suite.
+    # FIFTH-SESSION ROTATION: the 12 operators added this session
+    # (q_rfm_segments, q_blob_count, q_rle_runs, q_mirror_hosts,
+    # q_gap_fill, q_random_projection, q_kmeans_update, q_vocab_drift,
+    # q_attribution, q_unchanged_revisits, q_conversion_lag,
+    # q_budget_alloc) swap in for 12 r01-r03-driver-proven members
+    # (q_embed_neardup_lsh, q_semantic_dedup, q_paragraph_dedup,
+    # q_curate_corpus, q_tfidf, q_sessionize, q_image_clusters,
+    # q_json_extract, q_cdc_chunks, q_topk_hosts, q_distinct_hosts,
+    # q_cube_revenue); every family keeps a driver-proven rep in the
+    # window (dedup: q_minhash_dedup; curation: q_decontaminate;
+    # ANN/similarity: q_ann_ivf; image: q_curate_images/q_psnr_gate;
+    # sketches: q_approx_distinct/q_bloom; joins: q_skew_hybrid_join;
+    # sampling: q_source_mix) and every rotated-out query stays green
+    # in tests/test_queries_conformance.py + tools/check_queries.py.
     # crawl-depth + sketch-set-algebra + window-distribution + image
     "q_bfs_layers", "q_theta_sketch", "q_percent_rank",
     # joins: broadcast-anti (family rep), the skew-aware hybrid, the
@@ -8790,39 +8804,36 @@ _PRIORITY = [
     "q_local_supplier_volume", "q_nation_volume",
     # dedup family: exact, MinHash-LSH, embedding-LSH, semantic
     # (SemDeDup), paragraph/span, substring-duplication fraction
-    "q_shingle_containment", "q_minhash_dedup", "q_embed_neardup_lsh",
-    "q_semantic_dedup", "q_paragraph_dedup", "q_substring_dup",
+    "q_shingle_containment", "q_minhash_dedup", "q_mirror_hosts",
+    "q_substring_dup",
     # LLM-curation: decontamination, perplexity filter, sequence
     # packing, end-to-end curation
     "q_decontaminate", "q_mip_pyramid", "q_gamma_hist",
-    "q_curate_corpus",
     # text retrieval/analytics
-    "q_tfidf", "q_bm25",
+    "q_bm25", "q_vocab_drift",
     # similarity search: brute-force, IVF
-    "q_winsorize", "q_ann_ivf",
+    "q_winsorize", "q_ann_ivf", "q_random_projection", "q_kmeans_update",
     # sampling / mixing
-    "q_source_mix",
+    "q_source_mix", "q_rfm_segments", "q_budget_alloc",
     # event-time windows / sessions / rank / watermark
-    "q_sessionize", "q_window_frame", "q_rank_events",
-    "q_watermark_late",
+    "q_window_frame", "q_rank_events",
+    "q_watermark_late", "q_gap_fill", "q_attribution",
+    "q_unchanged_revisits", "q_conversion_lag",
     # graph (BSP): PageRank, components, HITS, k-core, triangles
-    "q_edge_density", "q_image_clusters", "q_hits", "q_kcore",
+    "q_edge_density", "q_hits", "q_kcore",
     "q_triangle_count",
     # multimodal actor-pool stages (q_psnr_gate IS the north rule's
     # per-row PSNR>=40dB invariant)
     "q_curate_images", "q_augment_checksum", "q_psnr_gate",
+    "q_blob_count", "q_rle_runs",
     # scalar function surface
-    "q_json_extract",
     # stats: payload chunking, exact quantile-rank normalization, the
     # per-group exact percentile (rewritten this round on the histogram
     # combiner — no native groupby), the skew census
-    "q_cdc_chunks", "q_quantile_rank", "q_latency_percentile",
+    "q_quantile_rank", "q_latency_percentile",
     "q_hot_keys",
     # aggregates / top-k / distinct / TPC-H Q13 & Q16 shapes
-    "q_sharpness_gate", "q_topk_hosts", "q_distinct_hosts",
-    "q_custdist", "q_supplier_cnt",
-    # grouping sets
-    "q_cube_revenue",
+    "q_sharpness_gate", "q_custdist", "q_supplier_cnt",
     # sketches (integer-exact register/counter/bit rows)
     "q_approx_distinct", "q_bloom",
 ]

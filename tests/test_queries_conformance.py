@@ -111,8 +111,8 @@ def test_priority_window_covers_every_family():
     # (q_token_pack/q_tfidf/q_pagerank/q_clip_score_gate etc. rotated
     # OUT in the final round-4 rotation — r01-r03-driver-proven, still
     # green in this suite)
-    for must in ("q_decontaminate", "q_semantic_dedup",
-                 "q_curate_corpus", "q_approx_distinct", "q_bloom",
+    for must in ("q_decontaminate", "q_minhash_dedup",
+                 "q_approx_distinct", "q_bloom",
                  # round-4 rotation: families gaining their first driver row
                  "q_substring_dup", "q_hits", "q_kcore", "q_triangle_count",
                  "q_local_supplier_volume", "q_nation_volume", "q_custdist",
@@ -123,5 +123,15 @@ def test_priority_window_covers_every_family():
                  # final round-4 rotation: the late-round operators
                  "q_sharpness_gate", "q_edge_density",
                  "q_augment_checksum", "q_mip_pyramid", "q_gamma_hist",
-                 "q_winsorize", "q_shingle_containment"):
+                 "q_winsorize", "q_shingle_containment",
+                 # fifth-session rotation: this session's 12 new
+                 # operators each gain their first driver row
+                 # (q_semantic_dedup/q_curate_corpus/q_tfidf/
+                 # q_sessionize etc. rotated OUT — driver-proven
+                 # r01-r03, still green in this suite)
+                 "q_rfm_segments", "q_blob_count", "q_rle_runs",
+                 "q_mirror_hosts", "q_gap_fill", "q_random_projection",
+                 "q_kmeans_update", "q_vocab_drift", "q_attribution",
+                 "q_unchanged_revisits", "q_conversion_lag",
+                 "q_budget_alloc"):
         assert must in names[:50], must
