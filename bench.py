@@ -129,6 +129,10 @@ BENCH_QUERIES_R4 = [
     "q_sample_k",          # exact-k order-statistics sample (no sort)
     "q_politeness_sim",    # token-bucket dispatch sim (closed-form cummax)
     "q_sharpness_gate",    # variance-of-Laplacian blur gate (actor-pool decode)
+    "q_rfm_segments",      # RFM segmentation (exchange + histogram quantiles)
+    "q_vocab_drift",       # cohort drift detector (term exchange + local topk)
+    "q_blob_count",        # connected-component census (iterative min-pool)
+    "q_gap_fill",          # forward-fill densification (closed-form gaps)
 ]
 
 

@@ -1741,3 +1741,42 @@ SELECT g.cid, g.n AS n_members, g.inertia,
        CAST({drift} AS BIGINT) AS drift_num
 FROM g JOIN cent c ON c.cid = g.cid
 """
+
+
+def haar_energy_sql(n: int = N_IMAGES) -> str:
+    """q_haar_energy: level-1 Haar detail energies restated as signed
+    2x2 block sums over the gray-sum CTE — weights (1-2*(x%2)),
+    (1-2*(y%2)) and their product pick out the HL/LH/HH details; per-
+    image energy is the sum of squared block details."""
+    return f"""
+WITH {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+blk AS (SELECT d, x // 2 AS bx, y // 2 AS by,
+               CAST(sum(s3 * (1 - 2 * (x % 2)) * (1 - 2 * (y % 2)))
+                    AS BIGINT) AS hh,
+               CAST(sum(s3 * (1 - 2 * (y % 2))) AS BIGINT) AS lh,
+               CAST(sum(s3 * (1 - 2 * (x % 2))) AS BIGINT) AS hl
+        FROM g3 GROUP BY 1, 2, 3)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(hh * hh) AS BIGINT) AS e_hh,
+       CAST(sum(lh * lh) AS BIGINT) AS e_lh,
+       CAST(sum(hl * hl) AS BIGINT) AS e_hl
+FROM blk GROUP BY d
+"""
+
+
+def audio_decimate_sql(n: int = N_PAYLOADS, length: int = PAYLOAD_LEN) -> str:
+    """q_audio_decimate: 2:1 decimation restated over the even-index
+    half of the payload formula; energy is DC-centered, the checksum is
+    position-weighted over the DECIMATED index (1 + i//2) so a stride
+    or phase error breaks it."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+by AS (SELECT d, unnest(generate_series(0, {length - 1})) AS i FROM ids),
+k AS (SELECT d, i, {_BYTE_SQL} AS v FROM by WHERE i % 2 = 0)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS energy,
+       CAST(sum(v * (1 + i // 2)) AS BIGINT) AS chk
+FROM k GROUP BY d
+"""

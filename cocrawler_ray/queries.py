@@ -8032,6 +8032,186 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_degree_assortativity", """
+WITH nn AS (SELECT count(*) AS N FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT N FROM nn) FROM documents),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+        FROM (SELECT src AS node FROM edges
+              UNION ALL SELECT dst FROM edges)
+        GROUP BY 1),
+j AS (SELECT a.dg AS x, b.dg AS y
+      FROM edges e JOIN deg a ON a.node = e.src
+                   JOIN deg b ON b.node = e.dst)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy
+FROM j
+""")
+def q_degree_assortativity(sf_dir: str):
+    # degree-assortativity MOMENTS of the doc link graph — the exact
+    # integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) of the
+    # per-edge (deg(src), deg(dst)) pairs, from which the Pearson
+    # assortativity coefficient is driver-side float math (emitted as
+    # raw integers so no float crosses the oracle). Scale shape: one
+    # endpoint exchange builds the degree table; degrees attach to
+    # edges through two hash joins, the second FUSING the moment
+    # partials into the join task (hash_join(reduce_fn=...)), so the
+    # driver combines P six-number rows — never an edge lands on it.
+    nodes, edges, n_total = _doc_link_graph(sf_dir)
+    edges = exchange.materialize_if_small(
+        edges, est_bytes=_tbl_bytes(sf_dir, "documents"))
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("src").combine_chunks(),
+             t.column("dst").combine_chunks()])})
+
+    def count_deg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "dg": pd.Series([], dtype=np.int64)})
+        g = df.groupby("node", sort=False).size()
+        return pd.DataFrame({"node": g.index.to_numpy(np.int64),
+                             "dg": g.to_numpy(np.int64)})
+
+    deg = exchange.grouped_shuffle(
+        edges.map_batches(ends, batch_format="pyarrow"),
+        ["node"], count_deg)
+    deg = exchange.materialize_if_small(
+        deg, est_bytes=_tbl_bytes(sf_dir, "documents"))
+
+    degx = deg.map_batches(lambda t: t.rename_columns(["src", "x"]),
+                           batch_format="pyarrow")
+    degy = deg.map_batches(lambda t: t.rename_columns(["dst", "y"]),
+                           batch_format="pyarrow")
+    e1 = exchange.hash_join(edges, degx, ["src"], ["src"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_edges": [np.int64(len(df))],
+            "sx": [x.sum()], "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()]})
+
+    parts = exchange.hash_join(e1, degy, ["dst"], ["dst"],
+                               reduce_fn=moments).to_pandas()
+    tot = parts.sum()
+    return pd.DataFrame({c: [np.int64(tot[c])]
+                         for c in ("n_edges", "sx", "sy", "sxy",
+                                   "sxx", "syy")})
+
+
+@_q("q_rrf_fusion", f"""
+WITH e AS (SELECT vec_id, {oracles._quant_sql('embedding')} AS q
+           FROM embeddings),
+s AS (SELECT vec_id,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]),
+                  CAST((SELECT q FROM e WHERE vec_id = 0) AS DOUBLE[]))
+                  AS BIGINT) AS s0,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]),
+                  CAST((SELECT q FROM e WHERE vec_id = 1) AS DOUBLE[]))
+                  AS BIGINT) AS s1
+      FROM e WHERE vec_id NOT IN (0, 1)),
+r0 AS (SELECT vec_id, row_number() OVER (ORDER BY s0 DESC, vec_id) AS rk
+       FROM s ORDER BY s0 DESC, vec_id LIMIT 100),
+r1 AS (SELECT vec_id, row_number() OVER (ORDER BY s1 DESC, vec_id) AS rk
+       FROM s ORDER BY s1 DESC, vec_id LIMIT 100),
+f AS (SELECT COALESCE(r0.vec_id, r1.vec_id) AS vec_id,
+             CAST(COALESCE(1000000 // (60 + r0.rk), 0)
+                  + COALESCE(1000000 // (60 + r1.rk), 0) AS BIGINT)
+                 AS rrf
+      FROM r0 FULL OUTER JOIN r1 ON r1.vec_id = r0.vec_id)
+SELECT vec_id, rrf FROM f ORDER BY rrf DESC, vec_id LIMIT 10
+""")
+def q_rrf_fusion(sf_dir: str):
+    # reciprocal-rank fusion (hybrid/multi-query retrieval): two
+    # rankings of the corpus against query vectors 0 and 1 — integer
+    # dot products over milli-quantized vectors, so rank order is exact
+    # on both sides — each truncated to its top-100, fused by
+    # Σ 1e6//(60+rank) (Cormack's k=60 in integer micros, absent list
+    # contributes 0), top-10 reported. Scale shape: the two query rows
+    # broadcast once; every block emits its LOCAL top-100 per ranking;
+    # the driver merges ≤2·100·P tagged rows, assigns global ranks on
+    # the 100-bounded lists, and fuses — production RRF over top-k
+    # lists, never a global sort.
+    K_LIST, K_OUT, RRF_K = 100, 10, 60
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = (ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"),
+                                    value_set=pa.array([0, 1]))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    Q = oracles.quantize_vecs(np.stack(
+        [np.asarray(v, np.float64) for v in qtab["embedding"]]))
+    qref = ray.put(Q)
+
+    def local_topk(t: pa.Table) -> pd.DataFrame:
+        Qm = ray.get(qref)
+        ids = t.column("vec_id").to_numpy()
+        keep = ~np.isin(ids, (0, 1))
+        if not keep.any():
+            return pd.DataFrame({"which": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64)})
+        X = oracles.quantize_vecs(np.stack(
+            [np.asarray(v, np.float64)
+             for v in t.column("embedding").to_pylist()]))[keep]
+        ids = ids[keep]
+        S = X @ Qm.T  # (rows, 2) integer scores
+        frames = []
+        for w in (0, 1):
+            o = np.lexsort((ids, -S[:, w]))[:K_LIST]
+            frames.append(pd.DataFrame({
+                "which": np.int64(w), "vec_id": ids[o].astype(np.int64),
+                "s": S[o, w].astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    scores: dict[int, int] = {}
+    for w in (0, 1):
+        top = (cand[cand["which"] == w]
+               .sort_values(["s", "vec_id"], ascending=[False, True],
+                            kind="stable").head(K_LIST))
+        for rk, vid in enumerate(top["vec_id"].to_numpy(), start=1):
+            scores[int(vid)] = (scores.get(int(vid), 0)
+                                + 1_000_000 // (RRF_K + rk))
+    out = (pd.DataFrame({"vec_id": list(scores), "rrf": list(scores.values())})
+           .sort_values(["rrf", "vec_id"], ascending=[False, True],
+                        kind="stable").head(K_OUT).reset_index(drop=True))
+    return out.astype({"vec_id": np.int64, "rrf": np.int64})
+
+
+@_q("q_haar_energy", oracles.haar_energy_sql())
+def q_haar_energy(sf_dir: str):
+    # level-1 2D Haar wavelet detail energies (HH/LH/HL) over the image
+    # axis — the texture-direction probe that complements the Sobel
+    # edge census and whose LL sibling is the mip pyramid's first
+    # level; integer-exact squared 2x2 block details, decode bound once
+    # per actor (stages/multimodal.py::HaarDetailEnergy).
+    from cocrawler_ray.stages.multimodal import HaarDetailEnergy
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(HaarDetailEnergy, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_audio_decimate", oracles.audio_decimate_sql())
+def q_audio_decimate(sf_dir: str):
+    # 2:1 audio decimation (the resample stage's integer skeleton):
+    # kept-sample count, DC-centered energy of the decimated half, and
+    # a position-weighted checksum that catches stride/phase errors
+    # (stages/multimodal.py::AudioDecimate).
+    from cocrawler_ray.stages.multimodal import AudioDecimate
+    return (_from_arrow_blocks(oracles.conformance_payloads(), 4)
+            .map_batches(AudioDecimate, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_vocab_drift", r"""
 WITH t AS (SELECT doc_id % 2 AS par,
                   unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -1145,3 +1145,68 @@ class BlobCount:
             "image_id": pa.array(ids, pa.string()),
             "n_blobs": pa.array(np.asarray(blobs, np.int64)),
             "n_fg": pa.array(np.asarray(fgs, np.int64))})
+
+
+class HaarDetailEnergy:
+    """Level-1 2D Haar wavelet detail energies over the gray frame —
+    e_hh (diagonal), e_lh (horizontal), e_hl (vertical) as exact integer
+    sums of squared 2x2 block details. The detail/approximation energy
+    split is the classic texture-vs-flat probe (and the blur signal the
+    sharpness gate reads differently); the LL half is the mip pyramid's
+    first level, so together they complete the quad. Dims are
+    8-divisible by the corpus contract, so the 2x2 tiling is exact."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        e_hh = np.zeros(n, np.int64)
+        e_lh = np.zeros(n, np.int64)
+        e_hl = np.zeros(n, np.int64)
+        for i in range(n):
+            g = self.decode(data[i], int(ws[i]), int(hs[i]),
+                            fmts[i]).astype(np.int64).sum(axis=2)
+            a = g[0::2, 0::2]  # (y even, x even)
+            b = g[0::2, 1::2]  # (y even, x odd)
+            c = g[1::2, 0::2]  # (y odd, x even)
+            d = g[1::2, 1::2]  # (y odd, x odd)
+            hh = a - b - c + d
+            lh = a + b - c - d
+            hl = a - b + c - d
+            e_hh[i] = int((hh * hh).sum())
+            e_lh[i] = int((lh * lh).sum())
+            e_hl[i] = int((hl * hl).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "e_hh": pa.array(e_hh), "e_lh": pa.array(e_lh),
+            "e_hl": pa.array(e_hl)})
+
+
+class AudioDecimate:
+    """2:1 decimation (every even sample) over raw audio payloads —
+    the resample stage's integer skeleton. Emits the kept-sample count,
+    the DC-centered energy of the kept half, and a position-weighted
+    checksum so any off-by-one in the stride is caught."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        n_out = np.zeros(n, np.int64)
+        energy = np.zeros(n, np.int64)
+        chk = np.zeros(n, np.int64)
+        for i, payload in enumerate(data):
+            v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            kept = v[0::2]
+            n_out[i] = len(kept)
+            c = kept - 128
+            energy[i] = int((c * c).sum())
+            chk[i] = int((kept * (1 + np.arange(len(kept)))).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "n_out": pa.array(n_out), "energy": pa.array(energy),
+            "chk": pa.array(chk)})
