@@ -3236,8 +3236,7 @@ def q_vocab_build(sf_dir: str):
     # partition ALSO applies the min-count gate and takes its local top-V
     # -> driver merges <= V*P rows and ranks. The full vocabulary table
     # never reaches the driver (q_topk_hosts shape over an open vocab).
-    import re as _re
-    ws_split = _re.compile(r"[\t\n\f\r ]+")  # RE2 \s, spelled out
+    ws_split = textops.WS_ASCII  # RE2 \s spelled out, shared helper
 
     def local_counts(df: pd.DataFrame) -> pd.DataFrame:
         # mirror the oracle's trim(text) (space-strip) + regexp_split —
@@ -3625,8 +3624,7 @@ def q_bpe_merges(sf_dir: str):
     # parity. Output per round: the rule, its exact pair count, and
     # the corpus token count after applying it.
     ds = read(sf_dir, "documents", ["text"])
-    import re as _re
-    ws_split = _re.compile(r"[\t\n\f\r ]+")  # RE2 \s, spelled out
+    ws_split = textops.WS_ASCII  # RE2 \s spelled out, shared helper
 
     def word_counts(df: pd.DataFrame) -> pd.DataFrame:
         chunks = [ws_split.split(t.strip(" "))
@@ -6743,11 +6741,10 @@ def q_tokenize_apply(sf_dir: str):
     ids = vb["rank"].to_numpy(np.int64)[order]
     vref = ray.put((terms, ids))
 
-    import re as _re
     # RE2 \s is the ASCII class [\t\n\f\r ]; DuckDB trim() strips SPACES
     # only. Mirror both exactly so whitespace-edged docs can't diverge
     # (the established "spell out whitespace" rule).
-    ws_split = _re.compile(r"[\t\n\f\r ]+")
+    ws_split = textops.WS_ASCII
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
         ts, vi = ray.get(vref)
@@ -8243,8 +8240,7 @@ def q_vocab_drift(sf_dir: str):
             return pd.DataFrame({"term": pd.Series([], dtype=str),
                                  "par": pd.Series([], dtype=np.int64),
                                  "tf": pd.Series([], dtype=np.int64)})
-        import re as _re
-        ws = _re.compile(r"[\t\n\f\r ]+")
+        ws = textops.WS_ASCII  # RE2 \s spelled out, shared helper
         terms, pars = [], []
         for did, txt in zip(df["doc_id"].to_numpy(),
                             df["text"].to_numpy()):
@@ -8378,6 +8374,10 @@ def q_kmeans_update(sf_dir: str):
     # drift as the division-free cross-multiplication drift_num =
     # Σ_j (n·c_j − S_j)² = n²·||c − mean||² (DuckDB // truncates while
     # numpy floors, so no quotient ever crosses the oracle boundary).
+    # int64 bound: each term ≤ (2·1000·n)², so 64 dims stay under 2^63
+    # while the largest cluster holds ≲ 1.3e7 members — far above every
+    # test SF; past it the drift wants HUGEINT/object math on both
+    # sides (the same documented bound class as q_vocab_drift).
     # Scale shape: centroids broadcast once; each block emits LONG
     # partial rows (cid, j, s) — j∈{-2,-1} carrying inertia and count —
     # through the standard partial combine, so driver state is

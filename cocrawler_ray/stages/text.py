@@ -17,6 +17,10 @@ import pyarrow as pa
 from cocrawler_ray.hashing import splitmix64
 
 _WS = re.compile(r"\s+")
+# RE2/DuckDB \s spelled out as the ASCII class (Python \s is unicode-wide;
+# the oracle's regexp_split_to_array('\s+') is RE2) — every query whose
+# SQL mirror tokenizes on \s+ must split with THIS pattern, not _WS.
+WS_ASCII = re.compile(r"[\t\n\f\r ]+")
 
 # tiny n-gram/stopword language profiles (public-knowledge heuristic)
 _LANG_STOPWORDS = {
