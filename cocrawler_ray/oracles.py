@@ -1780,3 +1780,33 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        CAST(sum(v * (1 + i // 2)) AS BIGINT) AS chk
 FROM k GROUP BY d
 """
+
+
+def orientation_census_sql(n: int = N_IMAGES, mag_threshold: int = 800) -> str:
+    """q_orientation_census: the edge-density Sobel restated (same
+    9-offset join) with edge pixels bucketed by the gradient sign
+    quadrant 2*(gx>0) + (gy>0) — a wrong kernel sign flips a bucket."""
+    return f"""
+WITH {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+soff AS (SELECT a.dx, b.dy
+         FROM (VALUES (-1),(0),(1)) a(dx)
+         CROSS JOIN (VALUES (-1),(0),(1)) b(dy)),
+sob AS (SELECT g.d, g.x, g.y,
+               sum(nb.s3 * o.dx * (2 - abs(o.dy))) AS gx,
+               sum(nb.s3 * o.dy * (2 - abs(o.dx))) AS gy
+        FROM g3 g CROSS JOIN soff o
+        JOIN g3 nb ON nb.d = g.d AND nb.x = g.x + o.dx
+                  AND nb.y = g.y + o.dy
+        GROUP BY g.d, g.x, g.y HAVING count(*) = 9),
+e AS (SELECT d, abs(gx) + abs(gy) > {mag_threshold} AS edge,
+               2 * CASE WHEN gx > 0 THEN 1 ELSE 0 END
+               + CASE WHEN gy > 0 THEN 1 ELSE 0 END AS q
+      FROM sob)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sum(CASE WHEN edge AND q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(sum(CASE WHEN edge AND q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(sum(CASE WHEN edge AND q = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(sum(CASE WHEN edge AND q = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+FROM e GROUP BY d
+"""

@@ -8029,6 +8029,58 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_orientation_census", oracles.orientation_census_sql())
+def q_orientation_census(sf_dir: str):
+    # HOG-lite gradient-orientation census over the image axis: Sobel
+    # sign-quadrant buckets of edge pixels — the 4-bin skeleton of the
+    # histogram-of-oriented-gradients descriptor (texture-direction
+    # signature for near-dup and content-type detection); integer-exact,
+    # decode bound once per actor
+    # (stages/multimodal.py::OrientationCensus).
+    from cocrawler_ray.stages.multimodal import OrientationCensus
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(OrientationCensus, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_selfjoin_size", """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ck
+           FROM events GROUP BY 1)
+SELECT CAST(sum(ck * ck) AS BIGINT) AS f2,
+       CAST(max(ck) AS BIGINT) AS max_key,
+       CAST(sum(ck) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys
+""" + "FROM c")
+def q_selfjoin_size(sf_dir: str):
+    # self-join size / second frequency moment F2 = Σ c_k² — THE
+    # shuffle-planning statistic: the exact output cardinality of a
+    # key-equi self-join, the quantity AMS sketches estimate, and the
+    # skew diagnostic behind skew_hybrid_join's hot threshold (max_key
+    # is reported next to it). Scale shape: one entity exchange makes
+    # per-key counts exact; per-partition partials of (Σc², max, Σc,
+    # #keys) combine to a single driver row — the join itself is never
+    # materialized, which is the point of sizing it first.
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"f2": pd.Series([], dtype=np.int64),
+                                 "max_key": pd.Series([], dtype=np.int64),
+                                 "n_rows": pd.Series([], dtype=np.int64),
+                                 "n_keys": pd.Series([], dtype=np.int64)})
+        c = df.groupby("user_id", sort=False).size().to_numpy(np.int64)
+        return pd.DataFrame({"f2": [(c * c).sum()], "max_key": [c.max()],
+                             "n_rows": [c.sum()],
+                             "n_keys": [np.int64(len(c))]})
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id"]), ["user_id"],
+        partial).to_pandas()
+    return pd.DataFrame({
+        "f2": [np.int64(parts["f2"].sum())],
+        "max_key": [np.int64(parts["max_key"].max())],
+        "n_rows": [np.int64(parts["n_rows"].sum())],
+        "n_keys": [np.int64(parts["n_keys"].sum())]})
+
+
 @_q("q_degree_assortativity", """
 WITH nn AS (SELECT count(*) AS N FROM documents),
 edges AS (

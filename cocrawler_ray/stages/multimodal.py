@@ -1210,3 +1210,41 @@ class AudioDecimate:
             "image_id": batch.column("image_id"),
             "n_out": pa.array(n_out), "energy": pa.array(energy),
             "chk": pa.array(chk)})
+
+
+class OrientationCensus:
+    """HOG-lite gradient-orientation census: Sobel gx/gy over interior
+    gray pixels, edge pixels (|gx|+|gy| > mag_threshold) bucketed by the
+    sign quadrant b = 2*(gx>0) + (gy>0) — the 4-bin skeleton of the
+    histogram-of-oriented-gradients descriptor (texture direction
+    signature for near-dup and content-type detection), integer-exact
+    end to end."""
+
+    def __init__(self, mag_threshold: int = 800):
+        self.decode = codecs.decode
+        self.mag_threshold = int(mag_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        b = np.zeros((n, 4), np.int64)
+        for i in range(n):
+            g = self.decode(data[i], int(ws[i]), int(hs[i]),
+                            fmts[i]).astype(np.int64).sum(axis=2)
+            if g.shape[0] < 3 or g.shape[1] < 3:
+                continue
+            gx = ((g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2]))
+            gy = ((g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:]))
+            edge = np.abs(gx) + np.abs(gy) > self.mag_threshold
+            q = 2 * (gx > 0) + (gy > 0)
+            for k in range(4):
+                b[i, k] = int(((q == k) & edge).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "b0": pa.array(b[:, 0]), "b1": pa.array(b[:, 1]),
+            "b2": pa.array(b[:, 2]), "b3": pa.array(b[:, 3])})
