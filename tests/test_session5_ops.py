@@ -1,0 +1,129 @@
+"""Edge-case units for the fifth-session operators — cases the
+conformance fixtures may not exercise: empty masks, flat frames,
+single-event entities, user-boundary carries. Stage classes are plain
+callables over Arrow tables, so no Ray session is needed here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from cocrawler_ray import codecs
+
+
+def _img_batch(imgs: list[np.ndarray], fmt: str = "raw16") -> pa.Table:
+    return pa.table({
+        "image_id": pa.array([f"t{i:04d}" for i in range(len(imgs))]),
+        "bytes": pa.array([codecs.encode(im, fmt) for im in imgs],
+                          pa.binary()),
+        "w": pa.array(np.array([im.shape[1] for im in imgs], np.int32)),
+        "h": pa.array(np.array([im.shape[0] for im in imgs], np.int32)),
+        "fmt": pa.array([fmt] * len(imgs)),
+    })
+
+
+def test_blob_count_geometry_and_empty_mask():
+    from cocrawler_ray.stages.multimodal import BlobCount
+    black = np.zeros((16, 16, 3), np.uint8)          # no foreground -> no row
+    two = np.zeros((16, 16, 3), np.uint8)            # two separated squares
+    two[2:5, 2:5] = 255
+    two[10:14, 10:13] = 255
+    ell = np.zeros((16, 16, 3), np.uint8)            # one L-shaped blob
+    ell[2:4, 2:10] = 255
+    ell[2:10, 2:4] = 255
+    out = BlobCount(threshold=640)(_img_batch([black, two, ell]))
+    ids = out.column("image_id").to_pylist()
+    assert ids == ["t0001", "t0002"]                 # all-black emits no row
+    assert out.column("n_blobs").to_pylist() == [2, 1]
+    assert out.column("n_fg").to_pylist() == [9 + 12, 16 + 16 - 4]
+
+
+def test_rle_runs_flat_and_striped():
+    from cocrawler_ray.stages.multimodal import RleRuns
+    flat = np.zeros((16, 16, 3), np.uint8)           # one run per row
+    stripe = np.zeros((16, 16, 3), np.uint8)         # alternate columns
+    stripe[:, 1::2] = 255
+    out = RleRuns(threshold=380)(_img_batch([flat, stripe]))
+    assert out.column("n_runs").to_pylist() == [16, 16 * 16]
+    assert out.column("rle_saves").to_pylist() == [True, False]
+
+
+def test_haar_energy_constant_and_checker():
+    from cocrawler_ray.stages.multimodal import HaarDetailEnergy
+    const = np.full((16, 16, 3), 100, np.uint8)      # all details zero
+    checker = np.zeros((16, 16, 3), np.uint8)        # x-parity checkerboard
+    checker[:, 1::2] = 80                            # gray diff 240 per pair
+    out = HaarDetailEnergy()(_img_batch([const, checker]))
+    assert out.column("e_hh").to_pylist()[0] == 0
+    assert out.column("e_lh").to_pylist()[0] == 0
+    assert out.column("e_hl").to_pylist()[0] == 0
+    # checker: per 2x2 block a=c=0, b=d=240 -> hh=0, lh=0, hl=-480
+    n_blocks = 8 * 8
+    assert out.column("e_hh").to_pylist()[1] == 0
+    assert out.column("e_lh").to_pylist()[1] == 0
+    assert out.column("e_hl").to_pylist()[1] == n_blocks * 480 ** 2
+
+
+def test_orientation_census_vertical_edge():
+    from cocrawler_ray.stages.multimodal import OrientationCensus
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, 8:] = 255                                 # hard vertical edge
+    out = OrientationCensus(mag_threshold=800)(_img_batch([img]))
+    b = [out.column(f"b{k}").to_pylist()[0] for k in range(4)]
+    # gradient points +x only (gy == 0 everywhere): quadrant 2*(gx>0)+0
+    assert b[1] == b[3] == 0
+    assert b[2] > 0 and b[0] == 0                    # edge pixels all gx>0
+    # interior edge band: gx nonzero in the two columns flanking x=8
+    assert sum(b) == 2 * 14
+
+
+def test_audio_decimate_phase_and_length():
+    from cocrawler_ray.stages.multimodal import AudioDecimate
+    v = np.arange(7, dtype=np.uint8) + 100           # odd length
+    t = pa.table({"image_id": pa.array(["a"]),
+                  "bytes": pa.array([v.tobytes()], pa.binary())})
+    out = AudioDecimate()(t)
+    kept = v[0::2].astype(np.int64)
+    assert out.column("n_out").to_pylist() == [4]
+    assert out.column("energy").to_pylist() == [
+        int(((kept - 128) ** 2).sum())]
+    assert out.column("chk").to_pylist() == [
+        int((kept * (1 + np.arange(4))).sum())]
+
+
+def test_gap_fill_closed_form_single_and_gap(ray_session):
+    from cocrawler_ray.queries import QUERIES
+
+    # tiny events table: user 1 has hours 0 and 3 (two empty buckets
+    # carrying v=200 cents), user 2 a single event (span 1, no fill)
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime([0, 3 * 3600 * 1_000_000, 1_000], unit="us"),
+        "user_id": [1, 1, 2],
+        "event_type": ["view"] * 3,
+        "value": [2.0, 9.0, 5.0],
+        "props": ["{}"] * 3,
+    })
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix="gapfill_")
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["q_gap_fill"](d).to_pandas().sort_values("user_id")
+    assert out["n_buckets"].tolist() == [4, 1]
+    assert out["n_filled"].tolist() == [2, 0]
+    assert out["filled_sum"].tolist() == [2 * 200, 0]
+
+
+def test_selfjoin_size_exact(ray_session):
+    from cocrawler_ray.queries import QUERIES
+    out = QUERIES["q_selfjoin_size"]("/root/testdata/sf0.001")
+    import duckdb
+    f2, mx, n, k = duckdb.sql(
+        "SELECT sum(c*c), max(c), sum(c), count(*) FROM (SELECT count(*) c "
+        "FROM '/root/testdata/sf0.001/events.parquet' GROUP BY user_id)"
+    ).fetchone()
+    assert out["f2"].iloc[0] == f2
+    assert out["max_key"].iloc[0] == mx
+    assert out["n_rows"].iloc[0] == n
+    assert out["n_keys"].iloc[0] == k
