@@ -8029,6 +8029,111 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_tail_slo", """
+WITH e AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v
+           FROM events),
+q AS (SELECT event_type, quantile_disc(v, 0.95) AS p95 FROM e GROUP BY 1)
+SELECT e.event_type, q.p95,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN e.v > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over,
+       CAST(1000 * sum(CASE WHEN e.v > q.p95 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS over_permille
+FROM e JOIN q USING (event_type) GROUP BY 1, 2
+""")
+def q_tail_slo(sf_dir: str):
+    # tail-latency SLO census: per event type, the exact p95 (DuckDB
+    # quantile_disc = rank ceil(0.95·n), micro-unit integers) and the
+    # strict-violation fraction above it. ONE pass builds per-(type,
+    # micro-value) count histograms through the standard combiner; the
+    # driver derives p95 AND the over-count from the same cumulative
+    # histogram — no second scan, no per-group row gather (the
+    # latency-percentile lesson); driver state is bounded by the
+    # distinct-micro-value domain (the documented winsorize-class
+    # bound: grows ~linearly in distinct values, not rows).
+    from cocrawler_ray.stages.text import round_half_away
+
+    def vm(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                                 "v": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        v = round_half_away(df["value"].to_numpy() * 1e6,
+                            0).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "v": v})
+             .groupby(["event_type", "v"], sort=False)
+             .size().rename("n").reset_index())
+        return g
+
+    h = partial_groupby_agg(
+        read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            vm, batch_format="pandas"),
+        ["event_type", "v"], {"n": ("n", "sum")})
+    rows = []
+    for et, sub in h.groupby("event_type", sort=False):
+        sub = sub.sort_values("v")
+        v = sub["v"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        rank = (95 * total + 99) // 100  # ceil(0.95*n), quantile_disc
+        i = int(np.searchsorted(cum, rank))
+        p95 = int(v[i])
+        n_over = total - int(cum[i])  # strictly greater than p95
+        rows.append((et, p95, total, n_over, 1000 * n_over // total))
+    return pd.DataFrame(rows, columns=["event_type", "p95", "n_total",
+                                       "n_over", "over_permille"]).astype(
+        {"p95": np.int64, "n_total": np.int64, "n_over": np.int64,
+         "over_permille": np.int64})
+
+
+def _shard_balance_sql(P: int = 16) -> str:
+    sm, fin = oracles.splitmix_ctes(
+        "src", "user_id", "CAST(user_id AS HUGEINT)", "h", "smx")
+    return f"""
+WITH src AS (SELECT user_id FROM events),
+{sm},
+s AS (SELECT CAST(h % {P} AS BIGINT) AS shard FROM {fin}),
+c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT shard, n,
+       CAST(1000 * abs(n * {P} - total) // total AS BIGINT)
+           AS dev_permille
+FROM c, t
+"""
+
+
+@_q("q_shard_balance", _shard_balance_sql())
+def q_shard_balance(sf_dir: str):
+    # partitioner-quality audit: the row-count balance of the engine's
+    # OWN shard function (splitmix64(user_id) % 16 — the same hash that
+    # keys every exchange and state partition). Per-shard counts ride
+    # the combiner; dev_permille = 1000·|n·P − total|/total is the
+    # integer skew deviation the frontier's hot-host split thresholds
+    # on. A biased partitioner shows up here before it shows up as a
+    # straggler.
+    from cocrawler_ray.hashing import splitmix64
+    P = 16
+
+    def shard_counts(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("user_id").to_numpy()
+        s = (splitmix64(ids.astype(np.uint64))
+             % np.uint64(P)).astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pd.DataFrame({"shard": u, "n": c.astype(np.int64)})
+
+    out = partial_groupby_agg(
+        read(sf_dir, "events", ["user_id"]).map_batches(
+            shard_counts, batch_format="pyarrow"),
+        ["shard"], {"n": ("n", "sum")})
+    n = out["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    out["dev_permille"] = 1000 * np.abs(n * P - total) // total
+    return out.astype({"shard": np.int64, "n": np.int64,
+                       "dev_permille": np.int64})
+
+
 @_q("q_orientation_census", oracles.orientation_census_sql())
 def q_orientation_census(sf_dir: str):
     # HOG-lite gradient-orientation census over the image axis: Sobel
