@@ -8029,6 +8029,54 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_ooo_inversions", """
+WITH e AS (SELECT user_id, event_id, ts FROM events)
+SELECT a.user_id,
+       CAST(count(*) FILTER (WHERE a.ts > b.ts) AS BIGINT) AS inversions,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+GROUP BY 1
+""")
+def q_ooo_inversions(sf_dir: str):
+    # out-of-orderness census (the watermark-sizing diagnostic): per
+    # user, the number of event pairs whose arrival order (event_id)
+    # disagrees with event time (Kendall discordance of the two
+    # orders) — 0 means perfectly ordered streams, n_pairs means fully
+    # reversed. One entity exchange co-locates each user's stream; the
+    # per-user count is a vectorized O(k²) pair compare bounded by the
+    # documented per-entity event count (the same per-entity bound
+    # sessionize and the window family rely on); at pathological k the
+    # mergesort O(k log k) count drops in without changing the oracle.
+    # Output stays a Dataset (user-scaled).
+    def inv(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "inversions": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["user_id", "event_id"], kind="stable")
+        us = window._ts_us(d["ts"])
+        uid = d["user_id"].to_numpy()
+        out_u, out_i, out_p = [], [], []
+        start = 0
+        bounds = np.flatnonzero(uid[1:] != uid[:-1]) + 1
+        for end in list(bounds) + [len(uid)]:
+            t = us[start:end]
+            k = end - start
+            if k >= 2:  # k==1 users produce no join pair in the oracle
+                out_u.append(uid[start])
+                out_i.append(int(np.triu(t[:, None] > t[None, :], 1).sum()))
+                out_p.append(k * (k - 1) // 2)
+            start = end
+        return pd.DataFrame({"user_id": np.asarray(out_u, np.int64),
+                             "inversions": np.asarray(out_i, np.int64),
+                             "n_pairs": np.asarray(out_p, np.int64)})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+        ["user_id"], inv)
+
+
 @_q("q_tail_slo", """
 WITH e AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v
            FROM events),
