@@ -8029,6 +8029,103 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_burstiness", """
+WITH h AS (SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2,
+       count(*) * sum(c * c) - sum(c) * sum(c) > count(*) * sum(c)
+           AS bursty
+FROM h GROUP BY 1
+""")
+def q_burstiness(sf_dir: str):
+    # traffic burstiness (the politeness planner's dispersion test):
+    # per user, the integer moments of the active-hour count
+    # distribution and the cross-multiplied Fano test variance > mean —
+    # h·Σc² − (Σc)² > h·Σc — so no float ratio crosses the oracle
+    # (Poisson arrivals sit at ≈, bursty sessions far above). One
+    # entity exchange; per-user hour census is a partition-local
+    # groupby; output stays a Dataset (user-scaled).
+    def fano(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_hours": pd.Series([], dtype=np.int64),
+                "s1": pd.Series([], dtype=np.int64),
+                "s2": pd.Series([], dtype=np.int64),
+                "bursty": pd.Series([], dtype=bool)})
+        hr = window._ts_us(df["ts"]) // 3_600_000_000
+        hc = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "hr": hr})
+              .groupby(["user_id", "hr"], sort=False)
+              .size().rename("c").reset_index())
+        g = hc.groupby("user_id", sort=False)["c"].agg(
+            n_hours="size", s1="sum", s2=lambda s: int((s * s).sum()))
+        g = g.reset_index()
+        h = g["n_hours"].to_numpy(np.int64)
+        s1 = g["s1"].to_numpy(np.int64)
+        s2 = g["s2"].to_numpy(np.int64)
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                             "n_hours": h, "s1": s1, "s2": s2,
+                             "bursty": h * s2 - s1 * s1 > h * s1})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "ts"]), ["user_id"], fano)
+
+
+@_q("q_interarrival", """
+WITH g AS (SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS gap
+           FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+""")
+def q_interarrival(sf_dir: str):
+    # inter-arrival profile (recrawl/politeness planning): per user, the
+    # exact median and max gap between consecutive events in
+    # microseconds. One entity exchange; gaps are a sorted shift-diff
+    # per partition; the median is the PERCENTILE_DISC order statistic
+    # rank ceil(n/2) read off each user's sorted gap array — no float
+    # interpolation crosses the oracle. Output stays a Dataset.
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "p50_gap_us": pd.Series([], dtype=np.int64),
+                "max_gap_us": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = window._ts_us(d["ts"])
+        uid = d["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        gp = pd.DataFrame({"user_id": uid[1:][same],
+                           "gap": (us[1:] - us[:-1])[same]})
+        if not len(gp):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "p50_gap_us": pd.Series([], dtype=np.int64),
+                "max_gap_us": pd.Series([], dtype=np.int64)})
+
+        def med(s: pd.Series) -> int:
+            a = np.sort(s.to_numpy(np.int64))
+            return int(a[(len(a) + 1) // 2 - 1])  # rank ceil(n/2), 0-based
+
+        g = gp.groupby("user_id", sort=False)["gap"].agg(
+            n_gaps="size", p50_gap_us=med, max_gap_us="max").reset_index()
+        return g.astype({"user_id": np.int64, "n_gaps": np.int64,
+                         "p50_gap_us": np.int64, "max_gap_us": np.int64})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        ["user_id"], gaps)
+
+
 @_q("q_ooo_inversions", """
 WITH e AS (SELECT user_id, event_id, ts FROM events)
 SELECT a.user_id,
