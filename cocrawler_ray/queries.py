@@ -8029,6 +8029,64 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_range_frame", """
+WITH e AS (SELECT user_id, event_id, ts,
+                  CAST(round(value * 1e6) AS BIGINT) AS v
+           FROM events)
+SELECT user_id, event_id,
+       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS w_sum,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS w_n
+FROM e
+""")
+def q_range_frame(sf_dir: str):
+    # RANGE (time-based) window frame — the sibling q_window_frame's
+    # ROWS frame can't express: per event, the sum/count of the user's
+    # events inside the trailing 1-hour INTERVAL, peers-of-equal-ts
+    # included on both bounds (SQL RANGE semantics). One entity
+    # exchange; inside a partition the frame is two searchsorteds over
+    # the user's sorted timestamps against a prefix-sum — O(k log k)
+    # per user, integer micro-units exact, no per-row Python. Output
+    # stays a Dataset (event-scaled).
+    from cocrawler_ray.stages.text import round_half_away
+    HOUR = np.int64(3_600_000_000)
+
+    def frame(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_id": pd.Series([], dtype=np.int64),
+                "w_sum": pd.Series([], dtype=np.int64),
+                "w_n": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = window._ts_us(d["ts"])
+        uid = d["user_id"].to_numpy()
+        v = round_half_away(d["value"].to_numpy() * 1e6,
+                            0).astype(np.int64)
+        w_sum = np.empty(len(d), np.int64)
+        w_n = np.empty(len(d), np.int64)
+        start = 0
+        bounds = np.flatnonzero(uid[1:] != uid[:-1]) + 1
+        for end in list(bounds) + [len(uid)]:
+            t = us[start:end]
+            pv = np.concatenate(([0], np.cumsum(v[start:end])))
+            lo = np.searchsorted(t, t - HOUR, side="left")
+            hi = np.searchsorted(t, t, side="right")  # all ts peers
+            w_sum[start:end] = pv[hi] - pv[lo]
+            w_n[start:end] = hi - lo
+            start = end
+        return pd.DataFrame({"user_id": uid,
+                             "event_id": d["event_id"].to_numpy(np.int64),
+                             "w_sum": w_sum, "w_n": w_n})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]),
+        ["user_id"], frame)
+
+
 @_q("q_burstiness", """
 WITH h AS (SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
                   CAST(count(*) AS BIGINT) AS c
