@@ -9331,6 +9331,10 @@ _PRIORITY = [
     # sketches: q_approx_distinct/q_bloom; joins: q_skew_hybrid_join;
     # sampling: q_source_mix) and every rotated-out query stays green
     # in tests/test_queries_conformance.py + tools/check_queries.py.
+    # LATE FIFTH-SESSION SWAPS: q_tail_slo, q_rrf_fusion,
+    # q_selfjoin_size in for q_source_mix, q_curate_images,
+    # q_skew_hybrid_join (all driver-proven r01-r03; q_psnr_gate stays
+    # as the image family's proven rep and the north-rule row).
     # crawl-depth + sketch-set-algebra + window-distribution + image
     "q_bfs_layers", "q_theta_sketch", "q_percent_rank",
     # joins: broadcast-anti (family rep), the skew-aware hybrid, the
@@ -9340,7 +9344,7 @@ _PRIORITY = [
     # q_fetch_join rotate out, driver-proven in r01-r03 and still green
     # in the conformance tests)
     "q_letterbox", "q_market_share", "q_waiting_suppliers",
-    "q_skew_hybrid_join", "q_bloom_semijoin",
+    "q_bloom_semijoin",
     "q_local_supplier_volume", "q_nation_volume",
     # dedup family: exact, MinHash-LSH, embedding-LSH, semantic
     # (SemDeDup), paragraph/span, substring-duplication fraction
@@ -9353,8 +9357,9 @@ _PRIORITY = [
     "q_bm25", "q_vocab_drift",
     # similarity search: brute-force, IVF
     "q_winsorize", "q_ann_ivf", "q_random_projection", "q_kmeans_update",
+    "q_rrf_fusion", "q_selfjoin_size",
     # sampling / mixing
-    "q_source_mix", "q_rfm_segments", "q_budget_alloc",
+    "q_rfm_segments", "q_budget_alloc",
     # event-time windows / sessions / rank / watermark
     "q_window_frame", "q_rank_events",
     "q_watermark_late", "q_gap_fill", "q_attribution",
@@ -9364,13 +9369,13 @@ _PRIORITY = [
     "q_triangle_count",
     # multimodal actor-pool stages (q_psnr_gate IS the north rule's
     # per-row PSNR>=40dB invariant)
-    "q_curate_images", "q_augment_checksum", "q_psnr_gate",
+    "q_augment_checksum", "q_psnr_gate",
     "q_blob_count", "q_rle_runs",
     # scalar function surface
     # stats: payload chunking, exact quantile-rank normalization, the
     # per-group exact percentile (rewritten this round on the histogram
     # combiner — no native groupby), the skew census
-    "q_quantile_rank", "q_latency_percentile",
+    "q_quantile_rank", "q_latency_percentile", "q_tail_slo",
     "q_hot_keys",
     # aggregates / top-k / distinct / TPC-H Q13 & Q16 shapes
     "q_sharpness_gate", "q_custdist", "q_supplier_cnt",

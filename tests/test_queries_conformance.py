@@ -133,5 +133,9 @@ def test_priority_window_covers_every_family():
                  "q_mirror_hosts", "q_gap_fill", "q_random_projection",
                  "q_kmeans_update", "q_vocab_drift", "q_attribution",
                  "q_unchanged_revisits", "q_conversion_lag",
-                 "q_budget_alloc"):
+                 "q_budget_alloc",
+                 # late fifth-session swaps: three more first driver
+                 # rows (q_source_mix/q_curate_images/q_skew_hybrid_join
+                 # rotated OUT — driver-proven r01-r03, still green)
+                 "q_tail_slo", "q_rrf_fusion", "q_selfjoin_size"):
         assert must in names[:50], must
