@@ -8029,6 +8029,49 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_dedup_keep_best", """
+WITH f AS (SELECT doc_id, n_chars, md5(substr(text, 1, 40)) AS fp
+           FROM documents)
+SELECT doc_id, fp, n_chars FROM f
+QUALIFY row_number() OVER (PARTITION BY fp
+                           ORDER BY n_chars DESC, doc_id) = 1
+""")
+def q_dedup_keep_best(sf_dir: str):
+    # QUALITY-winner dedup — the curation-policy complement of
+    # first-wins (q_exact_dedup keeps min id; a training pipeline
+    # usually keeps the LONGEST/highest-quality member of a near-dup
+    # cluster, RefinedWeb-style): winner per content-prefix fingerprint
+    # by (max n_chars, tie min doc_id). The winner rule is associative,
+    # so each block pre-combines its local winners (combiner) before
+    # ONE fingerprint exchange picks the global ones; output stays a
+    # Dataset (docs-scaled).
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+                         "text": pc.utf8_slice_codeunits(t["text"],
+                                                         0, 40)})
+
+    ds = (read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+          .map_batches(prep, batch_format="pyarrow")
+          .map_batches(dedup.content_hash_batch, batch_format="pyarrow")
+          .map_batches(lambda t: t.select(["doc_id", "n_chars", "digest"])
+                       .rename_columns(["doc_id", "n_chars", "fp"]),
+                       batch_format="pyarrow"))
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "fp": pd.Series([], dtype=str),
+                "n_chars": pd.Series([], dtype=np.int64)})
+        d = df.sort_values(["fp", "n_chars", "doc_id"],
+                           ascending=[True, False, True], kind="stable")
+        return (d.drop_duplicates("fp", keep="first")
+                [["doc_id", "fp", "n_chars"]].reset_index(drop=True))
+
+    local = ds.map_batches(winner, batch_format="pandas")
+    return exchange.grouped_shuffle(local, ["fp"], winner)
+
+
 @_q("q_range_frame", """
 WITH e AS (SELECT user_id, event_id, ts,
                   CAST(round(value * 1e6) AS BIGINT) AS v
