@@ -127,3 +127,94 @@ def test_selfjoin_size_exact(ray_session):
     assert out["max_key"].iloc[0] == mx
     assert out["n_rows"].iloc[0] == n
     assert out["n_keys"].iloc[0] == k
+
+
+def _events_parquet(tmpdir_prefix: str, rows: dict) -> str:
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix=tmpdir_prefix)
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_range_frame_tie_peers(ray_session):
+    """SQL RANGE frames include ALL peers of the current timestamp —
+    an event sharing its ts must see the other peer in its frame."""
+    from cocrawler_ray.queries import QUERIES
+    base = 1_000_000_000
+    d = _events_parquet("rangefr_", {
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(
+            [base, base, base + 3_600_000_000 + 1, base + 7_200_000_000],
+            unit="us"),
+        "user_id": [1, 1, 1, 1],
+        "event_type": ["view"] * 4,
+        "value": [1.0, 2.0, 4.0, 8.0],
+        "props": ["{}"] * 4,
+    })
+    out = (QUERIES["q_range_frame"](d).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # events 1,2 share ts: each sees BOTH (peer rule) -> sum 3e6, n 2
+    assert out["w_sum"].tolist() == [3_000_000, 3_000_000,
+                                     4_000_000, 12_000_000]
+    assert out["w_n"].tolist() == [2, 2, 1, 2]
+
+
+def test_attribution_first_event_conversion_excluded(ray_session):
+    """A purchase with no prior touch (user's first event) gets no
+    credit row; a prior touch from ANOTHER user must not leak."""
+    from cocrawler_ray.queries import QUERIES
+    d = _events_parquet("attr_", {
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime([1, 2, 3], unit="us"),
+        "user_id": [9, 9, 10],
+        "event_type": ["view", "purchase", "purchase"],
+        "value": [0.0] * 3,
+        "props": ["{}"] * 3,
+    })
+    out = QUERIES["q_attribution"](d)
+    assert out["channel"].tolist() == ["view"]
+    assert out["n_conversions"].tolist() == [1]
+
+
+def test_burstiness_poisson_boundary(ray_session):
+    """The Fano test is STRICT (variance > mean): user 1 with one
+    event in each of two hours sits exactly at variance == mean
+    (h=2, s1=2, s2=2 -> 2*2 - 4 = 0, not > 2) and must read False;
+    user 2 with a 5-event burst + a single straggler (h=2, s1=6,
+    s2=26 -> 52 - 36 = 16 > 12) must read True."""
+    from cocrawler_ray.queries import QUERIES
+    HR = 3_600_000_000
+    d = _events_parquet("burst_", {
+        "event_id": list(range(1, 9)),
+        "ts": pd.to_datetime([0, HR, 0, 1, 2, 3, 4, 2 * HR], unit="us"),
+        "user_id": [1, 1, 2, 2, 2, 2, 2, 2],
+        "event_type": ["view"] * 8,
+        "value": [0.0] * 8,
+        "props": ["{}"] * 8,
+    })
+    out = (QUERIES["q_burstiness"](d).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["bursty"].tolist() == [False, True]
+    assert out["n_hours"].tolist() == [2, 2]
+    assert out["s2"].tolist() == [2, 26]
+
+
+def test_interarrival_median_rank(ray_session):
+    """Even-count gaps take the LOWER middle (PERCENTILE_DISC rank
+    ceil(n/2)), not the interpolated mean."""
+    from cocrawler_ray.queries import QUERIES
+    # gaps for user 1: 10us, 20us, 40us, 80us -> median = rank 2 = 20
+    t = np.cumsum([0, 10, 20, 40, 80])
+    d = _events_parquet("gap2_", {
+        "event_id": list(range(1, 6)),
+        "ts": pd.to_datetime(t, unit="us"),
+        "user_id": [1] * 5,
+        "event_type": ["view"] * 5,
+        "value": [0.0] * 5,
+        "props": ["{}"] * 5,
+    })
+    out = QUERIES["q_interarrival"](d).to_pandas()
+    assert out["p50_gap_us"].tolist() == [20]
+    assert out["max_gap_us"].tolist() == [80]
+    assert out["n_gaps"].tolist() == [4]
