@@ -8029,6 +8029,65 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_vocab_coverage", r"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''),
+c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+ks AS (SELECT unnest([10, 20, 50, 100]) AS k)
+SELECT k, CAST(sum(r.n) AS BIGINT) AS covered, tot.total,
+       CAST(1000 * sum(r.n) // tot.total AS BIGINT) AS coverage_permille
+FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN tot
+GROUP BY k, tot.total
+""")
+def q_vocab_coverage(sf_dir: str):
+    # vocabulary-coverage curve (the tokenizer-design question "how big
+    # must the vocab be?"): for each candidate size K, the fraction of
+    # token OCCURRENCES covered by the top-K words (1 − OOV rate),
+    # integer permille. Scale shape: the word census rides the standard
+    # combiner + ONE word exchange (counts exact per partition); each
+    # partition emits only its local top-max(K) rows, the driver merges
+    # ≤K·P and takes cumulative sums at the K cut points — the corpus
+    # never re-scans per K. Ties at the cut broken (n DESC, w) on both
+    # sides.
+    KS = (10, 20, 50, 100)
+    kmax = max(KS)
+    ds = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _doc_terms, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"term": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "subtotal": pd.Series([], dtype=np.int64)})
+        g = (df.groupby("term", sort=False)["tf"].sum()
+             .rename("n").reset_index())
+        top = (g.sort_values(["n", "term"], ascending=[False, True],
+                             kind="stable").head(kmax))
+        # one extra row carries the partition's total occurrence count
+        # so the driver can compute the denominator without a 2nd pass
+        top = top.assign(subtotal=np.int64(0))
+        tot_row = pd.DataFrame({"term": [""], "n": [np.int64(0)],
+                                "subtotal": [np.int64(g["n"].sum())]})
+        return pd.concat([top, tot_row], ignore_index=True)
+
+    parts = exchange.grouped_shuffle(ds, ["term"], combine).to_pandas()
+    total = int(parts["subtotal"].sum())
+    cand = (parts[parts["term"] != ""]
+            .sort_values(["n", "term"], ascending=[False, True],
+                         kind="stable").head(kmax))
+    cum = np.cumsum(cand["n"].to_numpy(np.int64))
+    rows = []
+    for k in KS:  # vocab may be smaller than K: top-K is then everything
+        c = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append((k, c, total, 1000 * c // total))
+    return pd.DataFrame(rows, columns=["k", "covered", "total",
+                                       "coverage_permille"]).astype(
+        {"k": np.int64, "covered": np.int64, "total": np.int64,
+         "coverage_permille": np.int64})
+
+
 @_q("q_dedup_keep_best", """
 WITH f AS (SELECT doc_id, n_chars, md5(substr(text, 1, 40)) AS fp
            FROM documents)
