@@ -7871,7 +7871,13 @@ def q_important_parts(sf_dir: str):
         return pd.DataFrame({"l_partkey": g["l_partkey"].to_numpy(np.int64),
                              "value_cents": g["cents"].to_numpy(np.int64)})
 
-    pv = exchange.grouped_shuffle(li, ["l_partkey"], per_part).materialize()
+    # pv is per-partkey (SF-scaled) and consumed twice (count + filter):
+    # size-gate the pin like auto_join gates broadcast — past the budget
+    # the consumers re-execute the exchange off the pruned scan instead
+    # of pinning a part-dimension table in the object store
+    pv = exchange.materialize_if_small(
+        exchange.grouped_shuffle(li, ["l_partkey"], per_part),
+        est_bytes=_tbl_bytes(sf_dir, "part"))
     n = pv.count()
     # v*2n > 3T  <=>  v > floor(3T / 2n) for positive ints (if 2n | 3T the
     # floor IS the boundary; otherwise v*2n > 3T first holds at floor+1),
