@@ -762,8 +762,10 @@ def q_minhash_dedup(sf_dir: str):
     pair -> distributed Jaccard verify) vs a complete SQL restatement of
     the same uint64 arithmetic."""
     ds = _constructed_text(sf_dir, oracles.minhash_text)
-    return dedup.minhash_lsh_pairs(ds, "doc_id", "text", num_perm=64, bands=16,
-                                   verify_threshold=0.5)
+    return dedup.minhash_lsh_pairs(ds, "doc_id", "text", num_perm=64,
+                                   bands=16, verify_threshold=0.5,
+                                   est_bytes=_tbl_bytes(sf_dir,
+                                                        "documents"))
 
 
 @_q("q_simhash", oracles.simhash_sql())

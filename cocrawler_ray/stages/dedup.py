@@ -114,7 +114,8 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
-                      verify_threshold: float | None = None) -> pd.DataFrame:
+                      verify_threshold: float | None = None,
+                      est_bytes: int | None = None) -> pd.DataFrame:
     """Candidate near-dup pairs via MinHash banding; optional exact-Jaccard
     verification.
 
@@ -137,9 +138,11 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
 
     if verify_threshold is not None:
         # the corpus feeds two passes (banding + verify tag); pin the
-        # blocks in the object store (spillable) instead of recomputing
-        # the upstream pipeline per pass
-        ds = ds.materialize()
+        # blocks (spillable) instead of recomputing the upstream pipeline
+        # per pass — SIZE-GATED like every other multi-consumer pin
+        # (``est_bytes``: caller's corpus estimate, e.g. the parquet
+        # size); past the budget each pass re-executes the pruned scan
+        ds = exchange.materialize_if_small(ds, est_bytes)
 
     def _bucket_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
         # collisions only over-include rows; exact grouping happens later

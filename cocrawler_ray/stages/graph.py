@@ -351,7 +351,10 @@ def triangle_count(edges: rd.Dataset,
                     .reset_index()) if len(df) else
         pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                       "dg": pd.Series([], dtype=np.int64)}),
-        num_partitions=num_partitions).materialize()
+        num_partitions=num_partitions)
+    # deg is node-scaled and consumed by BOTH degree attachments below —
+    # size-gate its pin like the other triangle_count intermediates
+    deg = materialize_if_small(deg, est_bytes)
 
     dega = deg.map_batches(lambda t: t.rename_columns(["node", "da"]),
                            batch_format="pyarrow")
