@@ -48,6 +48,7 @@ import ray.data as rd
 from cocrawler_ray.hashing import splitmix64
 from cocrawler_ray.stages import dedup, text as textops
 from cocrawler_ray.stages.agg import exact_quantile_cont
+from cocrawler_ray.stages import exchange
 from cocrawler_ray.stages.exchange import grouped_shuffle
 from cocrawler_ray.stages.window import token_pack
 
@@ -91,12 +92,16 @@ def curate_documents(src: str, dest: str, *,
             df["doc_id"].map(m).to_numpy(np.float64), 3)
         return df
 
-    # materialize the scored corpus ONCE: it feeds the quantile pass and
-    # the gates — without this the read + scoring lineage would re-execute
-    # per consumer (blocks live in the object store and spill; the driver
-    # holds refs only)
-    scored = _read_documents(src).map_batches(
-        score_ppl, batch_format="pandas").materialize()
+    # pin the scored corpus ONCE: it feeds the quantile pass and the
+    # gates — without this the read + scoring lineage would re-execute
+    # per consumer. SIZE-GATED on the source parquet size (the same rule
+    # as auto_join's broadcast): past the budget, each consumer
+    # re-executes the pruned scan instead of pinning the corpus in the
+    # object store at 100 TB
+    src_bytes = os.path.getsize(path)
+    scored = exchange.materialize_if_small(
+        _read_documents(src).map_batches(score_ppl, batch_format="pandas"),
+        est_bytes=src_bytes)
     if ppl_threshold is None:
         ppl_threshold = float(exact_quantile_cont(
             scored.select_columns(["ppl"]), "ppl", ppl_quantile))
@@ -111,10 +116,11 @@ def curate_documents(src: str, dest: str, *,
         keep = set(q[q["keep"] == 1]["doc_id"].tolist())
         return df[df["doc_id"].isin(keep)]
 
-    # materialized for the same reason: consumed by the contamination
-    # gather AND the dedup -> pack -> shard write
-    gated = scored.map_batches(both_gates,
-                               batch_format="pandas").materialize()
+    # pinned for the same reason (and the same size gate): consumed by
+    # the contamination gather AND the dedup -> pack -> shard write
+    gated = exchange.materialize_if_small(
+        scored.map_batches(both_gates, batch_format="pandas"),
+        est_bytes=src_bytes)
 
     # ---- 3. decontamination ----------------------------------------------
     hits = gated.map_batches(

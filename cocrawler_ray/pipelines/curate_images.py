@@ -36,6 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from cocrawler_ray import storage as storage_mod
+from cocrawler_ray.stages import exchange
 from cocrawler_ray.hashing import hash64, partition_of
 from cocrawler_ray.stages.exchange import grouped_shuffle
 from cocrawler_ray.stages.multimodal import CurateImageFeatures
@@ -81,8 +82,12 @@ def curate_image_shards(fetched_files: list[str], dest: str,
     gated = (storage_mod.read_ray_dataset(fetched_files,
                                           columns=CURATE_COLUMNS)
              .map_batches(lambda t: _gate_features(t, feats),
-                          batch_format="pyarrow")
-             .materialize())  # branch point: counted once, deduped once
+                          batch_format="pyarrow"))
+    # branch point (counted once, deduped once) — size-gated on the
+    # source cell bytes: past the budget the consumers re-execute the
+    # pruned scan instead of pinning the image corpus
+    gated = exchange.materialize_if_small(
+        gated, est_bytes=sum(os.path.getsize(f) for f in fetched_files))
     counts["gated"] = gated.count()
 
     def first_wins(df: pd.DataFrame) -> pd.DataFrame:
@@ -95,9 +100,11 @@ def curate_image_shards(fetched_files: list[str], dest: str,
                 .drop_duplicates("dhash", keep="first"))
 
     # local combiner bounds the exchange by distinct (block, dhash) rows
-    deduped = grouped_shuffle(
-        gated.map_batches(first_wins, batch_format="pandas"),
-        ["dhash"], first_wins).materialize()
+    deduped = exchange.materialize_if_small(
+        grouped_shuffle(
+            gated.map_batches(first_wins, batch_format="pandas"),
+            ["dhash"], first_wins),
+        est_bytes=sum(os.path.getsize(f) for f in fetched_files))
     counts["deduped"] = deduped.count()
 
     def add_shard(t: pa.Table) -> pa.Table:

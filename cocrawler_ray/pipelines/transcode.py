@@ -37,6 +37,7 @@ import pyarrow.parquet as pq
 
 from cocrawler_ray import codecs
 from cocrawler_ray import storage as storage_mod
+from cocrawler_ray.stages import exchange
 from cocrawler_ray.hashing import hash64, partition_of
 from cocrawler_ray.stages.exchange import grouped_shuffle
 
@@ -102,8 +103,11 @@ def transcode_shards(fetched_files: list[str], dest: str,
     coded = (storage_mod.read_ray_dataset(fetched_files,
                                           columns=TRANSCODE_COLUMNS)
              .map_batches(lambda t: _transcode_batch(t, max_mse_milli),
-                          batch_format="pyarrow")
-             .materialize())  # branch point: stats pass + shard pass
+                          batch_format="pyarrow"))
+    # branch point (stats pass + shard pass) — size-gated on the source
+    # cell bytes, same rule as every other multi-consumer pin
+    coded = exchange.materialize_if_small(
+        coded, est_bytes=sum(os.path.getsize(f) for f in fetched_files))
     stats = coded.map_batches(
         lambda t: pa.table({
             "rows": pa.array([t.num_rows], pa.int64()),
