@@ -1810,3 +1810,50 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        CAST(sum(CASE WHEN edge AND q = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
 FROM e GROUP BY d
 """
+
+
+def ann_recall_sql(stride: int = 37, nprobe: int = 4, k: int = 10,
+                   max_centroids: int = 256) -> str:
+    """q_ann_recall: recall@k of the seeded-IVF path against the exact
+    brute-force ranking — both restated with the SAME tie rule
+    (sim DESC, vec_id), the query vector excluded from both lists. The
+    ANN evaluation harness as a query: the overlap count and integer
+    permille recall."""
+    d2 = ("CAST(list_dot_product(CAST(a.q AS DOUBLE[]), CAST(a.q AS DOUBLE[]))"
+          " - 2 * list_dot_product(CAST(a.q AS DOUBLE[]), CAST(c.cq AS DOUBLE[]))"
+          " + list_dot_product(CAST(c.cq AS DOUBLE[]), CAST(c.cq AS DOUBLE[])) AS BIGINT)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {_quant_sql('embedding')} AS q
+           FROM embeddings),
+brute AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(v, (SELECT v FROM e
+                                            WHERE vec_id = 0)), 6) AS sim
+    FROM e WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id LIMIT {k})),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         WHERE vec_id % {stride} = 1 AND vec_id < {stride * max_centroids}),
+assign AS (
+  SELECT a.vec_id, c.cid, {d2} AS d2
+  FROM e a CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2, c.cid) = 1),
+qprobe AS (
+  SELECT c.cid FROM e a CROSS JOIN cent c WHERE a.vec_id = 0
+  ORDER BY {d2}, c.cid LIMIT {nprobe}),
+ivf AS (
+  SELECT vec_id FROM (
+    SELECT cnd.vec_id,
+           ROUND(list_cosine_similarity(cnd.v, (SELECT v FROM e
+                                                WHERE vec_id = 0)), 6) AS sim
+    FROM (SELECT e.vec_id, e.v FROM e
+          JOIN assign s ON s.vec_id = e.vec_id
+          WHERE s.cid IN (SELECT cid FROM qprobe)
+            AND e.vec_id <> 0) cnd
+    ORDER BY sim DESC, vec_id LIMIT {k}))
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(1000 * count(*) // {k} AS BIGINT) AS recall_permille
+FROM brute JOIN ivf USING (vec_id)
+"""

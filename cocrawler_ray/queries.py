@@ -8037,6 +8037,27 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_ann_recall", oracles.ann_recall_sql())
+def q_ann_recall(sf_dir: str):
+    # the ANN EVALUATION harness as a query: recall@10 of the seeded-IVF
+    # path against the exact brute-force ranking (query vector excluded
+    # from both lists, identical (sim DESC, vec_id) tie rule). This is
+    # the number that justifies nprobe/stride choices at 100 TB — both
+    # rankings are the already-verified operators, composed; the overlap
+    # is k-bounded driver math.
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qv = _query_vec(ds)
+    exact = similarity.cosine_topk(ds, qv, k=10, exclude_ids={0})
+    approx = similarity.ivf_topk_seeded(ds, qv, k=10, stride=37,
+                                        nprobe=4, exclude_ids={0})
+    overlap = len(set(exact["vec_id"].astype(int))
+                  & set(approx["vec_id"].astype(int)))
+    return pd.DataFrame({"k": [np.int64(10)],
+                         "n_overlap": [np.int64(overlap)],
+                         "recall_permille": [np.int64(1000 * overlap
+                                                      // 10)]})
+
+
 @_q("q_vocab_coverage", r"""
 WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
            FROM documents WHERE trim(text) <> ''),

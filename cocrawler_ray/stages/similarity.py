@@ -193,8 +193,8 @@ def kmeans_assign_seeded(ds: rd.Dataset, stride: int = 37,
 def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
                     stride: int = 37, nprobe: int = 4,
                     max_centroids: int = 256,
-                    id_col: str = "vec_id", vec_col: str = "embedding"
-                    ) -> pd.DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_ids: set | None = None) -> pd.DataFrame:
     """IVF-flat with stride-seeded centroids and integer-exact assignment.
 
     Centroids are the rows with ``id % stride == 1 AND
@@ -245,7 +245,8 @@ def ivf_topk_seeded(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
         return t.filter(pa.array(np.isin(assign, list(probe))))
 
     cand = ds.map_batches(prune, batch_format="pyarrow")
-    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col,
+                       vec_col=vec_col, exclude_ids=exclude_ids)
 
 
 def _seeded_codebook(ds: rd.Dataset, stride: int, max_centroids: int,
