@@ -1857,3 +1857,25 @@ SELECT CAST({k} AS BIGINT) AS k,
        CAST(1000 * count(*) // {k} AS BIGINT) AS recall_permille
 FROM brute JOIN ivf USING (vec_id)
 """
+
+
+def gray_gate_sql(n: int = N_IMAGES, spread: int = 24,
+                  permille: int = 50) -> str:
+    """q_gray_gate: per-pixel channel pivot + greatest-abs-spread census
+    with the integer cross-multiplied near-grayscale gate."""
+    return f"""
+WITH {_px_ctes(n)},
+rgb AS (SELECT d, x, y,
+               sum(CASE WHEN ch = 0 THEN p END) AS r,
+               sum(CASE WHEN ch = 1 THEN p END) AS g,
+               sum(CASE WHEN ch = 2 THEN p END) AS b
+        FROM px GROUP BY 1, 2, 3),
+c AS (SELECT d, CASE WHEN greatest(abs(r - g), abs(g - b), abs(r - b))
+                          > {spread} THEN 1 ELSE 0 END AS col
+      FROM rgb)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(col) AS BIGINT) AS n_colorful,
+       1000 * sum(col) < {permille} * count(*) AS grayscalish
+FROM c GROUP BY d
+"""

@@ -8037,6 +8037,19 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+@_q("q_gray_gate", oracles.gray_gate_sql())
+def q_gray_gate(sf_dir: str):
+    # near-monochrome curation gate (the LAION colorfulness filter's
+    # integer skeleton): colorful-pixel census by largest inter-channel
+    # spread, cross-multiplied permille gate — screenshots/scans fail
+    # here before any embedding model runs
+    # (stages/multimodal.py::GrayscaleGate).
+    from cocrawler_ray.stages.multimodal import GrayscaleGate
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(GrayscaleGate, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_ann_recall", oracles.ann_recall_sql())
 def q_ann_recall(sf_dir: str):
     # the ANN EVALUATION harness as a query: recall@10 of the seeded-IVF

@@ -1248,3 +1248,40 @@ class OrientationCensus:
             "image_id": batch.column("image_id"),
             "b0": pa.array(b[:, 0]), "b1": pa.array(b[:, 1]),
             "b2": pa.array(b[:, 2]), "b3": pa.array(b[:, 3])})
+
+
+class GrayscaleGate:
+    """Near-monochrome detection (the LAION-style colorfulness gate):
+    a pixel is 'colorful' when its largest inter-channel spread
+    max(|r-g|, |g-b|, |r-b|) exceeds ``spread``; the image flags
+    grayscalish when colorful pixels stay under ``permille``/1000 of the
+    frame — integer cross-multiplication, no float. Screenshots, scans
+    and dead camera sensors fail here long before any embedding model
+    needs to look at them."""
+
+    def __init__(self, spread: int = 24, permille: int = 50):
+        self.decode = codecs.decode
+        self.spread = int(spread)
+        self.permille = int(permille)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        n_px = np.zeros(n, np.int64)
+        n_colorful = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+            spread = np.maximum(np.abs(r - g),
+                                np.maximum(np.abs(g - b), np.abs(r - b)))
+            n_px[i] = spread.size
+            n_colorful[i] = int((spread > self.spread).sum())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "n_px": pa.array(n_px), "n_colorful": pa.array(n_colorful),
+            "grayscalish": pa.array(
+                1000 * n_colorful < self.permille * n_px)})

@@ -218,3 +218,13 @@ def test_interarrival_median_rank(ray_session):
     assert out["p50_gap_us"].tolist() == [20]
     assert out["max_gap_us"].tolist() == [80]
     assert out["n_gaps"].tolist() == [4]
+
+
+def test_gray_gate_pure_gray_and_saturated():
+    from cocrawler_ray.stages.multimodal import GrayscaleGate
+    gray = np.full((16, 16, 3), 77, np.uint8)        # r == g == b
+    red = np.zeros((16, 16, 3), np.uint8)
+    red[:, :, 0] = 200                               # spread 200 > 24
+    out = GrayscaleGate()(_img_batch([gray, red]))
+    assert out.column("n_colorful").to_pylist() == [0, 256]
+    assert out.column("grayscalish").to_pylist() == [True, False]
