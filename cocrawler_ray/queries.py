@@ -8037,6 +8037,72 @@ def q_waiting_suppliers(sf_dir: str):
                          "numwait": out["numwait"].to_numpy(np.int64)})
 
 
+def _text_clusters_sql() -> str:
+    # every CTE here is referenced more than once (und by all 8 rounds,
+    # each l{i} twice) — AS MATERIALIZED stops DuckDB from INLINING the
+    # whole HUGEINT MinHash pipeline into every propagation round
+    # (measured: the inlined form never finished; materialized runs in
+    # seconds)
+    rounds = ", ".join(f"""l{i + 1} AS MATERIALIZED (
+  SELECT l.node, least(l.label, COALESCE(m.ml, l.label)) AS label
+  FROM l{i} l LEFT JOIN (
+    SELECT e.dst AS node, min(p.label) AS ml
+    FROM und e JOIN l{i} p ON p.node = e.src GROUP BY e.dst) m
+  ON m.node = l.node)""" for i in range(8))
+    return f"""
+WITH mp AS MATERIALIZED ({oracles.minhash_sql()}),
+und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM mp
+        UNION ALL SELECT doc_b, doc_a FROM mp),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{rounds},
+comp AS (SELECT node, label FROM l8)
+SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT label, CAST(count(*) AS BIGINT) AS csize
+      FROM comp GROUP BY label)
+GROUP BY 1
+"""
+
+
+@_q("q_text_clusters", _text_clusters_sql())
+def q_text_clusters(sf_dir: str):
+    # near-dup TEXT clusters end to end: the full verified MinHash-LSH
+    # pair scan feeds 8 rounds of min-label propagation, then the
+    # cluster-SIZE histogram — the corpus-dedup trilogy (pairs ->
+    # components -> census) over text, sibling of q_image_clusters/
+    # q_cluster_sizes on the phash side. Pairs are bounded by the true
+    # near-dup rate; singletons keep their own label so the histogram
+    # accounts for the WHOLE corpus. The oracle nests the complete
+    # HUGEINT MinHash restatement as a CTE under the same 8 unrolled
+    # rounds.
+    from cocrawler_ray.stages.graph import min_label_components
+    ds = _constructed_text(sf_dir, oracles.minhash_text)
+    pairs = dedup.minhash_lsh_pairs(ds, "doc_id", "text", num_perm=64,
+                                    bands=16, verify_threshold=0.5,
+                                    est_bytes=_tbl_bytes(sf_dir,
+                                                         "documents"))
+    nodes = (read(sf_dir, "documents", ["doc_id"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow"))
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": pairs["doc_a"].to_numpy(np.int64),
+        "dst": pairs["doc_b"].to_numpy(np.int64)}))
+    comp = min_label_components(nodes, edges, iters=8)
+
+    def dist_of_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"csize": pd.Series(dtype=np.int64),
+                                 "n_clusters": pd.Series(dtype=np.int64)})
+        sizes = df.groupby("label", sort=False).size()
+        vc = sizes.value_counts()
+        return pd.DataFrame({"csize": vc.index.to_numpy(np.int64),
+                             "n_clusters": vc.to_numpy(np.int64)})
+
+    parts = exchange.grouped_shuffle(comp, ["label"], dist_of_sizes)
+    out = partial_groupby_agg(parts, ["csize"],
+                              {"n_clusters": ("n_clusters", "sum")})
+    return out.astype({"csize": np.int64, "n_clusters": np.int64})
+
+
 @_q("q_gray_gate", oracles.gray_gate_sql())
 def q_gray_gate(sf_dir: str):
     # near-monochrome curation gate (the LAION colorfulness filter's
