@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the reference webserver's info surface: totals, "
                          "per-gen rates, hot hosts, checkpoint lineage — "
                          "from persisted state, no Ray session) and exit")
+    ap.add_argument("--serve-status", metavar="OUT_DIR",
+                    help="serve the live status page over HTTP (the "
+                         "reference's webserver.py surface: / HTML, "
+                         "/status.json, /healthz) for a crawl output dir; "
+                         "each request re-reads the persisted metrics, so "
+                         "it tracks a running crawl checkpoint-by-"
+                         "checkpoint; blocks until interrupted")
+    ap.add_argument("--status-port", type=int, default=8443,
+                    help="port for --serve-status (0 = ephemeral)")
     ap.add_argument("--curate", nargs=2, metavar=("SRC", "DEST"),
                     help="run the end-to-end curation pipeline (perplexity "
                          "gate -> quality gate -> decontaminate -> exact "
@@ -113,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.status:
         from cocrawler_ray.pipelines.crawl import crawl_status
         print(json.dumps(crawl_status(args.status)))
+        return 0
+
+    if args.serve_status:
+        from cocrawler_ray.status_server import StatusServer
+
+        srv = StatusServer(args.serve_status, port=args.status_port).start()
+        print(json.dumps({"serving": f"http://{srv.host}:{srv.port}/",
+                          "out": args.serve_status}), flush=True)
+        try:
+            import threading
+            threading.Event().wait()  # serve until SIGINT
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.stop()
         return 0
 
     if args.curate:
