@@ -47,6 +47,10 @@ class CrawlConfig:
     hot_host_threshold: int = 10_000
     # frontier cold-tail spill threshold (rows per partition)
     spill_threshold: int = 2_000_000
+    # T8 memory monitor: driver-RSS soft limit in bytes; over it, the
+    # monitor sheds registered driver-side holders (memory.py). None = off
+    # (metrics-only sampling at checkpoints).
+    mem_soft_limit: int | None = None
     # retry semantics (cocrawler/fetcher.py MaxTries + scheduler requeue):
     # total attempts per URL before giving up
     max_tries: int = 4

@@ -238,7 +238,18 @@ class CrawlJob:
         self.appended_total = 0
         self.gen = 0
         self._pending_est = 0  # frontier-size estimate (path choice only)
+        from cocrawler_ray.memory import MemoryMonitor
+        self._memmon = MemoryMonitor(cfg.mem_soft_limit)
+        # driver-held buffers the monitor can see/shed: the metrics buffer
+        # (flushable early) is the only unbounded driver-side holder — all
+        # crawl data lives in actors / the object store by design.
+        self._memmon.register(
+            "metrics_buffer",
+            lambda: sum(64 + len(str(r[2])) for r in self.metrics_rows),
+            lambda: (n := sum(64 + len(str(r[2])) for r in self.metrics_rows),
+                     self.flush_metrics(), n)[-1])
         self.metrics_rows: list[tuple] = []
+        self._metrics_flush_seq = 0
         # robots decisions made by huge-wave task-worker replicas (merged
         # into robotslog; the ShardHost counters only see the actor path)
         self.wave_robots = {"fetches": 0, "hits": 0}
@@ -432,13 +443,24 @@ class CrawlJob:
             "value": pa.array(np.array(cols[3], dtype=np.float64)),
             "ts": pa.array(cols[4], pa.timestamp("us")),
         })
-        self.storage.write_cell(t, "metrics", self.gen, 0)
+        # flush-sequence-keyed cell name: a shed-triggered early flush and
+        # the end-of-run flush can both land in the same generation without
+        # the second overwriting the first (read_table globs every cell)
+        self.storage.write_cell_named(
+            t, "metrics", self.gen, f"part=00000-f{self._metrics_flush_seq:03d}")
+        self._metrics_flush_seq += 1
         self.metrics_rows.clear()
 
     # -- checkpoint / resume (per-partition lineage; SURVEY §4.2) -----------
 
     def checkpoint(self) -> None:
         g = self.gen
+        # T8 memory monitor (memory.py): sample driver RSS + object-store
+        # usage at every checkpoint barrier (already a sync point, so the
+        # sample costs nothing extra) and persist as mem.* metrics rows —
+        # the reference's memory.py RSS log, visible on the S6 status page.
+        for name, v in self._memmon.sample().items():
+            self._metric(g, name, v)
         f_snaps = ray.get([s.snapshot_frontier.remote() for s in self.shards])
         s_snaps = ray.get([s.snapshot_seen.remote() for s in self.shards])
         for table, snaps in (("frontier_ckpt", f_snaps), ("seen_ckpt", s_snaps)):
