@@ -1467,6 +1467,93 @@ def q_bfs_layers(sf_dir: str):
                       n_total=n_total)
 
 
+def _lpa_sql(iters: int = 2) -> str:
+    """Unrolled synchronous label propagation over the UNDIRECTED image
+    of the constructed doc link graph: per round, each node adopts the
+    most frequent neighbor label (ties -> smallest), keeping its own when
+    isolated — the exact update rule of stages/graph.py::label_propagation,
+    so a fixed ``iters`` matches bit-for-bit."""
+    parts = [f"""WITH nn AS (SELECT count(*) AS c FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+de AS (SELECT node AS src, (node * 7 + 1) % (SELECT c FROM nn) AS dst
+       FROM nodes
+       UNION ALL
+       SELECT node, (node * 13 + 3) % (SELECT c FROM nn) FROM nodes),
+e AS (SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de),
+l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (SELECT e.dst AS node, l.label, count(*) AS n
+       FROM e JOIN l{i - 1} l ON l.node = e.src GROUP BY e.dst, l.label),
+p{i} AS (SELECT node, label FROM c{i}
+       QUALIFY row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, label) = 1),
+l{i} AS (SELECT nd.node, COALESCE(p.label, nd.label) AS label
+       FROM l{i - 1} nd LEFT JOIN p{i} p ON p.node = nd.node)""")
+    return (",\n".join(parts)
+            + f"\nSELECT node, CAST(label AS BIGINT) AS label FROM l{iters}")
+
+
+@_q("q_label_prop", _lpa_sql())
+def q_label_prop(sf_dir: str):
+    # 2-round deterministic label propagation (Raghavan et al.) over the
+    # constructed doc link graph, undirected — the community question
+    # components can't answer. stages/graph.py::label_propagation: same
+    # pre-split BSP as pagerank, mode-of-neighbor-labels fold with min
+    # tie-break; one (dst, label) int exchange per superstep.
+    from cocrawler_ray.stages.graph import label_propagation
+    nodes, edges, _ = _doc_link_graph(sf_dir)
+    return label_propagation(nodes, edges, iters=2)
+
+
+def _sssp_sql(iters: int = 3, seed_mod: int = 101) -> str:
+    """Unrolled Bellman-Ford over the constructed doc link graph with
+    deterministic integer weights w = (src*31 + dst*17) % 9 + 1: round i
+    = min over (previous dists) union (one relaxation step). Matches the
+    engine's fixed-iteration semantics exactly (min cost over paths of
+    <= iters edges)."""
+    parts = [f"""WITH nn AS (SELECT count(*) AS c FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+e AS (SELECT node AS src, (node * 7 + 1) % (SELECT c FROM nn) AS dst
+      FROM nodes
+      UNION ALL
+      SELECT node, (node * 13 + 3) % (SELECT c FROM nn) FROM nodes),
+we AS (SELECT src, dst, (src * 31 + dst * 17) % 9 + 1 AS w FROM e),
+d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % {seed_mod} = 0)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT we.dst, d.dist + we.w FROM we JOIN d{i - 1} d ON d.node = we.src)
+    GROUP BY node)""")
+    return (",\n".join(parts)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters}")
+
+
+@_q("q_sssp", _sssp_sql())
+def q_sssp(sf_dir: str):
+    # weighted shortest paths from the seed set (node % 101 == 0) within
+    # 3 Bellman-Ford supersteps — stages/graph.py::sssp; crawl semantics:
+    # min politeness-cost budget to reach a URL. Deterministic integer
+    # weights derived from the endpoints so both oracle sides compute the
+    # identical graph without shipping an edge list anywhere.
+    from cocrawler_ray.stages.graph import sssp
+    nodes, _, n_total = _doc_link_graph(sf_dir)
+
+    def make_wedges(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy()
+        src = np.concatenate([d, d])
+        dst = np.concatenate([(d * 7 + 1) % n_total,
+                              (d * 13 + 3) % n_total])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "w": pa.array((src * 31 + dst * 17) % 9 + 1,
+                                       pa.int64())})
+
+    wedges = nodes.map_batches(make_wedges, batch_format="pyarrow")
+    return sssp(nodes, wedges, lambda nd: nd % 101 == 0, iters=3,
+                n_total=n_total)
+
+
 @_q("q_topk_per_group", """
 SELECT source, doc_id, n_chars FROM documents
 QUALIFY row_number() OVER (PARTITION BY source

@@ -86,7 +86,14 @@ def _contrib_split(mode: str, damping: float, P: int, E: pa.Table,
         c = damping * j["r"].to_numpy() / j["outdeg"].to_numpy()
     elif mode == "dist":
         c = j["label"].to_numpy() + 1
-    else:  # min-label: the message is the sender's current label
+    elif mode == "sssp":
+        # weighted relaxation (Bellman-Ford superstep): every REACHED
+        # node re-sends dist+w each round — unlike BFS, a later round can
+        # improve an already-reached node, so the frontier prune above
+        # would be wrong here; the unreached (INF) senders are pruned.
+        j = j[j["label"].to_numpy() < _BFS_INF]
+        c = j["label"].to_numpy() + j["w"].to_numpy()
+    else:  # min-label / lpa: the message is the sender's current label
         c = j["label"].to_numpy()
     msgs = pa.table({"node": pa.array(j["dst"].to_numpy(), pa.int64()),
                      "c": pa.array(c)})
@@ -115,7 +122,21 @@ def _fold(mode: str, base: float, S: pa.Table, *subs: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(pd.DataFrame(cols),
                                     preserve_index=False)
     lab = s["label"].to_numpy().copy()
-    if len(m):
+    if mode == "lpa" and len(m):
+        # synchronous label propagation: new label = the most frequent
+        # label among incoming neighbor messages, ties broken by the
+        # SMALLEST label (deterministic — no RNG); nodes with no messages
+        # keep their label. Multi-edges count multiply on both oracle
+        # sides (one message per edge row).
+        cnt = (m.groupby(["node", "c"], sort=False).size()
+               .reset_index(name="n")
+               .sort_values(["node", "n", "c"],
+                            ascending=[True, False, True], kind="stable")
+               .drop_duplicates("node"))
+        pos = s.set_index("node").index.get_indexer(cnt["node"].to_numpy())
+        ok = pos >= 0
+        lab[pos[ok]] = cnt["c"].to_numpy()[ok].astype(np.int64)
+    elif len(m):
         agg = m.groupby("node", sort=False)["c"].min()
         pos = s.set_index("node").index.get_indexer(agg.index)
         ok = pos >= 0
@@ -215,6 +236,75 @@ def min_label_components(nodes: rd.Dataset, edges: rd.Dataset,
         batch_format="pyarrow")
     return _bsp(_presplit(labels, ["node"], P), _presplit(und, ["src"], P),
                 "min", iters, 0.0, 0.0, P)
+
+
+def label_propagation(nodes: rd.Dataset, edges: rd.Dataset,
+                      iters: int = 2,
+                      num_partitions: int | None = None) -> rd.Dataset:
+    """Community detection by ``iters`` rounds of SYNCHRONOUS label
+    propagation (Raghavan et al. 2007, the near-linear community
+    baseline) over undirected (src, dst) edges — the host-community
+    primitive behind "which site clusters link together" crawl analyses
+    that components can't answer (components merge everything connected;
+    LPA keeps densely-linked groups apart). Update rule: each node adopts
+    the MOST FREQUENT label among its neighbors, ties to the smallest
+    label — fully deterministic (no RNG), so a fixed ``iters`` gives
+    identical results on the engine and the unrolled SQL oracle. Same
+    one-exchange-per-superstep BSP as pagerank; messages are (dst,
+    sender_label) int rows."""
+    n_total = nodes.count()
+    P = _pick_p(n_total, num_partitions)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow")
+    labels = nodes.map_batches(
+        lambda t: t.append_column("label", t.column("node")),
+        batch_format="pyarrow")
+    return _bsp(_presplit(labels, ["node"], P), _presplit(und, ["src"], P),
+                "lpa", iters, 0.0, 0.0, P)
+
+
+def sssp(nodes: rd.Dataset, edges: rd.Dataset, seed_mask_fn,
+         iters: int = 3, num_partitions: int | None = None,
+         n_total: int | None = None) -> rd.Dataset:
+    """Weighted single-source(-set) shortest paths: ``iters`` synchronous
+    Bellman-Ford relaxations over DIRECTED (src, dst, w:int) edges — the
+    weighted generalization of :func:`bfs_layers` (crawl semantics: cost
+    budget to reach a URL where w models politeness delay / depth cost).
+    Fixed-depth semantics: returns the exact min-cost over paths of at
+    most ``iters`` edges, so engine and unrolled oracle agree whether or
+    not distances converged. Unlike BFS, every reached node re-sends each
+    round (a longer-hop path may be cheaper), so message volume is the
+    reached set — the price of weighted exactness; set ``iters`` >= the
+    hop diameter of the cost-relevant region."""
+    if n_total is None:
+        n_total = nodes.count()
+    P = _pick_p(n_total, num_partitions)
+
+    def init(t: pa.Table) -> pa.Table:
+        nd = t.column("node").to_numpy(zero_copy_only=False)
+        lab = np.where(seed_mask_fn(nd), np.int64(0), _BFS_INF)
+        return t.append_column("label", pa.array(lab, pa.int64()))
+
+    state0 = nodes.map_batches(init, batch_format="pyarrow")
+    out = _bsp(_presplit(state0, ["node"], P), _presplit(edges, ["src"], P),
+               "sssp", iters, 0.0, 0.0, P)
+
+    def finish(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        keep = lab < _BFS_INF
+        return pa.table({
+            "node": pa.array(
+                t.column("node").to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "dist": pa.array(lab[keep], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def bfs_layers(nodes: rd.Dataset, edges: rd.Dataset, seed_mask_fn,

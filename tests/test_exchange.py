@@ -806,3 +806,61 @@ def test_bfs_layers_no_seeds(ray_session):
                      lambda nd: np.zeros(len(nd), dtype=bool),
                      iters=3).to_pandas()
     assert len(got) == 0
+
+
+def test_sssp_exact(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import sssp
+
+    # weighted diamond: 0->1 (w=1), 0->2 (w=5), 1->2 (w=1), 2->3 (w=1),
+    # 1->3 (w=10): best 0->3 is 0-1-2-3 = 3 (three hops beats the
+    # two-hop 0-1-3 = 11 and 0-2-3 = 6) — distinguishes Bellman-Ford
+    # from hop-count BFS
+    edges = pd.DataFrame({"src": np.array([0, 0, 1, 2, 1], dtype=np.int64),
+                          "dst": np.array([1, 2, 2, 3, 3], dtype=np.int64),
+                          "w": np.array([1, 5, 1, 1, 10], dtype=np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(6, dtype=np.int64)})
+    got = (sssp(rd.from_pandas(nodes).repartition(3),
+                rd.from_pandas(edges).repartition(2),
+                lambda nd: nd == 0, iters=3).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    np.testing.assert_array_equal(got["node"].to_numpy(),
+                                  np.array([0, 1, 2, 3]))
+    np.testing.assert_array_equal(got["dist"].to_numpy(),
+                                  np.array([0, 1, 2, 3]))
+    # depth bound: with iters=2 the 3-edge path is not yet available,
+    # so node 3 reads the 2-hop optimum 6 (via 0-2-3)
+    got2 = (sssp(rd.from_pandas(nodes).repartition(3),
+                 rd.from_pandas(edges).repartition(2),
+                 lambda nd: nd == 0, iters=2).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    assert got2.loc[got2["node"] == 3, "dist"].item() == 6
+
+
+def test_label_propagation_two_cliques(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import label_propagation
+
+    # two 4-cliques joined by ONE bridge edge: components would merge
+    # them into one label; LPA keeps two communities (each node's
+    # neighbor majority stays inside its clique)
+    def clique(base):
+        ii, jj = np.meshgrid(np.arange(4), np.arange(4))
+        m = ii < jj
+        return base + ii[m], base + jj[m]
+
+    s1, d1 = clique(0)
+    s2, d2 = clique(10)
+    edges = pd.DataFrame({
+        "src": np.concatenate([s1, s2, [3]]).astype(np.int64),
+        "dst": np.concatenate([d1, d2, [10]]).astype(np.int64)})
+    nodes = pd.DataFrame(
+        {"node": np.array([0, 1, 2, 3, 10, 11, 12, 13], dtype=np.int64)})
+    got = (label_propagation(rd.from_pandas(nodes).repartition(3),
+                             rd.from_pandas(edges).repartition(2),
+                             iters=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    labs = got["label"].to_numpy()
+    assert (labs[:4] == 0).all()          # clique 1 converges to min id 0
+    assert (labs[4:] == labs[4]).all()    # clique 2 is ONE community...
+    assert labs[4] != 0                   # ...separate from clique 1
