@@ -133,6 +133,8 @@ BENCH_QUERIES_R4 = [
     "q_vocab_drift",       # cohort drift detector (term exchange + local topk)
     "q_blob_count",        # connected-component census (iterative min-pool)
     "q_gap_fill",          # forward-fill densification (closed-form gaps)
+    "q_sssp",              # weighted Bellman-Ford BSP (3 supersteps)
+    "q_label_prop",        # synchronous label-propagation communities
 ]
 
 

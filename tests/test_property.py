@@ -602,3 +602,77 @@ def test_percent_cume_reduce_matches_bruteforce(rows):
             want_prk = 0 if n == 1 else (rnk - 1) * 1_000_000 // (n - 1)
             assert grp["prk_micro"].to_numpy()[i] == want_prk
             assert grp["cume_micro"].to_numpy()[i] == cle * 1_000_000 // n
+
+
+# ---------------------------------------------------------------------------
+# BSP superstep halves (graph.py::_contrib_split/_fold, pure functions):
+# a local P-partition loop must equal naive python Bellman-Ford / LPA
+# ---------------------------------------------------------------------------
+
+def _local_bsp(mode, nodes_df, edges_df, iters, P=3):
+    """Drive graph.py's superstep halves without Ray: same hash split,
+    same send/fold code, messages routed by hand."""
+    from cocrawler_ray.stages.graph import _contrib_split, _fold
+    from cocrawler_ray.stages.exchange import _split_by_hash
+
+    state = _split_by_hash(pa.Table.from_pandas(nodes_df), ["node"], P)
+    eparts = _split_by_hash(pa.Table.from_pandas(edges_df), ["src"], P)
+    for i in range(iters):
+        outs = [_contrib_split(mode, 0.0, P, eparts[p], state[p], i)
+                for p in range(P)]
+        state = [_fold(mode, 0.0, state[p], *[outs[q][p] for q in range(P)])
+                 for p in range(P)]
+    return (pa.concat_tables(state).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+
+
+_graph_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11), st.integers(1, 9)),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_graph_edges, st.integers(1, 4))
+def test_sssp_fold_matches_bellman_ford(ew, iters):
+    n = 12
+    nodes = pd.DataFrame({
+        "node": np.arange(n, dtype=np.int64),
+        "label": np.where(np.arange(n) % 5 == 0, 0, 1 << 62).astype(np.int64)})
+    edges = pd.DataFrame({"src": np.array([e[0] for e in ew], np.int64),
+                          "dst": np.array([e[1] for e in ew], np.int64),
+                          "w": np.array([e[2] for e in ew], np.int64)})
+    got = _local_bsp("sssp", nodes, edges, iters)
+
+    INF = 1 << 62
+    dist = [0 if v % 5 == 0 else INF for v in range(n)]
+    for _ in range(iters):  # synchronous relaxation (previous round's dist)
+        prev = list(dist)
+        for s, d, w in ew:
+            if prev[s] < INF:
+                dist[d] = min(dist[d], prev[s] + w)
+    np.testing.assert_array_equal(got["label"].to_numpy(), np.array(dist))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_graph_edges, st.integers(1, 3))
+def test_lpa_fold_matches_naive_sync_lpa(ew, iters):
+    n = 12
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64),
+                          "label": np.arange(n, dtype=np.int64)})
+    # directed edges as given (the public wrapper adds reverses; the fold
+    # contract itself is direction-agnostic)
+    edges = pd.DataFrame({"src": np.array([e[0] for e in ew], np.int64),
+                          "dst": np.array([e[1] for e in ew], np.int64)})
+    got = _local_bsp("lpa", nodes, edges, iters)
+
+    lab = list(range(n))
+    for _ in range(iters):
+        prev = list(lab)
+        incoming: dict[int, dict[int, int]] = {}
+        for s, d, _w in ew:
+            incoming.setdefault(d, {})
+            incoming[d][prev[s]] = incoming[d].get(prev[s], 0) + 1
+        for v, cnt in incoming.items():
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            lab[v] = best[0]
+    np.testing.assert_array_equal(got["label"].to_numpy(), np.array(lab))
