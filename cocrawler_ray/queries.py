@@ -816,6 +816,29 @@ def _query_vec(ds: rd.Dataset, vec_id: int = 0) -> np.ndarray:
     return np.asarray(rows[0]["embedding"], dtype=np.float64)
 
 
+@_q("q_int8_ann", """
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> GREATEST(-127.0, LEAST(127.0,
+                           FLOOR(CAST(x AS DOUBLE) * 64)))) AS qv
+  FROM embeddings),
+qq AS (SELECT qv FROM q8 WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_dot_product(qv, (SELECT qv FROM qq)) AS BIGINT) AS score
+FROM q8 WHERE vec_id <> 0
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def q_int8_ann(sf_dir: str):
+    # int8 scalar-quantized brute-force top-k (similarity.py::int8_topk):
+    # fixed-scale floor quantization -> exact int64 dot products -> per-
+    # batch top-k -> tiny driver merge. The oracle recomputes the SAME
+    # quantized index with FLOOR/LEAST/GREATEST, so scores match exactly
+    # (integer, no float-tie hazard). The 4x-compressed-index ANN path.
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.int8_topk(ds, _query_vec(ds), k=10, exclude_ids={0})
+
+
 @_q("q_ann_lsh", oracles.ann_lsh_sql(n_bits=6, dim=64, k=10, probe_hamming=1))
 def q_ann_lsh(sf_dir: str):
     """Pruned multi-probe LSH with integer-exact bucketing — the SQL

@@ -49,6 +49,47 @@ def cosine_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
             .head(k).reset_index(drop=True))
 
 
+def int8_quantize(M: np.ndarray, scale: float = 64.0) -> np.ndarray:
+    """Symmetric int8 scalar quantization with a FIXED global scale:
+    q = clip(floor(x * scale), -127, 127). floor (not round) so the SQL
+    mirror's FLOOR() reproduces it bit-for-bit — the quantized index is
+    part of the oracle contract, not an approximation detail."""
+    q = np.floor(M.astype(np.float64) * scale)
+    return np.clip(q, -127, 127).astype(np.int8)
+
+
+def int8_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              exclude_ids: set | None = None,
+              scale: float = 64.0) -> pd.DataFrame:
+    """Top-k by EXACT integer dot product over int8-quantized vectors —
+    the memory-compression ANN path (4x smaller index than float32,
+    SIMD-friendly int arithmetic). At 100 TB the quantized index is what
+    actually fits in cluster RAM; this is the brute-force scorer over it
+    (compose with the IVF bucketing for the scale path). Same
+    per-batch-top-k -> tiny driver merge shape as cosine_topk; scores are
+    int64 (<= 127*127*dim), so there is no float tie ambiguity."""
+    qq = int8_quantize(np.asarray(query_vec, dtype=np.float64)[None, :],
+                       scale)[0].astype(np.int64)
+    qref = ray.put(qq)
+    excl = exclude_ids or set()
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        M = int8_quantize(
+            np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch[vec_col]]), scale).astype(np.int64)
+        s = M @ qv
+        out = pd.DataFrame({id_col: batch[id_col].to_numpy(), "score": s})
+        out = out[~out[id_col].isin(excl)]
+        return out.sort_values(["score", id_col],
+                               ascending=[False, True]).head(k)
+
+    local = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (local.sort_values(["score", id_col], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
 def hyperplane_key_batch(batch: pa.Table, planes: np.ndarray,
                          vec_col: str = "embedding") -> pa.Table:
     """LSH bucket key = sign bits of integer dot products against

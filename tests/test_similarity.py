@@ -94,3 +94,37 @@ def test_approx_never_beats_exact(emb):
         # rank-wise: approximate sims are bounded by the exact sims
         for i in range(len(approx)):
             assert approx["sim"].iloc[i] <= exact["sim"].iloc[i] + 1e-9
+
+
+def test_int8_quantize_floor_and_clip():
+    x = np.array([[0.0, 0.5, -0.5, 3.0, -3.0, 1/64, 1/64 - 1e-12]])
+    q = sim.int8_quantize(x, scale=64.0)[0]
+    # floor semantics: 0.5*64=32; -0.5*64=-32; clip at +-127;
+    # 1/64*64=1.0 -> 1; just-below -> 0
+    np.testing.assert_array_equal(q, np.array([0, 32, -32, 127, -127, 1, 0],
+                                              dtype=np.int8))
+
+
+def test_int8_topk_matches_local_int_dot(emb):
+    ds, rows = emb
+    q = np.asarray(rows[0]["embedding"], dtype=np.float64)
+    got = sim.int8_topk(ds, q, k=10, exclude_ids={rows[0]["vec_id"]})
+    # local reference: quantize everything, exact integer dots
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    ids = t["vec_id"].to_numpy()
+    qd = sim.int8_quantize(M).astype(np.int64) @ \
+        sim.int8_quantize(q[None, :])[0].astype(np.int64)
+    import pandas as pd
+    ref = (pd.DataFrame({"vec_id": ids, "score": qd})
+           [lambda d: d["vec_id"] != rows[0]["vec_id"]]
+           .sort_values(["score", "vec_id"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    np.testing.assert_array_equal(got["vec_id"].to_numpy(),
+                                  ref["vec_id"].to_numpy())
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  ref["score"].to_numpy())
+    assert got["score"].dtype.kind == "i"  # integer-exact scores
