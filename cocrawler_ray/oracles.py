@@ -177,13 +177,17 @@ SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE doc_id % 13 = 0
 # q_fingerprint oracle
 # ---------------------------------------------------------------------------
 
-def fingerprint_sql(k: int = 5, window: int = 8) -> str:
+def _winnow_ctes(k: int, window: int) -> str:
+    """Shared CTE chain: constructed tokens -> rolling k-gram shingles ->
+    per-doc window minima -> the winnowing selection (``sel`` for docs
+    with > window shingles, ``cnt``.mn for the small-doc single pick).
+    Used by fingerprint_sql (folds the selection) and winnow_overlap_sql
+    (pairs docs on it)."""
     # rolling k-gram: acc = acc*POLY + h (mod 2^64), h0..h{k-1} via lead()
     leads = ", ".join(f"lead(h, {j}) OVER w AS h{j}" for j in range(1, k))
     acc = "h0"
     for j in range(1, k):
         acc = f"(({mulmod(acc, POLY)}) + h{j}) % {M64}"
-    sm, sm_final = splitmix_ctes("sel", "d", "m", "sm", "smx")
     return f"""
 WITH {_toks_cte("(jj.d*7 + jj.j*11 + (jj.j*jj.j) % 13) % 64",
                 "CASE d % 11 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 12 + (d*3) % 17 END")},
@@ -200,7 +204,12 @@ wm AS (SELECT d, i, min(s) OVER (PARTITION BY d ORDER BY i
            ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
            count(*) OVER (PARTITION BY d) AS n
        FROM sh),
-sel AS (SELECT DISTINCT d, m FROM wm WHERE n > {window} AND i <= n - {window}),
+sel AS (SELECT DISTINCT d, m FROM wm WHERE n > {window} AND i <= n - {window})"""
+
+
+def fingerprint_sql(k: int = 5, window: int = 8) -> str:
+    sm, sm_final = splitmix_ctes("sel", "d", "m", "sm", "smx")
+    return f"""{_winnow_ctes(k, window)},
 {sm},
 folded AS (SELECT d,
              bit_xor(CAST(sm // {H32} AS BIGINT)) AS xhi,
@@ -213,6 +222,22 @@ fp AS (
   UNION ALL
   SELECT doc_id, 0 FROM documents WHERE doc_id % 11 = 0)
 SELECT d AS doc_id, fingerprint FROM fp
+"""
+
+
+def winnow_overlap_sql(k: int = 5, window: int = 8,
+                       min_shared: int = 2) -> str:
+    """MOSS overlap restatement: the shared winnowing selection, paired on
+    equal selected hashes with an exact shared count."""
+    return f"""{_winnow_ctes(k, window)},
+selset AS (SELECT d, m FROM sel
+           UNION ALL
+           SELECT d, mn AS m FROM cnt WHERE n <= {window}),
+pairs AS (SELECT x.d AS doc_a, y.d AS doc_b, count(*) AS shared
+          FROM selset x JOIN selset y ON x.m = y.m AND x.d < y.d
+          GROUP BY x.d, y.d)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+FROM pairs WHERE shared >= {min_shared}
 """
 
 

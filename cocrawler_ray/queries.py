@@ -756,6 +756,20 @@ def q_fingerprint(sf_dir: str):
             .map_batches(view64, batch_format="pyarrow"))
 
 
+@_q("q_winnow_overlap", oracles.winnow_overlap_sql())
+def q_winnow_overlap(sf_dir: str):
+    # MOSS-style overlap pairs (Schleimer et al. winnowing): docs sharing
+    # >= 2 winnowing-selected gram hashes, with the exact shared count —
+    # dedup.py::winnow_overlap_pairs (selection scan -> one gram exchange
+    # with local pair expansion -> one pair exchange counting shared
+    # grams; driver sees only surviving int triples). Oracle restates the
+    # identical selection (shared _winnow_ctes with q_fingerprint) and
+    # self-joins on equal hashes.
+    from cocrawler_ray.stages.dedup import winnow_overlap_pairs
+    ds = _constructed_text(sf_dir, oracles.fingerprint_text)
+    return winnow_overlap_pairs(ds, id_col="doc_id", min_shared=2)
+
+
 @_q("q_minhash_dedup", oracles.minhash_sql())
 def q_minhash_dedup(sf_dir: str):
     """Full MinHash-LSH pipeline (shingle -> minhash -> band -> bucket ->

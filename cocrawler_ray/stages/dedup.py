@@ -23,6 +23,7 @@ import ray.data as rd
 
 from cocrawler_ray.hashing import hash64, shingle_hash_batch
 from cocrawler_ray.stages import exchange
+from cocrawler_ray.stages import text as textops
 
 
 # -- exact ------------------------------------------------------------------
@@ -187,6 +188,61 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
         pairs = verify_pairs_jaccard(ds, pairs, id_col=id_col, text_col=text_col, k=k)
         pairs = pairs[pairs["jaccard"] >= verify_threshold].reset_index(drop=True)
     return pairs
+
+
+def winnow_overlap_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5,
+                         window: int = 8,
+                         min_shared: int = 2) -> pd.DataFrame:
+    """MOSS-style overlap detection: pairs of documents sharing at least
+    ``min_shared`` winnowing-selected k-gram hashes, with the exact
+    shared count (Schleimer et al. 2003 — the plagiarism/mirror-content
+    detector; unlike MinHash it reports WHICH grams matched in exact
+    count, so the score is deterministic, not an estimate).
+
+    Scale shape mirrors minhash_lsh_pairs: the selection pass streams
+    into int-only (id, gram) rows (distinct per doc — never text), ONE
+    gram exchange co-locates each gram's members, only multi-member
+    grams pay pair expansion, and a SECOND pair exchange counts shared
+    grams per pair so the >= min_shared filter runs distributed; the
+    driver sees only surviving int triples (bounded by the true overlap
+    rate). A gram shared by g docs expands to O(g^2) pairs — the same
+    documented hot-bucket property as LSH banding (real mirror clusters
+    ARE quadratic in pair space)."""
+    gram_rows = ds.map_batches(
+        textops.winnow_grams_batch,
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k,
+                       window=window),
+        batch_format="pyarrow")
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+
+    def expand_partition(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("gram", sort=False)[id_col].transform("size")
+        hot = df[sizes.to_numpy() >= 2]
+        out = []
+        for _, g in hot.groupby("gram", sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pair_rows = exchange.grouped_shuffle(gram_rows, ["gram"],
+                                         expand_partition)
+
+    def count_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # grams are distinct per doc, so each shared gram contributes
+        # exactly one (a, b) row — the group size IS the shared count
+        g = (df.groupby(["doc_a", "doc_b"], sort=False).size()
+             .reset_index(name="shared"))
+        return g[g["shared"] >= min_shared]
+
+    out = exchange.grouped_shuffle(pair_rows, ["doc_a", "doc_b"],
+                                   count_partition).to_pandas()
+    if out.empty:
+        out = empty.assign(shared=pd.Series([], dtype="int64"))
+    return (out.sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
 
 
 def verify_pairs_jaccard(ds: rd.Dataset, pairs: pd.DataFrame,

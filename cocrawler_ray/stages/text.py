@@ -125,6 +125,53 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 5,
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
 
 
+def winnow_grams_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       window: int = 8) -> pa.Table:
+    """Exploded winnowing selection: one (id, gram) row per DISTINCT
+    window-min k-gram hash a document selects — the same selection rule
+    as :func:`fingerprint_batch` (Schleimer et al. winnowing) but WITHOUT
+    the per-doc fold, so documents can be PAIRED on shared selected
+    grams (MOSS-style overlap detection). Docs with 0 < shingles <=
+    window select their single overall min; empty docs select nothing.
+    Vectorization identical to fingerprint_batch (shared shingle kernel,
+    one sliding-window pass, lexsort dedup)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from cocrawler_ray.hashing import concat_ranges, shingle_hash_batch
+
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    sh, counts = shingle_hash_batch(texts, k)
+    offs = np.cumsum(counts) - counts
+    out_d: list[np.ndarray] = []
+    out_m: list[np.ndarray] = []
+    nz = counts > 0
+    small = nz & (counts <= window)
+    if small.any():
+        doc_min = np.minimum.reduceat(sh, offs[small])
+        out_d.append(ids[small])
+        out_m.append(doc_min)
+    big = counts > window
+    if big.any():
+        gmins = sliding_window_view(sh, window).min(axis=1)
+        wcounts = counts[big] - window + 1
+        wmins = gmins[concat_ranges(offs[big], wcounts)]
+        wdoc = np.repeat(np.flatnonzero(big), wcounts)
+        order = np.lexsort((wmins, wdoc))
+        wd, wm = wdoc[order], wmins[order]
+        keep = np.concatenate(
+            ([True], (wd[1:] != wd[:-1]) | (wm[1:] != wm[:-1])))
+        out_d.append(ids[wd[keep]])
+        out_m.append(wm[keep])
+    if not out_d:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "gram": pa.array([], pa.int64())})
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_d), pa.int64()),
+        "gram": pa.array(np.concatenate(out_m).view(np.int64), pa.int64())})
+
+
 def _distinct_ngrams(texts: list[str], n: int = 3):
     """Per-doc DISTINCT word n-grams: (doc_idx int64[], gram unicode[]).
 

@@ -325,3 +325,40 @@ def test_bpe_merges_overlap_run_parity(ray_session, tmp_path):
     assert (r0["left_sym"], r0["right_sym"]) == ("a", "a")
     assert r0["pair_n"] == 9
     assert r0["tokens_after"] == 8
+
+
+def test_winnow_overlap_pairs_exact(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from cocrawler_ray.stages.dedup import winnow_overlap_pairs
+    from cocrawler_ray.stages.text import winnow_grams_batch
+
+    # identical docs share ALL selected grams; a disjoint-vocab doc
+    # shares none; a doc sharing a long span shares some
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, base,
+                          "one two three four five six seven eight nine "
+                          "ten eleven twelve thirteen fourteen fifteen",
+                          base + " extra tail words here now"]),
+    })
+    grams = winnow_grams_batch(t).to_pandas()
+    per_doc = {d: set(g["gram"]) for d, g in grams.groupby("doc_id")}
+    # reference pair counts from the per-doc selected sets
+    want = {}
+    ids = sorted(per_doc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(per_doc[a] & per_doc[b])
+            if n >= 2:
+                want[(a, b)] = n
+    got = winnow_overlap_pairs(rd.from_arrow(t).repartition(3),
+                               min_shared=2)
+    got_map = {(r.doc_a, r.doc_b): r.shared for r in got.itertuples()}
+    assert got_map == want
+    assert got_map[(1, 2)] == len(per_doc[1])  # identical docs: full share
+    assert (3 not in {a for a, _ in got_map}
+            and 3 not in {b for _, b in got_map})  # disjoint vocab
+    assert (1, 4) in got_map  # span overlap detected
