@@ -135,6 +135,7 @@ BENCH_QUERIES_R4 = [
     "q_gap_fill",          # forward-fill densification (closed-form gaps)
     "q_sssp",              # weighted Bellman-Ford BSP (3 supersteps)
     "q_label_prop",        # synchronous label-propagation communities
+    "q_winnow_overlap",    # MOSS winnow-overlap pairs (2 exchanges)
 ]
 
 

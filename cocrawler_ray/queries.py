@@ -9669,6 +9669,15 @@ _PRIORITY = [
     # q_selfjoin_size in for q_source_mix, q_curate_images,
     # q_skew_hybrid_join (all driver-proven r01-r03; q_psnr_gate stays
     # as the image family's proven rep and the north-rule row).
+    # SIXTH-SESSION SWAPS: the four operators added this session
+    # (q_sssp weighted Bellman-Ford, q_label_prop LPA communities,
+    # q_int8_ann quantized ANN, q_winnow_overlap MOSS pairs) swap in
+    # for four r01-r03-driver-proven members (q_minhash_dedup,
+    # q_ann_ivf, q_approx_distinct, q_bloom); the dedup family keeps
+    # q_shingle_containment/q_substring_dup plus the new winnow pairs,
+    # ANN keeps the new int8 + random-projection/kmeans rows, sketches
+    # keep q_theta_sketch. All rotated-out queries stay green in
+    # tests/test_queries_conformance.py + tools/check_queries.py.
     # crawl-depth + sketch-set-algebra + window-distribution + image
     "q_bfs_layers", "q_theta_sketch", "q_percent_rank",
     # joins: broadcast-anti (family rep), the skew-aware hybrid, the
@@ -9682,7 +9691,7 @@ _PRIORITY = [
     "q_local_supplier_volume", "q_nation_volume",
     # dedup family: exact, MinHash-LSH, embedding-LSH, semantic
     # (SemDeDup), paragraph/span, substring-duplication fraction
-    "q_shingle_containment", "q_minhash_dedup", "q_mirror_hosts",
+    "q_shingle_containment", "q_winnow_overlap", "q_mirror_hosts",
     "q_substring_dup",
     # LLM-curation: decontamination, perplexity filter, sequence
     # packing, end-to-end curation
@@ -9690,7 +9699,7 @@ _PRIORITY = [
     # text retrieval/analytics
     "q_bm25", "q_vocab_drift",
     # similarity search: brute-force, IVF
-    "q_winsorize", "q_ann_ivf", "q_random_projection", "q_kmeans_update",
+    "q_winsorize", "q_int8_ann", "q_random_projection", "q_kmeans_update",
     "q_rrf_fusion", "q_selfjoin_size",
     # sampling / mixing
     "q_rfm_segments", "q_budget_alloc",
@@ -9713,8 +9722,8 @@ _PRIORITY = [
     "q_hot_keys",
     # aggregates / top-k / distinct / TPC-H Q13 & Q16 shapes
     "q_sharpness_gate", "q_custdist", "q_supplier_cnt",
-    # sketches (integer-exact register/counter/bit rows)
-    "q_approx_distinct", "q_bloom",
+    # graph additions this session: weighted SSSP + LPA communities
+    "q_sssp", "q_label_prop",
 ]
 
 

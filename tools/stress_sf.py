@@ -22,6 +22,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
+    sys.path.insert(0, "/root/repo")  # script runs from tools/ too
     import bench
     probe = bench.cpu_probe()
     bench.init_ray(num_cpus)
