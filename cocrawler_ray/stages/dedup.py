@@ -193,7 +193,7 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
 def winnow_overlap_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 5,
                          window: int = 8,
-                         min_shared: int = 2) -> pd.DataFrame:
+                         min_shared: int = 2) -> rd.Dataset:
     """MOSS-style overlap detection: pairs of documents sharing at least
     ``min_shared`` winnowing-selected k-gram hashes, with the exact
     shared count (Schleimer et al. 2003 — the plagiarism/mirror-content
@@ -204,9 +204,11 @@ def winnow_overlap_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     into int-only (id, gram) rows (distinct per doc — never text), ONE
     gram exchange co-locates each gram's members, only multi-member
     grams pay pair expansion, and a SECOND pair exchange counts shared
-    grams per pair so the >= min_shared filter runs distributed; the
-    driver sees only surviving int triples (bounded by the true overlap
-    rate). A gram shared by g docs expands to O(g^2) pairs — the same
+    grams per pair so the >= min_shared filter runs distributed. The
+    result STAYS a Dataset — surviving (doc_a, doc_b, shared) triples
+    never land on the driver (a saturated-dup sf1 stress produced 9.3M
+    of them; consumers stream, write, or aggregate it). A gram shared by
+    g docs expands to O(g^2) pairs — the same
     documented hot-bucket property as LSH banding (real mirror clusters
     ARE quadratic in pair space)."""
     gram_rows = ds.map_batches(
@@ -237,12 +239,8 @@ def winnow_overlap_pairs(ds: rd.Dataset, id_col: str = "doc_id",
              .reset_index(name="shared"))
         return g[g["shared"] >= min_shared]
 
-    out = exchange.grouped_shuffle(pair_rows, ["doc_a", "doc_b"],
-                                   count_partition).to_pandas()
-    if out.empty:
-        out = empty.assign(shared=pd.Series([], dtype="int64"))
-    return (out.sort_values(["doc_a", "doc_b"])
-            .reset_index(drop=True))
+    return exchange.grouped_shuffle(pair_rows, ["doc_a", "doc_b"],
+                                    count_partition)
 
 
 def verify_pairs_jaccard(ds: rd.Dataset, pairs: pd.DataFrame,

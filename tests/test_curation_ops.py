@@ -355,7 +355,7 @@ def test_winnow_overlap_pairs_exact(ray_session):
             if n >= 2:
                 want[(a, b)] = n
     got = winnow_overlap_pairs(rd.from_arrow(t).repartition(3),
-                               min_shared=2)
+                               min_shared=2).to_pandas()
     got_map = {(r.doc_a, r.doc_b): r.shared for r in got.itertuples()}
     assert got_map == want
     assert got_map[(1, 2)] == len(per_doc[1])  # identical docs: full share
