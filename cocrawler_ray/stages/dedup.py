@@ -176,14 +176,21 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
 
     # ONE hash exchange of int-only band rows, NOT Dataset.groupby (the
     # bucket domain is bands x corpus — per-group Python in the native
-    # aggregate, see exchange.py). A pair caught in two bands lands in two
-    # bucket partitions; the driver-side drop_duplicates on the collected
-    # int pairs is bounded by the true near-dup rate, not the corpus.
+    # aggregate, see exchange.py). A pair caught in b bands lands in b
+    # bucket partitions, so the raw expansion carries up to a bands-fold
+    # multiplicity — a SECOND pair-keyed exchange dedups it distributed
+    # (copies of a pair hash to the same partition), and only the
+    # distinct pairs land on the driver: bounded by the true near-dup
+    # rate, with no bands factor (measured: 650 MB driver heap at a
+    # saturated-dup sf1 stress before this exchange existed).
+    pair_rows = exchange.grouped_shuffle(
+        band_rows, ["band_id", "band_hash"], expand_partition)
     pairs = exchange.grouped_shuffle(
-        band_rows, ["band_id", "band_hash"], expand_partition).to_pandas()
+        pair_rows, ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"])).to_pandas()
     if pairs.empty:
         pairs = empty
-    pairs = pairs.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pairs = pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     if verify_threshold is not None and len(pairs):
         pairs = verify_pairs_jaccard(ds, pairs, id_col=id_col, text_col=text_col, k=k)
         pairs = pairs[pairs["jaccard"] >= verify_threshold].reset_index(drop=True)
