@@ -111,8 +111,12 @@ def test_priority_window_covers_every_family():
     # (q_token_pack/q_tfidf/q_pagerank/q_clip_score_gate etc. rotated
     # OUT in the final round-4 rotation — r01-r03-driver-proven, still
     # green in this suite)
-    for must in ("q_decontaminate", "q_minhash_dedup",
-                 "q_approx_distinct", "q_bloom",
+    for must in ("q_decontaminate",
+                 # sixth-session rotation: q_minhash_dedup / q_ann_ivf /
+                 # q_approx_distinct / q_bloom rotated OUT (driver-proven
+                 # r01-r03, still green here); first driver rows for the
+                 # four sixth-session operators
+                 "q_sssp", "q_label_prop", "q_int8_ann", "q_winnow_overlap",
                  # round-4 rotation: families gaining their first driver row
                  "q_substring_dup", "q_hits", "q_kcore", "q_triangle_count",
                  "q_local_supplier_volume", "q_nation_volume", "q_custdist",
