@@ -9610,6 +9610,343 @@ def q_gap_fill(sf_dir: str):
         ["user_id"], fill)
 
 
+@_q("q_sorted_neighborhood", """
+WITH r AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                  row_number() OVER (
+                      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                               c_custkey) AS rn
+           FROM customer)
+SELECT CAST(b.rn - a.rn AS BIGINT) AS d,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN a.c_nationkey = b.c_nationkey
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(b.cents - a.cents) AS BIGINT) AS gap_cents
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+GROUP BY 1
+""")
+def q_sorted_neighborhood(sf_dir: str):
+    # sorted-neighborhood blocking (Hernandez & Stolfo's SNM, the
+    # classic entity-resolution candidate generator; reference analogue:
+    # SURVEY §2.7 near-dup family): sort by a blocking key, pair every
+    # record with its w nearest neighbours in sort order. The naive form
+    # is a window self-join over a GLOBAL sort; distributed shape here:
+    # (1) one ordered_prefix_sum assigns exact global ranks (data
+    # crosses the cluster once in the sort; the offset table is
+    # O(blocks)); (2) rows land in rank-range buckets of width B, rows
+    # within w of a bucket's lower edge REPLICATE to the previous bucket
+    # (w extra rows per bucket, not per row); (3) each bucket pairs
+    # ranks locally by index arithmetic and OWNS a pair iff the lower
+    # rank is native — no pair is ever counted twice and nothing beyond
+    # w*P rows is duplicated. Output is the SNM audit: per rank-distance
+    # d, the candidate count, the cheap-predicate match count (same
+    # nation) and the summed blocking-key gap — the knobs used to size w.
+    # Sort key = cents*1e7 + custkey (unique; monotone in (cents, key)
+    # for custkey < 1e7 — widen the multiplier past TPC-H SF~60).
+    w, kmul = 4, np.int64(10_000_000)
+
+    def skey(t: pa.Table) -> pa.Table:
+        cents = textops.round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        sk = cents * kmul + t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "skey": pa.array(sk, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "c_nationkey": t["c_nationkey"],
+            "__one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    ranked = window.ordered_prefix_sum(
+        read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+        .map_batches(skey, batch_format="pyarrow"),
+        "skey", "__one", out_col="rank")
+
+    import pyarrow.parquet as pq
+    n_rows = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    B = max(w + 1, -(-n_rows // max(1, 2 * cpus)))
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy()
+        out = pa.table({"rank": t["rank"], "cents": t["cents"],
+                        "c_nationkey": t["c_nationkey"]})
+        bkt = (r - 1) // B
+        owner = out.append_column("__bkt", pa.array(bkt, pa.int64()))
+        helper_mask = ((r - 1) % B < w) & (bkt > 0)
+        helpers = out.filter(pa.array(helper_mask)).append_column(
+            "__bkt", pa.array(bkt[helper_mask] - 1, pa.int64()))
+        return pa.concat_tables([owner, helpers])
+
+    def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bkt, g in df.groupby("__bkt", sort=False):
+            g = g.sort_values("rank", kind="stable")
+            r = g["rank"].to_numpy(np.int64)
+            cents = g["cents"].to_numpy(np.int64)
+            nat = g["c_nationkey"].to_numpy(np.int64)
+            native_hi = (bkt + 1) * B  # owner rule: lower rank native
+            for d in range(1, w + 1):
+                if len(r) <= d:
+                    continue
+                a, b = r[:-d], r[d:]
+                m = (b - a == d) & (a <= native_hi)
+                if not m.any():
+                    continue
+                outs.append(pd.DataFrame({
+                    "d": [np.int64(d)],
+                    "n_pairs": [np.int64(m.sum())],
+                    "n_match": [np.int64(
+                        (nat[:-d][m] == nat[d:][m]).sum())],
+                    "gap_cents": [np.int64(
+                        (cents[d:][m] - cents[:-d][m]).sum())]}))
+        if not outs:
+            return pd.DataFrame({
+                "d": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "n_match": pd.Series([], dtype=np.int64),
+                "gap_cents": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    parts = exchange.grouped_shuffle(
+        ranked.map_batches(to_buckets, batch_format="pyarrow"),
+        ["__bkt"], pair_reduce).to_pandas()
+    return (parts.groupby("d", sort=True, as_index=False)
+            .agg(n_pairs=("n_pairs", "sum"), n_match=("n_match", "sum"),
+                 gap_cents=("gap_cents", "sum"))
+            .astype(np.int64))
+
+
+@_q("q_interval_overlap", """
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS day
+           FROM orders),
+a AS (SELECT day AS lo, day + o_orderkey % 7 + 1 AS hi FROM o
+      WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT day AS lo, day + o_orderkey % 5 + 1 AS hi FROM o
+      WHERE o_orderpriority = '2-HIGH')
+SELECT CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+           AS overlap_days,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY 1
+""")
+def q_interval_overlap(sf_dir: str):
+    # interval-interval overlap join (the genomic/temporal-overlap
+    # shape; q_range_join is point-in-interval — this is its
+    # set-vs-set sibling). Distributed shape: the time axis is cut into
+    # fixed tiles of width T >= max interval width; every interval
+    # replicates to each tile it touches (<= 2 copies here), overlap
+    # pairs form inside a tile with bounded searchsorted candidate
+    # windows, and a pair is OWNED by the tile containing
+    # max(a.lo, b.lo) — both intervals provably cover that tile, so
+    # each pair is emitted exactly once and no tile ever sees rows
+    # beyond its own time range (+1 tile of replicas). The oracle is
+    # the direct inequality join. Output: exact histogram of overlap
+    # lengths (inclusive day grain), the planning statistic for
+    # overlap-join selectivity.
+    T = np.int64(16)  # tile width; interval widths <= 8 days by formula
+    US_DAY = np.int64(86_400_000_000)
+
+    def to_tiles(t: pa.Table) -> pa.Table:
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        day = window._ts_us(t["o_orderdate"]) // US_DAY
+        side = np.where(pri == "1-URGENT", np.int8(0),
+                        np.where(pri == "2-HIGH", np.int8(1), np.int8(-1)))
+        keep = side >= 0
+        lo = day[keep]
+        width = np.where(side[keep] == 0, key[keep] % 7 + 1,
+                         key[keep] % 5 + 1).astype(np.int64)
+        hi = lo + width
+        s = side[keep]
+        t0, t1 = lo // T, hi // T
+        n_tiles = (t1 - t0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo)), n_tiles)
+        offs = np.repeat(np.cumsum(n_tiles) - n_tiles, n_tiles)
+        tile = t0[idx] + (np.arange(len(idx)) - offs)
+        return pa.table({
+            "lo": pa.array(lo[idx], pa.int64()),
+            "hi": pa.array(hi[idx], pa.int64()),
+            "side": pa.array(s[idx].astype(np.int64), pa.int64()),
+            "__bkt": pa.array(tile, pa.int64())})
+
+    MAXW_B = 6  # right-side widths are <= 5+1 days
+
+    def tile_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bkt, g in df.groupby("__bkt", sort=False):
+            left = g[g["side"] == 0]
+            right = g[g["side"] == 1].sort_values("lo", kind="stable")
+            if not len(left) or not len(right):
+                continue
+            alo = left["lo"].to_numpy(np.int64)
+            ahi = left["hi"].to_numpy(np.int64)
+            blo = right["lo"].to_numpy(np.int64)
+            bhi = right["hi"].to_numpy(np.int64)
+            starts = np.searchsorted(blo, alo - MAXW_B, side="left")
+            stops = np.searchsorted(blo, ahi, side="right")
+            counts = stops - starts
+            ai = np.repeat(np.arange(len(alo)), counts)
+            bi = exchange._expand_ranges(starts, counts)
+            m = (bhi[bi] >= alo[ai]) & (
+                np.maximum(alo[ai], blo[bi]) // T == bkt)
+            if not m.any():
+                continue
+            ov = (np.minimum(ahi[ai[m]], bhi[bi[m]])
+                  - np.maximum(alo[ai[m]], blo[bi[m]]) + 1)
+            v, c = np.unique(ov, return_counts=True)
+            outs.append(pd.DataFrame({"overlap_days": v.astype(np.int64),
+                                      "n_pairs": c.astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({
+                "overlap_days": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "orders",
+             ["o_orderkey", "o_orderpriority", "o_orderdate"])
+        .map_batches(to_tiles, batch_format="pyarrow"),
+        ["__bkt"], tile_pairs).to_pandas()
+    return (parts.groupby("overlap_days", sort=True, as_index=False)
+            .agg(n_pairs=("n_pairs", "sum")).astype(np.int64))
+
+
+@_q("q_common_neighbors", """
+WITH nn AS (SELECT count(*) AS N FROM documents),
+e0 AS (SELECT doc_id AS s, (doc_id * 7 + 1) % (SELECT N FROM nn) AS t
+       FROM documents
+       UNION ALL
+       SELECT doc_id, (doc_id * 13 + 3) % (SELECT N FROM nn)
+       FROM documents),
+und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        FROM e0 WHERE s <> t),
+adj AS (SELECT u AS c, v AS nb FROM und UNION ALL SELECT v, u FROM und),
+w AS (SELECT a.nb AS u, b.nb AS v
+      FROM adj a JOIN adj b ON a.c = b.c AND a.nb < b.nb),
+pc_ AS (SELECT u, v, CAST(count(*) AS BIGINT) AS k FROM w GROUP BY 1, 2)
+SELECT k, CAST(count(*) AS BIGINT) AS n_pairs FROM pc_ GROUP BY 1
+""")
+def q_common_neighbors(sf_dir: str):
+    # common-neighbor link prediction over the constructed doc link
+    # graph (the |N(u) ∩ N(v)| score behind Adamic-Adar / Jaccard
+    # candidates; same wedge-enumeration shape as q_triangle_count):
+    # one exchange builds per-center distinct neighbour lists, each
+    # center emits its wedge pairs (O(Σ deg²) — bounded by the max
+    # degree, 4 on this graph), a pair-keyed exchange counts common
+    # neighbours exactly, and the driver combines a k-bounded
+    # histogram. No adjacency ever lands on the driver.
+    nodes, edges, n_total = _doc_link_graph(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = exchange.grouped_shuffle(
+        edges.map_batches(undirect, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(["u", "v"], ignore_index=True))
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        return pa.table({
+            "c": pa.array(np.concatenate([u, v]), pa.int64()),
+            "nb": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["c", "nb"]).sort_values(
+            ["c", "nb"], kind="stable")
+        c = d["c"].to_numpy(np.int64)
+        nb = d["nb"].to_numpy(np.int64)
+        heads = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.r_[heads, len(c)])
+        us, vs = [], []
+        for h, s in zip(heads, sizes):
+            if s < 2:
+                continue
+            block = nb[h:h + s]
+            iu, iv = np.triu_indices(s, k=1)
+            us.append(block[iu])
+            vs.append(block[iv])
+        if not us:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"u": np.concatenate(us),
+                             "v": np.concatenate(vs)})
+
+    pairs = exchange.grouped_shuffle(
+        und.map_batches(adjacency, batch_format="pyarrow"), ["c"], wedges)
+
+    def count_hist(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df.groupby(["u", "v"], sort=False).size()
+             .to_numpy(np.int64))
+        v, c = np.unique(k, return_counts=True)
+        return pd.DataFrame({"k": v.astype(np.int64),
+                             "n_pairs": c.astype(np.int64)})
+
+    parts = exchange.grouped_shuffle(pairs, ["u", "v"],
+                                     count_hist).to_pandas()
+    return (parts.groupby("k", sort=True, as_index=False)
+            .agg(n_pairs=("n_pairs", "sum")).astype(np.int64))
+
+
+@_q("q_zipf_slope", r"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents WHERE trim(text) <> ''),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+top AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rn
+        FROM uc ORDER BY c DESC, w ASC LIMIT 64)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       ROUND(regr_slope(ln(CAST(c AS DOUBLE)),
+                        ln(CAST(rn AS DOUBLE))), 6) AS slope,
+       ROUND(regr_intercept(ln(CAST(c AS DOUBLE)),
+                            ln(CAST(rn AS DOUBLE))), 6) AS intercept
+FROM top
+""")
+def q_zipf_slope(sf_dir: str):
+    # Zipf-exponent fit over the corpus term-frequency head — the
+    # corpus-quality signal (natural text fits slope ~ -1; template or
+    # machine-generated corpora flatten or steepen it) used next to
+    # perplexity/repetition in curation dashboards. Scale shape: the
+    # term census rides the groupby combiner (driver never sees more
+    # than the vocabulary-bounded counts), per-partition top-K keeps the
+    # head selection at K*P driver rows, and the ln-ln least-squares fit
+    # runs on exactly K integers — identical tie-break (count desc,
+    # term asc) on both sides, so the fitted set can never drift.
+    K = 64
+
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"term": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = (df.groupby("term", sort=False).agg(n=("tf", "sum"))
+             .reset_index())
+        return g.sort_values(["n", "term"], ascending=[False, True],
+                             kind="stable").head(K)
+
+    head = (exchange.grouped_shuffle(
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_doc_terms, batch_format="pandas"),
+        ["term"], combine_topk).to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True],
+                     kind="stable").head(K))
+    c = head["n"].to_numpy(np.float64)
+    x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
+    y = np.log(c)
+    xm, ym = x.mean(), y.mean()
+    slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+    return pd.DataFrame({
+        "k": [np.int64(len(c))],
+        "slope": [np.round(slope, 6)],
+        "intercept": [np.round(ym - slope * xm, 6)]})
+
+
 # ===========================================================================
 # Registration priority: the driver's correctness gate hard-checks the
 # FIRST 50 registered queries (observed in CORRECTNESS_r02.json), so the
