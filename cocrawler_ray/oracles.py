@@ -1904,3 +1904,48 @@ SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
        1000 * sum(col) < {permille} * count(*) AS grayscalish
 FROM c GROUP BY d
 """
+
+
+def otsu_sql(n: int = N_IMAGES, divisor: int = 12) -> str:
+    """q_otsu_threshold: Otsu's between-class-variance argmax restated
+    over the 6-bit gray-sum histogram with EXACT fraction ordering —
+    num/den candidates compare by HUGEINT cross-multiplication in a
+    NOT EXISTS anti-join (O(bins^2) per image, bins = 64), so the
+    selected threshold can never drift on float rounding. Ties break to
+    the smallest t on both sides; all-one-bin frames emit no row
+    (den = 0 everywhere)."""
+    return f"""
+WITH {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+bb AS (SELECT d, s3 // {divisor} AS bin FROM g3),
+hh AS (SELECT d, bin, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY 1, 2),
+tot AS (SELECT d, CAST(sum(c) AS BIGINT) AS nn,
+               CAST(sum(bin * c) AS BIGINT) AS s
+        FROM hh GROUP BY d),
+th AS (SELECT unnest(generate_series(0, 62)) AS t),
+cum AS (SELECT hh.d, th.t,
+               CAST(sum(CASE WHEN bin <= t THEN c ELSE 0 END)
+                    AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN bin <= t THEN bin * c ELSE 0 END)
+                    AS BIGINT) AS cums
+        FROM hh CROSS JOIN th GROUP BY 1, 2),
+v AS (SELECT cum.d, cum.t, cum.cnt,
+             (cums * nn - s * cnt) * (cums * nn - s * cnt) AS num,
+             cnt * (nn - cnt) AS den
+      FROM cum JOIN tot USING (d)),
+sel AS (SELECT a.d, a.t, a.cnt, a.num, a.den
+        FROM v a
+        WHERE a.den > 0 AND NOT EXISTS (
+            SELECT 1 FROM v b2
+            WHERE b2.d = a.d AND b2.den > 0 AND
+                  (CAST(b2.num AS HUGEINT) * a.den
+                       > CAST(a.num AS HUGEINT) * b2.den
+                   OR (CAST(b2.num AS HUGEINT) * a.den
+                           = CAST(a.num AS HUGEINT) * b2.den
+                       AND b2.t < a.t))))
+SELECT 'img' || lpad(CAST(sel.d AS VARCHAR), 4, '0') AS image_id,
+       CAST(sel.t AS BIGINT) AS otsu_bin,
+       CAST(tot.nn - sel.cnt AS BIGINT) AS n_fg,
+       sel.num AS sep_num, sel.den AS sep_den
+FROM sel JOIN tot ON tot.d = sel.d
+"""

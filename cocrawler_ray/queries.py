@@ -9610,6 +9610,22 @@ def q_gap_fill(sf_dir: str):
         ["user_id"], fill)
 
 
+@_q("q_otsu_threshold", oracles.otsu_sql())
+def q_otsu_threshold(sf_dir: str):
+    # adaptive binarization threshold over the image axis: per-image
+    # Otsu argmax on the 64-bin gray-sum histogram
+    # (stages/multimodal.py::OtsuThreshold — decode once per actor,
+    # vectorized histogram/cumsum, exact integer fraction ordering for
+    # the argmax so the oracle can never drift on float rounding). The
+    # classic scan/screenshot segmentation signal next to q_rle_runs
+    # and q_blob_count; sep_num/sep_den expose the raw between-class
+    # separability fraction for downstream gates.
+    from cocrawler_ray.stages.multimodal import OtsuThreshold
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(OtsuThreshold, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_sorted_neighborhood", """
 WITH r AS (SELECT c_custkey, c_nationkey,
                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents,

@@ -1285,3 +1285,64 @@ class GrayscaleGate:
             "n_px": pa.array(n_px), "n_colorful": pa.array(n_colorful),
             "grayscalish": pa.array(
                 1000 * n_colorful < self.permille * n_px)})
+
+
+class OtsuThreshold:
+    """Per-image Otsu binarization threshold over the 6-bit gray-sum
+    histogram — the classic adaptive document/scan segmentation gate
+    (screenshot and text frames show a strongly bimodal gray histogram;
+    low-separability frames are flat or photographic). Gray = r+g+b is
+    quantized to 64 bins (s3 // 12) so every between-class-variance
+    comparison is EXACT integer arithmetic: for threshold t, the score
+    is num/den with num = (cumS*N - S*cnt)^2 and den = cnt*(N - cnt)
+    (num <= (765/12 * n_px * n_px)^2 fits int64 for n_px <= 1024; the
+    argmax compares fractions by Python-int cross-multiplication, so no
+    float ever orders two candidates). Constant frames (every den = 0)
+    emit no row, matching the oracle's den > 0 filter. Decode binds
+    once per actor; the histogram and cumulative sums are vectorized,
+    and the argmax loop is O(bins), not O(pixels)."""
+
+    BINS = 64
+
+    def __init__(self, divisor: int = 12):
+        self.decode = codecs.decode
+        self.divisor = int(divisor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        ids, t_out, fg, nums, dens = [], [], [], [], []
+        bin_ids = np.arange(self.BINS, dtype=np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            bins = img.sum(axis=2) // self.divisor
+            hist = np.bincount(bins.ravel(), minlength=self.BINS)
+            N = np.int64(hist.sum())
+            S = np.int64((hist * bin_ids).sum())
+            cnt = np.cumsum(hist)[:-1]          # class0 size at t=0..62
+            cums = np.cumsum(hist * bin_ids)[:-1]
+            num = (cums * N - S * cnt) ** 2     # int64-exact (see doc)
+            den = cnt * (N - cnt)
+            best = -1
+            bn = bd = 0
+            for t in np.flatnonzero(den > 0):
+                nt, dt = int(num[t]), int(den[t])
+                if best < 0 or nt * bd > bn * dt:   # exact > compare
+                    best, bn, bd = int(t), nt, dt
+            if best < 0:
+                continue
+            ids.append(batch.column("image_id")[i].as_py())
+            t_out.append(best)
+            fg.append(int(N) - int(cnt[best]))
+            nums.append(bn)
+            dens.append(bd)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "otsu_bin": pa.array(t_out, pa.int64()),
+            "n_fg": pa.array(fg, pa.int64()),
+            "sep_num": pa.array(nums, pa.int64()),
+            "sep_den": pa.array(dens, pa.int64())})

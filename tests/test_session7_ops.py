@@ -121,3 +121,72 @@ def test_zipf_slope_small_vocab(ray_session, tmp_path):
         ((x - x.mean()) ** 2).sum()
     assert int(got["k"].iloc[0]) == 4
     assert got["slope"].iloc[0] == pytest.approx(round(slope, 6), abs=1e-9)
+
+
+def test_otsu_threshold_bimodal_and_constant():
+    from cocrawler_ray.stages.multimodal import OtsuThreshold
+    from cocrawler_ray import codecs
+    # constant frame: one occupied bin, den = 0 everywhere -> no row
+    const = np.full((16, 16, 3), 100, np.uint8)
+    # clean bimodal frame: half pixels at gray-sum 0 (bin 0), half at
+    # 765 (bin 63) -> any t in 0..62 separates perfectly; the exact
+    # tie-break picks the smallest t with max num/den, which for a
+    # symmetric two-spike histogram is t = 0
+    bim = np.zeros((16, 16, 3), np.uint8)
+    bim[8:, :, :] = 255
+
+    def batch(imgs):
+        return pa.table({
+            "image_id": pa.array([f"t{i}" for i in range(len(imgs))]),
+            "bytes": pa.array([codecs.encode(im, "raw16") for im in imgs],
+                              pa.binary()),
+            "w": pa.array(np.array([im.shape[1] for im in imgs], np.int32)),
+            "h": pa.array(np.array([im.shape[0] for im in imgs], np.int32)),
+            "fmt": pa.array(["raw16"] * len(imgs))})
+
+    out = OtsuThreshold()(batch([const, bim]))
+    assert out.column("image_id").to_pylist() == ["t1"]
+    n = 16 * 16
+    assert out.column("n_fg").to_pylist() == [n // 2]
+    # two equal spikes at bins 0 and 63: num = (cums*N - S*cnt)^2 with
+    # cnt = N/2, cums = 0, S = 63*N/2 -> num = (63*N^2/4)^2, den = N^2/4
+    t = out.column("otsu_bin").to_pylist()[0]
+    assert 0 <= t < 63
+    num = out.column("sep_num").to_pylist()[0]
+    den = out.column("sep_den").to_pylist()[0]
+    assert den == (n // 2) ** 2
+    assert num == (63 * n * n // 4) ** 2
+
+
+def test_otsu_exact_argmax_matches_bruteforce():
+    from cocrawler_ray.stages.multimodal import OtsuThreshold
+    from cocrawler_ray import codecs
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+            for _ in range(6)]
+    t = pa.table({
+        "image_id": pa.array([f"r{i}" for i in range(len(imgs))]),
+        "bytes": pa.array([codecs.encode(im, "raw16") for im in imgs],
+                          pa.binary()),
+        "w": pa.array(np.array([16] * 6, np.int32)),
+        "h": pa.array(np.array([16] * 6, np.int32)),
+        "fmt": pa.array(["raw16"] * 6)})
+    out = OtsuThreshold()(t)
+    got = dict(zip(out.column("image_id").to_pylist(),
+                   out.column("otsu_bin").to_pylist()))
+    from fractions import Fraction
+    for i, im in enumerate(imgs):
+        bins = im.astype(np.int64).sum(axis=2) // 12
+        hist = np.bincount(bins.ravel(), minlength=64)
+        N, S = int(hist.sum()), int((hist * np.arange(64)).sum())
+        best, bf = -1, Fraction(-1)
+        for tt in range(63):
+            cnt = int(hist[:tt + 1].sum())
+            cums = int((hist[:tt + 1] * np.arange(tt + 1)).sum())
+            den = cnt * (N - cnt)
+            if den == 0:
+                continue
+            f = Fraction((cums * N - S * cnt) ** 2, den)
+            if f > bf:
+                best, bf = tt, f
+        assert got[f"r{i}"] == best
