@@ -136,6 +136,11 @@ BENCH_QUERIES_R4 = [
     "q_sssp",              # weighted Bellman-Ford BSP (3 supersteps)
     "q_label_prop",        # synchronous label-propagation communities
     "q_winnow_overlap",    # MOSS winnow-overlap pairs (2 exchanges)
+    "q_sorted_neighborhood",  # SNM blocking pairs (rank exchange + w-overlap)
+    "q_interval_overlap",  # interval-interval overlap join (tiled exchange)
+    "q_common_neighbors",  # link-prediction wedge counts (2 exchanges)
+    "q_otsu_threshold",    # adaptive binarization argmax (actor-pool decode)
+    "q_bootstrap_ci",      # Poisson bootstrap (per-row resample weights)
 ]
 
 

@@ -1949,3 +1949,39 @@ SELECT 'img' || lpad(CAST(sel.d AS VARCHAR), 4, '0') AS image_id,
        sel.num AS sep_num, sel.den AS sep_den
 FROM sel JOIN tot ON tot.d = sel.d
 """
+
+
+def bootstrap_ci_sql(n_resamples: int = 32) -> str:
+    """q_bootstrap_ci: the deterministic Poisson bootstrap restated —
+    per (row, resample) weight = pseudo-Poisson(1) draw from
+    splitmix64(event_id*B + rs), where the inverse-CDF comparison uses
+    the SAME uint64 integer thresholds floor(cdf_k * 2^64) on both
+    sides, so weight assignment is bit-exact (no float CDF crosses the
+    oracle). Values quantize to micro-units; the per-resample mean is
+    non-negative integer floor division (events.value >= 0 by
+    generator contract — numpy floor and DuckDB // agree there)."""
+    import math
+    cdf, ts = 0.0, []
+    for k in range(7):
+        cdf += math.exp(-1) / math.factorial(k)
+        ts.append(min(int(cdf * 2.0**64), 2**64 - 1))
+    case = "CASE " + " ".join(
+        f"WHEN h < {t}::HUGEINT THEN {k}" for k, t in enumerate(ts)
+    ) + " ELSE 7 END"
+    sm, fin = splitmix_ctes(
+        "s", "rs, v", f"(event_id::HUGEINT * {n_resamples} + rs)",
+        "h", "bs")
+    return f"""
+WITH e AS (SELECT event_id,
+                  CAST(round(value * 1e6) AS BIGINT) AS v FROM events),
+b AS (SELECT unnest(generate_series(0, {n_resamples - 1})) AS rs),
+s AS (SELECT rs, v, event_id FROM e CROSS JOIN b),
+{sm},
+w AS (SELECT rs, v, {case} AS wt FROM {fin})
+SELECT CAST(rs AS BIGINT) AS resample,
+       CAST(sum(wt) AS BIGINT) AS n_eff,
+       CAST(sum(wt * v) AS BIGINT) AS sum_micro,
+       CAST(CASE WHEN sum(wt) = 0 THEN 0
+                 ELSE sum(wt * v) // sum(wt) END AS BIGINT) AS mean_micro
+FROM w GROUP BY 1
+"""

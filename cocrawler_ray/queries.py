@@ -9610,6 +9610,50 @@ def q_gap_fill(sf_dir: str):
         ["user_id"], fill)
 
 
+@_q("q_bootstrap_ci", oracles.bootstrap_ci_sql())
+def q_bootstrap_ci(sf_dir: str):
+    # the Poisson bootstrap — THE distributed resampling scheme (each
+    # row draws an independent pseudo-Poisson(1) multiplicity per
+    # resample, so resampling becomes a pure per-row map: no global
+    # sampling pass, no row ever leaves its block). Determinism: the
+    # draw is splitmix64(event_id*B + resample) compared against
+    # integer uint64 CDF thresholds, bit-identical in the oracle. Each
+    # block emits B partial (Σw, Σw·v) rows; the driver combines B×P
+    # tiny rows and the per-resample means' spread IS the bootstrap CI
+    # of the corpus mean. Values ride micro-int units end to end.
+    B = 32
+    import math
+    cdf, ts = 0.0, []
+    for k in range(7):
+        cdf += math.exp(-1) / math.factorial(k)
+        ts.append(min(int(cdf * 2.0**64), 2**64 - 1))
+    thresholds = np.array(ts, np.uint64)
+
+    from cocrawler_ray.hashing import splitmix64
+
+    def partials(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = textops.round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6,
+            0).astype(np.int64)
+        h = splitmix64(eid.astype(np.uint64)[:, None] * np.uint64(B)
+                       + np.arange(B, dtype=np.uint64)[None, :])
+        w = np.searchsorted(thresholds, h.ravel(),
+                            side="right").reshape(h.shape).astype(np.int64)
+        return pa.table({
+            "resample": pa.array(np.arange(B, dtype=np.int64)),
+            "n_eff": pa.array(w.sum(axis=0)),
+            "sum_micro": pa.array((w * v[:, None]).sum(axis=0))})
+
+    parts = (read(sf_dir, "events", ["event_id", "value"])
+             .map_batches(partials, batch_format="pyarrow").to_pandas())
+    out = (parts.groupby("resample", sort=True, as_index=False)
+           .agg(n_eff=("n_eff", "sum"), sum_micro=("sum_micro", "sum")))
+    out["mean_micro"] = np.where(
+        out["n_eff"] > 0, out["sum_micro"] // out["n_eff"].replace(0, 1), 0)
+    return out.astype(np.int64)
+
+
 @_q("q_otsu_threshold", oracles.otsu_sql())
 def q_otsu_threshold(sf_dir: str):
     # adaptive binarization threshold over the image axis: per-image
