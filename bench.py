@@ -141,6 +141,7 @@ BENCH_QUERIES_R4 = [
     "q_common_neighbors",  # link-prediction wedge counts (2 exchanges)
     "q_otsu_threshold",    # adaptive binarization argmax (actor-pool decode)
     "q_bootstrap_ci",      # Poisson bootstrap (per-row resample weights)
+    "q_fellegi_sunter",    # record-linkage score histogram (SNM exchange)
 ]
 
 

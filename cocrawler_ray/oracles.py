@@ -1985,3 +1985,57 @@ SELECT CAST(rs AS BIGINT) AS resample,
                  ELSE sum(wt * v) // sum(wt) END AS BIGINT) AS mean_micro
 FROM w GROUP BY 1
 """
+
+
+def blob_bbox_sql(n: int = N_IMAGES, threshold: int = 640) -> str:
+    """q_blob_bbox: the BlobCount recursive min-label fixpoint, then
+    per-component size + bbox, keeping the largest component per image
+    (ties to the smallest label — the same rule as the stage's
+    lexsort). Row volume is the blob_count_sql bound."""
+    return f"""
+WITH RECURSIVE {_px_ctes(n)},
+g3 AS (SELECT d, x, y, sum(p) AS s3 FROM px GROUP BY d, x, y),
+base AS (SELECT d, x, y FROM g3 WHERE s3 > {threshold}),
+lab AS (
+    SELECT d, x, y, y * 64 + x AS l FROM base
+    UNION
+    SELECT b.d, b.x, b.y, lab.l
+    FROM lab JOIN base b ON b.d = lab.d
+         AND abs(b.x - lab.x) + abs(b.y - lab.y) = 1
+),
+ml AS (SELECT d, x, y, min(l) AS l FROM lab GROUP BY 1, 2, 3),
+comp AS (SELECT d, l, CAST(count(*) AS BIGINT) AS blob_px,
+                CAST(min(x) AS BIGINT) AS x0,
+                CAST(max(x) AS BIGINT) AS x1,
+                CAST(min(y) AS BIGINT) AS y0,
+                CAST(max(y) AS BIGINT) AS y1
+         FROM ml GROUP BY d, l),
+sel AS (SELECT *, row_number() OVER (
+            PARTITION BY d ORDER BY blob_px DESC, l ASC) AS rk
+        FROM comp)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       blob_px, x0, x1, y0, y1
+FROM sel WHERE rk = 1
+"""
+
+
+def audio_gain_sql(n: int = 32, length: int = 1024) -> str:
+    """q_audio_gain: peak / permille-gain / DC stats restated from the
+    payload byte formula; gain = 127000 // peak is non-negative integer
+    floor division on both sides."""
+    b = "(d*31 + i*7 + ((i*i) % 97)*5) % 256"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS d),
+xs AS (SELECT d, unnest(generate_series(0, {length - 1})) AS i FROM ids),
+s AS (SELECT d, ({b}) - 128 AS v FROM xs),
+agg AS (SELECT d, CAST(max(abs(v)) AS BIGINT) AS peak,
+               CAST(sum(v) AS BIGINT) AS sum_dc,
+               CAST(count(*) AS BIGINT) AS n_samples
+        FROM s GROUP BY d)
+SELECT 'img' || lpad(CAST(d AS VARCHAR), 4, '0') AS image_id,
+       peak,
+       CAST(CASE WHEN peak = 0 THEN 0
+                 ELSE 127000 // peak END AS BIGINT) AS gain_permille,
+       sum_dc, n_samples
+FROM agg
+"""

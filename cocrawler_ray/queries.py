@@ -9610,6 +9610,33 @@ def q_gap_fill(sf_dir: str):
         ["user_id"], fill)
 
 
+@_q("q_blob_bbox", oracles.blob_bbox_sql())
+def q_blob_bbox(sf_dir: str):
+    # largest-blob geometry over the image axis (the region-proposal
+    # primitive next to q_blob_count's census): size + bounding box of
+    # the biggest 4-connected thresholded component, ties to the
+    # smallest label on both sides (stages/multimodal.py::BlobBbox —
+    # the same vectorized min-pool fixpoint, plus four reductions over
+    # the winning mask). One actor-pool pass, no shuffle.
+    from cocrawler_ray.stages.multimodal import BlobBbox
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(BlobBbox, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
+@_q("q_audio_gain", oracles.audio_gain_sql())
+def q_audio_gain(sf_dir: str):
+    # peak-normalization audit over the audio axis: centered peak,
+    # integer permille gain to the 127 full-scale target (floor
+    # division never clips), and raw DC sufficient statistics — the
+    # loudness-leveling pre-step of audio curation, next to
+    # q_audio_trim / q_audio_zcr. One actor-pool pass, exact int64.
+    from cocrawler_ray.stages.multimodal import AudioGain
+    return (_from_arrow_blocks(oracles.conformance_payloads(), 4)
+            .map_batches(AudioGain, batch_format="pyarrow",
+                         batch_size=8, concurrency=2))
+
+
 @_q("q_bootstrap_ci", oracles.bootstrap_ci_sql())
 def q_bootstrap_ci(sf_dir: str):
     # the Poisson bootstrap — THE distributed resampling scheme (each
@@ -9689,35 +9716,63 @@ def q_sorted_neighborhood(sf_dir: str):
     # sorted-neighborhood blocking (Hernandez & Stolfo's SNM, the
     # classic entity-resolution candidate generator; reference analogue:
     # SURVEY §2.7 near-dup family): sort by a blocking key, pair every
-    # record with its w nearest neighbours in sort order. The naive form
-    # is a window self-join over a GLOBAL sort; distributed shape here:
-    # (1) one ordered_prefix_sum assigns exact global ranks (data
-    # crosses the cluster once in the sort; the offset table is
-    # O(blocks)); (2) rows land in rank-range buckets of width B, rows
-    # within w of a bucket's lower edge REPLICATE to the previous bucket
-    # (w extra rows per bucket, not per row); (3) each bucket pairs
-    # ranks locally by index arithmetic and OWNS a pair iff the lower
-    # rank is native — no pair is ever counted twice and nothing beyond
-    # w*P rows is duplicated. Output is the SNM audit: per rank-distance
-    # d, the candidate count, the cheap-predicate match count (same
-    # nation) and the summed blocking-key gap — the knobs used to size w.
-    # Sort key = cents*1e7 + custkey (unique; monotone in (cents, key)
-    # for custkey < 1e7 — widen the multiplier past TPC-H SF~60).
-    w, kmul = 4, np.int64(10_000_000)
+    # record with its w nearest neighbours in sort order. Machinery in
+    # _snm_pairs (shared with q_fellegi_sunter): one ordered_prefix_sum
+    # assigns exact global ranks, rank-range buckets exchange with
+    # w-row boundary replication, lower-rank ownership dedups. Output
+    # is the SNM audit: per rank-distance d, the candidate count, the
+    # cheap-predicate match count (same nation) and the summed
+    # blocking-key gap — the knobs used to size w.
+    def audit(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.assign(
+            match=(p["a_c_nationkey"] == p["b_c_nationkey"]).astype(
+                np.int64),
+            gap=p["b_cents"] - p["a_cents"]).groupby("d", sort=False)
+        return (g.agg(n_pairs=("d", "size"), n_match=("match", "sum"),
+                      gap_cents=("gap", "sum")).reset_index())
+
+    parts = _snm_pairs(sf_dir, 4, ["c_nationkey"], audit)
+    return (parts.groupby("d", sort=True, as_index=False)
+            .agg(n_pairs=("n_pairs", "sum"), n_match=("n_match", "sum"),
+                 gap_cents=("gap_cents", "sum"))
+            .astype(np.int64))
+
+
+def _snm_pairs(sf_dir: str, w: int, carry: list[str],
+               pair_partial) -> pd.DataFrame:
+    """Sorted-neighborhood candidate-pair machinery shared by
+    q_sorted_neighborhood / q_fellegi_sunter.
+
+    Distributed shape: (1) one ordered_prefix_sum assigns exact global
+    ranks over the blocking key (data crosses the cluster once in the
+    sort; the offset table is O(blocks)); (2) rows land in rank-range
+    buckets of width B, rows within w of a bucket's lower edge
+    REPLICATE to the previous bucket (w extra rows per bucket, not per
+    row); (3) each bucket pairs ranks by index arithmetic and OWNS a
+    pair iff the lower rank is native — no pair counted twice, nothing
+    beyond w*P rows duplicated. ``pair_partial`` runs per partition on
+    a frame with columns d, a_cents/b_cents and a_<c>/b_<c> for each
+    carry column; its partials are concatenated on the driver (bounded
+    by the partial grain × P, never by the pair count). Blocking key =
+    cents*1e7 + custkey (unique; monotone in (cents, key) for custkey
+    < 1e7 — widen the multiplier past TPC-H SF~60)."""
+    kmul = np.int64(10_000_000)
 
     def skey(t: pa.Table) -> pa.Table:
         cents = textops.round_half_away(
             t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0,
             0).astype(np.int64)
         sk = cents * kmul + t["c_custkey"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "skey": pa.array(sk, pa.int64()),
-            "cents": pa.array(cents, pa.int64()),
-            "c_nationkey": t["c_nationkey"],
-            "__one": pa.array(np.ones(t.num_rows, np.int64))})
+        cols = {"skey": pa.array(sk, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "__one": pa.array(np.ones(t.num_rows, np.int64))}
+        for c in carry:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     ranked = window.ordered_prefix_sum(
-        read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+        read(sf_dir, "customer",
+             ["c_custkey", "c_acctbal", *carry])
         .map_batches(skey, batch_format="pyarrow"),
         "skey", "__one", out_col="rank")
 
@@ -9728,8 +9783,7 @@ def q_sorted_neighborhood(sf_dir: str):
 
     def to_buckets(t: pa.Table) -> pa.Table:
         r = t["rank"].to_numpy()
-        out = pa.table({"rank": t["rank"], "cents": t["cents"],
-                        "c_nationkey": t["c_nationkey"]})
+        out = t.select(["rank", "cents", *carry])
         bkt = (r - 1) // B
         owner = out.append_column("__bkt", pa.array(bkt, pa.int64()))
         helper_mask = ((r - 1) % B < w) & (bkt > 0)
@@ -9737,43 +9791,79 @@ def q_sorted_neighborhood(sf_dir: str):
             "__bkt", pa.array(bkt[helper_mask] - 1, pa.int64()))
         return pa.concat_tables([owner, helpers])
 
+    pair_cols = ["cents", *carry]
+
     def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        frames = []
         for bkt, g in df.groupby("__bkt", sort=False):
             g = g.sort_values("rank", kind="stable")
             r = g["rank"].to_numpy(np.int64)
-            cents = g["cents"].to_numpy(np.int64)
-            nat = g["c_nationkey"].to_numpy(np.int64)
             native_hi = (bkt + 1) * B  # owner rule: lower rank native
             for d in range(1, w + 1):
                 if len(r) <= d:
                     continue
-                a, b = r[:-d], r[d:]
-                m = (b - a == d) & (a <= native_hi)
+                m = (r[d:] - r[:-d] == d) & (r[:-d] <= native_hi)
                 if not m.any():
                     continue
-                outs.append(pd.DataFrame({
-                    "d": [np.int64(d)],
-                    "n_pairs": [np.int64(m.sum())],
-                    "n_match": [np.int64(
-                        (nat[:-d][m] == nat[d:][m]).sum())],
-                    "gap_cents": [np.int64(
-                        (cents[d:][m] - cents[:-d][m]).sum())]}))
-        if not outs:
-            return pd.DataFrame({
-                "d": pd.Series([], dtype=np.int64),
-                "n_pairs": pd.Series([], dtype=np.int64),
-                "n_match": pd.Series([], dtype=np.int64),
-                "gap_cents": pd.Series([], dtype=np.int64)})
-        return pd.concat(outs, ignore_index=True)
+                cols = {"d": np.full(int(m.sum()), d, np.int64)}
+                for c in pair_cols:
+                    v = g[c].to_numpy()
+                    cols[f"a_{c}"] = v[:-d][m]
+                    cols[f"b_{c}"] = v[d:][m]
+                frames.append(pd.DataFrame(cols))
+        if not frames:
+            cols = {"d": pd.Series([], dtype=np.int64)}
+            for c in pair_cols:
+                cols[f"a_{c}"] = pd.Series([], dtype=np.int64)
+                cols[f"b_{c}"] = pd.Series([], dtype=np.int64)
+            return pair_partial(pd.DataFrame(cols))
+        return pair_partial(pd.concat(frames, ignore_index=True))
 
-    parts = exchange.grouped_shuffle(
+    return exchange.grouped_shuffle(
         ranked.map_batches(to_buckets, batch_format="pyarrow"),
         ["__bkt"], pair_reduce).to_pandas()
-    return (parts.groupby("d", sort=True, as_index=False)
-            .agg(n_pairs=("n_pairs", "sum"), n_match=("n_match", "sum"),
-                 gap_cents=("gap_cents", "sum"))
-            .astype(np.int64))
+
+
+@_q("q_fellegi_sunter", """
+WITH r AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                  row_number() OVER (
+                      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                               c_custkey) AS rn
+           FROM customer),
+p AS (SELECT (CASE WHEN a.c_nationkey = b.c_nationkey
+                   THEN 24 ELSE -8 END)
+            + (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 16 ELSE -5 END)
+            + (CASE WHEN b.cents - a.cents <= 100 THEN 10 ELSE -3 END)
+                AS score
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4)
+SELECT CAST(score AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+""")
+def q_fellegi_sunter(sf_dir: str):
+    # Fellegi-Sunter record-linkage scoring over the SNM candidate set
+    # (the probabilistic-linkage decision model: per-field integer
+    # agreement/disagreement weights — here log-odds-shaped constants —
+    # summed per pair; the score HISTOGRAM is what the reviewer uses to
+    # place the match/possible/non-match thresholds). Same
+    # rank-exchange machinery as q_sorted_neighborhood (_snm_pairs);
+    # each partition emits its score histogram, the driver combines
+    # O(score-domain × P) integers — pairs never land on the driver.
+    def score_hist(p: pd.DataFrame) -> pd.DataFrame:
+        s = (np.where(p["a_c_nationkey"] == p["b_c_nationkey"], 24, -8)
+             + np.where(p["a_c_mktsegment"] == p["b_c_mktsegment"],
+                        16, -5)
+             + np.where(p["b_cents"] - p["a_cents"] <= 100, 10, -3))
+        v, c = np.unique(s.astype(np.int64), return_counts=True)
+        return pd.DataFrame({"score": v.astype(np.int64),
+                             "n_pairs": c.astype(np.int64)})
+
+    parts = _snm_pairs(sf_dir, 4, ["c_nationkey", "c_mktsegment"],
+                       score_hist)
+    return (parts.groupby("score", sort=True, as_index=False)
+            .agg(n_pairs=("n_pairs", "sum")).astype(np.int64))
 
 
 @_q("q_interval_overlap", """

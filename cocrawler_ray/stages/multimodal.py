@@ -1346,3 +1346,93 @@ class OtsuThreshold:
             "n_fg": pa.array(fg, pa.int64()),
             "sep_num": pa.array(nums, pa.int64()),
             "sep_den": pa.array(dens, pa.int64())})
+
+
+class BlobBbox:
+    """Largest-connected-component geometry of the thresholded gray
+    frame — size and bounding box of the biggest 4-connected blob (ties
+    break to the smallest component label). The region-proposal
+    primitive next to BlobCount's census: a dominant compact blob says
+    logo/diagram, a frame-spanning one says text page or border
+    artifact. Same vectorized min-pool label propagation as BlobCount;
+    the bbox is four argmin/argmax reductions over the winning mask.
+    No-foreground frames emit no row."""
+
+    def __init__(self, threshold: int = 640):
+        self.decode = codecs.decode
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        ids, sz, x0s, x1s, y0s, y1s = [], [], [], [], [], []
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            mask = img.sum(axis=2) > self.threshold
+            if not mask.any():
+                continue
+            h, w = mask.shape
+            big = h * w + 1
+            cur = np.where(mask, np.arange(h * w).reshape(h, w), big)
+            while True:
+                nxt = cur.copy()
+                nxt[1:, :] = np.minimum(nxt[1:, :], np.where(
+                    mask[1:, :] & mask[:-1, :], cur[:-1, :], big))
+                nxt[:-1, :] = np.minimum(nxt[:-1, :], np.where(
+                    mask[:-1, :] & mask[1:, :], cur[1:, :], big))
+                nxt[:, 1:] = np.minimum(nxt[:, 1:], np.where(
+                    mask[:, 1:] & mask[:, :-1], cur[:, :-1], big))
+                nxt[:, :-1] = np.minimum(nxt[:, :-1], np.where(
+                    mask[:, :-1] & mask[:, 1:], cur[:, 1:], big))
+                if np.array_equal(nxt, cur):
+                    break
+                cur = nxt
+            labels, counts = np.unique(cur[mask], return_counts=True)
+            best = labels[np.lexsort((labels, -counts))[0]]
+            ym, xm = np.nonzero(cur == best)
+            ids.append(batch.column("image_id")[i].as_py())
+            sz.append(int(counts[labels == best][0]))
+            x0s.append(int(xm.min())); x1s.append(int(xm.max()))
+            y0s.append(int(ym.min())); y1s.append(int(ym.max()))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "blob_px": pa.array(sz, pa.int64()),
+            "x0": pa.array(x0s, pa.int64()),
+            "x1": pa.array(x1s, pa.int64()),
+            "y0": pa.array(y0s, pa.int64()),
+            "y1": pa.array(y1s, pa.int64())})
+
+
+class AudioGain:
+    """Peak-normalization audit over the byte-stream sample view: the
+    centered peak amplitude, the integer permille gain that would bring
+    it to the 127 full-scale target (floor division — never clips), and
+    the DC offset sufficient statistics (sum, n — emitted raw so no
+    negative integer division crosses an engine/SQL boundary). The
+    loudness-leveling pre-step of every audio curation pipeline; a PCM
+    decode swap-in changes only the sample extraction line."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        n = batch.num_rows
+        peak = np.zeros(n, dtype=np.int64)
+        gain = np.zeros(n, dtype=np.int64)
+        sum_dc = np.zeros(n, dtype=np.int64)
+        nsamp = np.zeros(n, dtype=np.int64)
+        for i, payload in enumerate(data):
+            v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) \
+                - 128
+            p = int(np.abs(v).max()) if len(v) else 0
+            peak[i] = p
+            gain[i] = 127_000 // p if p else 0
+            sum_dc[i] = int(v.sum())
+            nsamp[i] = len(v)
+        return pa.table({"image_id": batch.column("image_id"),
+                         "peak": pa.array(peak),
+                         "gain_permille": pa.array(gain),
+                         "sum_dc": pa.array(sum_dc),
+                         "n_samples": pa.array(nsamp)})

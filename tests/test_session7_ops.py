@@ -190,3 +190,50 @@ def test_otsu_exact_argmax_matches_bruteforce():
             if f > bf:
                 best, bf = tt, f
         assert got[f"r{i}"] == best
+
+
+def test_blob_bbox_tiebreak_and_geometry():
+    from cocrawler_ray.stages.multimodal import BlobBbox
+    from cocrawler_ray import codecs
+    # two blobs of EQUAL size: the winner must be the smaller label
+    # (the top-left one, since labels are linear indices)
+    tie = np.zeros((16, 16, 3), np.uint8)
+    tie[1:3, 1:3] = 255      # 4 px, label ~ 17
+    tie[10:12, 10:12] = 255  # 4 px, label ~ 170
+    # one dominant L-shaped blob plus a speck
+    dom = np.zeros((16, 16, 3), np.uint8)
+    dom[2:4, 2:12] = 255
+    dom[2:12, 2:4] = 255
+    dom[14, 14] = 255
+
+    def batch(imgs):
+        return pa.table({
+            "image_id": pa.array([f"t{i}" for i in range(len(imgs))]),
+            "bytes": pa.array([codecs.encode(im, "raw16") for im in imgs],
+                              pa.binary()),
+            "w": pa.array(np.array([16] * len(imgs), np.int32)),
+            "h": pa.array(np.array([16] * len(imgs), np.int32)),
+            "fmt": pa.array(["raw16"] * len(imgs))})
+
+    out = BlobBbox(threshold=640)(batch([tie, dom]))
+    rows = {out.column("image_id")[i].as_py():
+            {c: out.column(c)[i].as_py() for c in
+             ("blob_px", "x0", "x1", "y0", "y1")}
+            for i in range(out.num_rows)}
+    assert rows["t0"] == {"blob_px": 4, "x0": 1, "x1": 2, "y0": 1, "y1": 2}
+    assert rows["t1"] == {"blob_px": 20 + 16, "x0": 2, "x1": 11,
+                          "y0": 2, "y1": 11}
+
+
+def test_audio_gain_flat_and_fullscale():
+    from cocrawler_ray.stages.multimodal import AudioGain
+    flat = bytes([128] * 64)            # peak 0 -> gain 0
+    full = bytes([0, 255] * 32)         # peak 128 -> gain 992
+    t = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "bytes": pa.array([flat, full], pa.binary())})
+    out = AudioGain()(t)
+    assert out.column("peak").to_pylist() == [0, 128]
+    assert out.column("gain_permille").to_pylist() == [0, 127000 // 128]
+    assert out.column("sum_dc").to_pylist() == [0, (-128 + 127) * 32]
+    assert out.column("n_samples").to_pylist() == [64, 64]
