@@ -9610,6 +9610,44 @@ def q_gap_fill(sf_dir: str):
         ["user_id"], fill)
 
 
+@_q("q_matryoshka_audit", """
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> GREATEST(-127.0, LEAST(127.0,
+                           FLOOR(CAST(x AS DOUBLE) * 64)))) AS qv
+  FROM embeddings),
+qs AS (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 8),
+d AS (SELECT qs.qid, q8.vec_id,
+             CAST(list_dot_product(q8.qv, qs.qq) AS BIGINT) AS sfull,
+             CAST(list_dot_product(q8.qv[1:16], qs.qq[1:16]) AS BIGINT)
+                 AS spre
+      FROM q8 CROSS JOIN qs WHERE q8.vec_id >= 8),
+tf AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id, row_number() OVER (
+             PARTITION BY qid ORDER BY sfull DESC, vec_id) AS r FROM d)
+       WHERE r <= 10),
+tp AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id, row_number() OVER (
+             PARTITION BY qid ORDER BY spre DESC, vec_id) AS r FROM d)
+       WHERE r <= 10)
+SELECT tf.qid AS query_id,
+       CAST(count(tp.vec_id) AS BIGINT) AS overlap10
+FROM tf LEFT JOIN tp ON tp.qid = tf.qid AND tp.vec_id = tf.vec_id
+GROUP BY 1
+""")
+def q_matryoshka_audit(sf_dir: str):
+    # Matryoshka-representation retrieval audit: per query, |top-10 by
+    # full-dim score ∩ top-10 by first-16-dim score| over int8-quantized
+    # exact integer dot products (similarity.py::matryoshka_overlap) —
+    # the sizing measurement for truncated-embedding indexes (MRL,
+    # Kusupati et al.). Broadcast queries, per-batch candidate union of
+    # both top-k sets, O(2k·P·Q) driver merge; integer scores + id
+    # tie-break make the ranking bit-stable against the oracle.
+    return similarity.matryoshka_overlap(
+        read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 @_q("q_blob_bbox", oracles.blob_bbox_sql())
 def q_blob_bbox(sf_dir: str):
     # largest-blob geometry over the image axis (the region-proposal

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -411,3 +412,66 @@ def pq_adc_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
     local = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return (local.sort_values(["adist", id_col], kind="stable")
             .head(k).reset_index(drop=True))
+
+
+def matryoshka_overlap(ds: rd.Dataset, prefix_dim: int = 16, k: int = 10,
+                       n_queries: int = 8, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       scale: float = 64.0) -> pd.DataFrame:
+    """Matryoshka (MRL) prefix-dimension retrieval audit: per query, the
+    overlap between the top-k by FULL-dimension score and the top-k by
+    the first ``prefix_dim`` dimensions — the measurement behind
+    truncated-embedding index sizing (how much recall a d/4-width index
+    keeps). Scores are exact int64 dot products over int8-quantized
+    vectors (a truncated int8 dot is a prefix sum of the full one, so
+    the audit is self-consistent and float-tie-free); ranking breaks
+    ties by id on both sides. Scale shape: the n_queries quantized rows
+    broadcast once; each batch emits at most 2k candidate rows per
+    query (the union of both per-batch top-k sets — a candidate outside
+    both per-batch top-k can never enter either global top-k), so the
+    driver merge is O(2k * P * n_queries) regardless of corpus size."""
+    qrows = (ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], n_queries)),
+        batch_format="pyarrow").to_pandas()
+        .sort_values(id_col).reset_index(drop=True))
+    Q = int8_quantize(
+        np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qrows[vec_col]]), scale).astype(np.int64)
+    qref = ray.put(Q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qq = ray.get(qref)
+        b = batch[batch[id_col] >= n_queries]
+        if not len(b):
+            return pd.DataFrame({
+                "qid": pd.Series([], dtype=np.int64),
+                id_col: pd.Series([], dtype=np.int64),
+                "sfull": pd.Series([], dtype=np.int64),
+                "spre": pd.Series([], dtype=np.int64)})
+        M = int8_quantize(
+            np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b[vec_col]]), scale).astype(np.int64)
+        ids = b[id_col].to_numpy(np.int64)
+        sfull = M @ qq.T                      # (B, n_queries)
+        spre = M[:, :prefix_dim] @ qq[:, :prefix_dim].T
+        outs = []
+        for q in range(qq.shape[0]):
+            cand = np.zeros(len(ids), bool)
+            for s in (sfull[:, q], spre[:, q]):
+                order = np.lexsort((ids, -s))[:k]
+                cand[order] = True
+            outs.append(pd.DataFrame({
+                "qid": np.full(int(cand.sum()), q, np.int64),
+                id_col: ids[cand], "sfull": sfull[cand, q],
+                "spre": spre[cand, q]}))
+        return pd.concat(outs, ignore_index=True)
+
+    local = ds.map_batches(score, batch_format="pandas").to_pandas()
+    rows = []
+    for q, g in local.groupby("qid", sort=True):
+        ids = g[id_col].to_numpy(np.int64)
+        top_f = set(ids[np.lexsort((ids, -g["sfull"].to_numpy()))[:k]])
+        top_p = set(ids[np.lexsort((ids, -g["spre"].to_numpy()))[:k]])
+        rows.append((np.int64(q), np.int64(len(top_f & top_p))))
+    return pd.DataFrame(rows, columns=["query_id", "overlap10"]).astype(
+        np.int64)

@@ -237,3 +237,28 @@ def test_audio_gain_flat_and_fullscale():
     assert out.column("gain_permille").to_pylist() == [0, 127000 // 128]
     assert out.column("sum_dc").to_pylist() == [0, (-128 + 127) * 32]
     assert out.column("n_samples").to_pylist() == [64, 64]
+
+
+def test_matryoshka_overlap_candidate_union(ray_session):
+    # the per-batch candidate-union rule must reproduce the global
+    # brute-force overlap even with many tiny blocks (forcing merges)
+    import ray.data as rd
+    from cocrawler_ray.stages.similarity import (int8_quantize,
+                                                 matryoshka_overlap)
+    rng = np.random.default_rng(3)
+    n, dim, nq, k = 120, 32, 4, 5
+    V = rng.normal(size=(n, dim))
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.tolist() for v in V]})).repartition(10)
+    got = matryoshka_overlap(ds, prefix_dim=8, k=k, n_queries=nq)
+    Q = int8_quantize(V[:nq]).astype(np.int64)
+    M = int8_quantize(V[nq:]).astype(np.int64)
+    ids = np.arange(nq, n, dtype=np.int64)
+    for q in range(nq):
+        sf = M @ Q[q]
+        sp = M[:, :8] @ Q[q, :8]
+        tf = set(ids[np.lexsort((ids, -sf))[:k]])
+        tp = set(ids[np.lexsort((ids, -sp))[:k]])
+        assert int(got.set_index("query_id").loc[q, "overlap10"]) == \
+            len(tf & tp)
