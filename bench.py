@@ -142,6 +142,8 @@ BENCH_QUERIES_R4 = [
     "q_otsu_threshold",    # adaptive binarization argmax (actor-pool decode)
     "q_bootstrap_ci",      # Poisson bootstrap (per-row resample weights)
     "q_fellegi_sunter",    # record-linkage score histogram (SNM exchange)
+    "q_matryoshka_audit",  # MRL prefix-dim retrieval audit (int8 exact)
+    "q_hill_tail",         # power-law tail index (top-65 order stats)
 ]
 
 

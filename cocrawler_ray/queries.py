@@ -9610,6 +9610,54 @@ def q_gap_fill(sf_dir: str):
         ["user_id"], fill)
 
 
+@_q("q_hill_tail", """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ck
+           FROM events GROUP BY 1),
+top AS (SELECT ck, row_number() OVER (ORDER BY ck DESC, user_id) AS rn
+        FROM c ORDER BY ck DESC, user_id LIMIT 65),
+n AS (SELECT max(rn) AS nn FROM top),
+xm AS (SELECT ck AS xmin FROM top, n WHERE rn = nn)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       (SELECT CAST(xmin AS BIGINT) FROM xm) AS xmin,
+       ROUND(1.0 / avg(ln(CAST(ck AS DOUBLE)
+                          / (SELECT xmin FROM xm))), 6) AS alpha
+FROM top, n WHERE rn < nn
+""")
+def q_hill_tail(sf_dir: str):
+    # Hill tail-index estimator over the per-entity activity
+    # distribution — the power-law exponent of the heavy tail
+    # (alpha ≈ 1 + zipf slope⁻¹), THE statistic behind hot-key / skew
+    # planning: skew_hybrid_join's threshold and the frontier's
+    # hot-host split both assume a tail this measures. Scale shape: one
+    # entity exchange makes per-key counts exact, per-partition top-65
+    # partials merge to 65·P driver rows (order statistics need only
+    # the head), and the estimator runs on exactly 64 integers with the
+    # same (count desc, user) tie-break on both sides.
+    m = 64
+
+    def top_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "ck": pd.Series([], dtype=np.int64)})
+        g = (df.groupby("user_id", sort=False).size().rename("ck")
+             .reset_index())
+        return g.sort_values(["ck", "user_id"], ascending=[False, True],
+                             kind="stable").head(m + 1)
+
+    head = (exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id"]), ["user_id"], top_counts)
+        .to_pandas()
+        .sort_values(["ck", "user_id"], ascending=[False, True],
+                     kind="stable").head(m + 1))
+    ck = head["ck"].to_numpy(np.float64)
+    m_eff = len(ck) - 1  # adaptive head when the key domain is tiny
+    xmin = ck[m_eff]
+    alpha = 1.0 / np.mean(np.log(ck[:m_eff] / xmin))
+    return pd.DataFrame({"m": [np.int64(m_eff)],
+                         "xmin": [np.int64(xmin)],
+                         "alpha": [np.round(alpha, 6)]})
+
+
 @_q("q_matryoshka_audit", """
 WITH q8 AS (
   SELECT vec_id,
