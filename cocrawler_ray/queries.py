@@ -10096,25 +10096,14 @@ def q_common_neighbors(sf_dir: str):
             "nb": pa.array(np.concatenate([v, u]), pa.int64())})
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["c", "nb"]).sort_values(
-            ["c", "nb"], kind="stable")
-        c = d["c"].to_numpy(np.int64)
-        nb = d["nb"].to_numpy(np.int64)
-        heads = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-        sizes = np.diff(np.r_[heads, len(c)])
-        us, vs = [], []
-        for h, s in zip(heads, sizes):
-            if s < 2:
-                continue
-            block = nb[h:h + s]
-            iu, iv = np.triu_indices(s, k=1)
-            us.append(block[iu])
-            vs.append(block[iv])
-        if not us:
-            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
-                                 "v": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"u": np.concatenate(us),
-                             "v": np.concatenate(vs)})
+        # per-apex ordered pairs via ONE pandas self-merge on the
+        # center (the same C-path wedge shape as graph.py's
+        # _wedges_reduce — no per-apex Python loop)
+        d = df.drop_duplicates(["c", "nb"])
+        m = d.merge(d, on="c", suffixes=("_1", "_2"))
+        m = m[m["nb_1"] < m["nb_2"]]
+        return pd.DataFrame({"u": m["nb_1"].to_numpy(np.int64),
+                             "v": m["nb_2"].to_numpy(np.int64)})
 
     pairs = exchange.grouped_shuffle(
         und.map_batches(adjacency, batch_format="pyarrow"), ["c"], wedges)
