@@ -9610,6 +9610,89 @@ def q_gap_fill(sf_dir: str):
         ["user_id"], fill)
 
 
+def _ring_rebalance_sql(P: int = 16, V: int = 8) -> str:
+    from cocrawler_ray.hashing import splitmix64
+    idx = np.arange((P + 1) * V, dtype=np.uint64)
+    pos = splitmix64(idx // np.uint64(V) * np.uint64(64)
+                     + idx % np.uint64(V))
+    shard = (idx // np.uint64(V)).astype(np.int64)
+    rows_old = ", ".join(f"({int(p)}::HUGEINT, {int(s)})"
+                         for p, s in zip(pos, shard) if s < P)
+    rows_new = ", ".join(f"({int(p)}::HUGEINT, {int(s)})"
+                         for p, s in zip(pos, shard))
+    sm, fin = oracles.splitmix_ctes(
+        "src", "user_id", "CAST(user_id AS HUGEINT)", "h", "smx")
+    return f"""
+WITH src AS (SELECT DISTINCT user_id FROM events),
+{sm},
+keys AS (SELECT h FROM {fin}),
+r0 AS (SELECT * FROM (VALUES {rows_old}) t(pos, shard)),
+r1 AS (SELECT * FROM (VALUES {rows_new}) t(pos, shard)),
+w0 AS (SELECT max_by(shard, pos) AS wrap FROM r0),
+w1 AS (SELECT max_by(shard, pos) AS wrap FROM r1),
+o0 AS (SELECT k.h, coalesce(r.shard, (SELECT wrap FROM w0)) AS s0
+       FROM keys k ASOF LEFT JOIN r0 r ON k.h >= r.pos),
+o1 AS (SELECT k.h, coalesce(r.shard, (SELECT wrap FROM w1)) AS s1
+       FROM keys k ASOF LEFT JOIN r1 r ON k.h >= r.pos)
+SELECT CAST(o0.s0 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN o1.s1 <> o0.s0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM o0 JOIN o1 ON o1.h = o0.h
+GROUP BY 1
+"""
+
+
+@_q("q_ring_rebalance", _ring_rebalance_sql())
+def q_ring_rebalance(sf_dir: str):
+    # consistent-hash rebalance audit — what fraction of each frontier
+    # shard's keys MOVE when one node joins a 16-node × 8-vnode ring
+    # (floor-owner consistent hashing: owner = largest ring position
+    # <= key hash, wrapping to the ring max). The operational question
+    # behind elastic resharding: plain modulo would move (P-1)/P of all
+    # keys; the ring moves only the slices the new vnodes capture
+    # (expected V/((P+1)·V) ≈ 5.9%), and ONLY to the new node. Pure
+    # per-row map against a broadcast 136-entry ring (two searchsorteds
+    # per batch), per-shard combiner counts — nothing key-sized ever
+    # gathers. Distinct user keys via one entity exchange first.
+    from cocrawler_ray.hashing import splitmix64
+    P, V = 16, 8
+    idx = np.arange((P + 1) * V, dtype=np.uint64)
+    pos = splitmix64(idx // np.uint64(V) * np.uint64(64)
+                     + idx % np.uint64(V))
+    shard = (idx // np.uint64(V)).astype(np.int64)
+    old_mask = shard < P
+
+    def ring(mask):
+        order = np.argsort(pos[mask], kind="stable")
+        return pos[mask][order], shard[mask][order]
+
+    p0, s0 = ring(old_mask)
+    p1, s1 = ring(np.ones_like(old_mask))
+
+    def owners(h, rp, rs):
+        i = np.searchsorted(rp, h, side="right") - 1
+        return rs[np.where(i < 0, len(rp) - 1, i)]
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].drop_duplicates().to_numpy(np.int64)
+        h = splitmix64(u.astype(np.uint64))
+        b = owners(h, p0, s0)
+        moved = owners(h, p1, s1) != b
+        g = pd.DataFrame({"shard": b, "m": moved.astype(np.int64)})
+        out = (g.groupby("shard", sort=False)
+               .agg(n_before=("m", "size"), n_moved=("m", "sum"))
+               .reset_index())
+        return out.astype(np.int64)
+
+    parts = exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id"]), ["user_id"], audit
+    ).to_pandas()
+    return (parts.groupby("shard", sort=True, as_index=False)
+            .agg(n_before=("n_before", "sum"), n_moved=("n_moved", "sum"))
+            .astype(np.int64))
+
+
 @_q("q_hill_tail", """
 WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS ck
            FROM events GROUP BY 1),

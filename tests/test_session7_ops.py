@@ -262,3 +262,45 @@ def test_matryoshka_overlap_candidate_union(ray_session):
         tp = set(ids[np.lexsort((ids, -sp))[:k]])
         assert int(got.set_index("query_id").loc[q, "overlap10"]) == \
             len(tf & tp)
+
+
+def test_ring_rebalance_moves_only_to_new_node(ray_session, tmp_path):
+    # consistent-hashing invariant: every moved key's NEW owner is the
+    # joining shard (16) — plain-modulo resharding would scatter them.
+    from cocrawler_ray.hashing import splitmix64
+    from cocrawler_ray.queries import QUERIES
+    n = 500
+    sf = _write(tmp_path, "events", pa.table({
+        "user_id": pa.array(np.arange(n, dtype=np.int64)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.zeros(n).astype("datetime64[us]")),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n)}))
+    got = QUERIES["q_ring_rebalance"](sf)
+    # brute force
+    P, V = 16, 8
+    idx = np.arange((P + 1) * V, dtype=np.uint64)
+    pos = splitmix64(idx // np.uint64(V) * np.uint64(64)
+                     + idx % np.uint64(V))
+    shard = (idx // np.uint64(V)).astype(np.int64)
+
+    def owner(h, mask):
+        p, s = pos[mask], shard[mask]
+        o = np.argsort(p, kind="stable")
+        p, s = p[o], s[o]
+        i = np.searchsorted(p, h, side="right") - 1
+        return s[np.where(i < 0, len(p) - 1, i)]
+
+    h = splitmix64(np.arange(n, dtype=np.uint64))
+    b = owner(h, shard < P)
+    a = owner(h, np.ones(len(shard), bool))
+    moved = a != b
+    assert (a[moved] == P).all()           # only to the new node
+    want = pd.DataFrame({"shard": b, "m": moved.astype(np.int64)}) \
+        .groupby("shard").agg(n_before=("m", "size"), n_moved=("m", "sum"))
+    g = got.set_index("shard")
+    assert g["n_before"].to_dict() == want["n_before"].to_dict()
+    assert g["n_moved"].to_dict() == want["n_moved"].to_dict()
+    # the ring moves a small slice, not (P-1)/P like modulo would
+    assert got["n_moved"].sum() < 0.25 * got["n_before"].sum()
