@@ -144,6 +144,7 @@ BENCH_QUERIES_R4 = [
     "q_fellegi_sunter",    # record-linkage score histogram (SNM exchange)
     "q_matryoshka_audit",  # MRL prefix-dim retrieval audit (int8 exact)
     "q_hill_tail",         # power-law tail index (top-65 order stats)
+    "q_ring_rebalance",    # consistent-hash rebalance audit (broadcast ring)
 ]
 
 
