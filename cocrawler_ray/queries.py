@@ -1248,9 +1248,11 @@ def q_image_clusters(sf_dir: str):
     nodes = (read(sf_dir, "embeddings", ["vec_id"])
              .map_batches(lambda t: t.rename_columns(["node"]),
                           batch_format="pyarrow"))
-    edges = rd.from_pandas(pd.DataFrame({
-        "src": pairs["vec_a"].to_numpy(),
-        "dst": pairs["vec_b"].to_numpy()}))
+    edges = pairs.map_batches(
+        lambda t: t.select(["vec_a", "vec_b"]).rename_columns(
+            ["src", "dst"]).cast(pa.schema([("src", pa.int64()),
+                                            ("dst", pa.int64())])),
+        batch_format="pyarrow")
     return min_label_components(nodes, edges, iters=8)
 
 
@@ -8207,9 +8209,13 @@ def q_text_clusters(sf_dir: str):
     nodes = (read(sf_dir, "documents", ["doc_id"])
              .map_batches(lambda t: t.rename_columns(["node"]),
                           batch_format="pyarrow"))
-    edges = rd.from_pandas(pd.DataFrame({
-        "src": pairs["doc_a"].to_numpy(np.int64),
-        "dst": pairs["doc_b"].to_numpy(np.int64)}))
+    # pairs STAY a Dataset end to end (r4 verdict #2): edges are a
+    # streaming rename, never driver pandas
+    edges = pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]).rename_columns(
+            ["src", "dst"]).cast(pa.schema([("src", pa.int64()),
+                                            ("dst", pa.int64())])),
+        batch_format="pyarrow")
     comp = min_label_components(nodes, edges, iters=8)
 
     def dist_of_sizes(df: pd.DataFrame) -> pd.DataFrame:
@@ -9733,10 +9739,21 @@ def q_hill_tail(sf_dir: str):
         .sort_values(["ck", "user_id"], ascending=[False, True],
                      kind="stable").head(m + 1))
     ck = head["ck"].to_numpy(np.float64)
+    # Degenerate-corpus guards (mirror the oracle's NULL semantics): an
+    # empty events table yields (0, NULL, NULL); a single entity has no
+    # tail rows so alpha's avg() is over nothing -> NULL; a uniform head
+    # (all top counts equal) makes avg(ln(ck/xmin)) = 0 and DuckDB's
+    # 1.0/0 division returns NULL, where numpy would produce inf.
+    if len(ck) == 0:
+        return pd.DataFrame({"m": pd.array([0], dtype="Int64"),
+                             "xmin": pd.array([None], dtype="Int64"),
+                             "alpha": pd.Series([np.nan], dtype=np.float64)})
     m_eff = len(ck) - 1  # adaptive head when the key domain is tiny
-    xmin = ck[m_eff]
-    alpha = 1.0 / np.mean(np.log(ck[:m_eff] / xmin))
-    return pd.DataFrame({"m": [np.int64(m_eff)],
+    xmin = ck[m_eff] if m_eff >= 1 else ck[0]
+    log_mean = (np.mean(np.log(ck[:m_eff] / xmin)) if m_eff >= 1
+                else 0.0)
+    alpha = 1.0 / log_mean if log_mean > 0 else np.nan
+    return pd.DataFrame({"m": [np.int64(m_eff if m_eff >= 1 else 0)],
                          "xmin": [np.int64(xmin)],
                          "alpha": [np.round(alpha, 6)]})
 
@@ -9947,7 +9964,8 @@ def _snm_pairs(sf_dir: str, w: int, carry: list[str],
 
     import pyarrow.parquet as pq
     n_rows = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)  # mirror read() (queries.py:82)
     B = max(w + 1, -(-n_rows // max(1, 2 * cpus)))
 
     def to_buckets(t: pa.Table) -> pa.Table:

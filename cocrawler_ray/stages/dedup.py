@@ -116,25 +116,27 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, k: int = 3,
                       verify_threshold: float | None = None,
-                      est_bytes: int | None = None) -> pd.DataFrame:
+                      est_bytes: int | None = None) -> rd.Dataset:
     """Candidate near-dup pairs via MinHash banding; optional exact-Jaccard
-    verification.
+    verification. Returns a DATASET of (doc_a, doc_b[, jaccard]) — pairs
+    never gather on the driver (a saturated-dup sf1 stress produced
+    millions; consumers stream, write, aggregate, or feed them to
+    components).
 
     Scale shape: the banding pass streams (map_batches) into int-only band
     rows (never text), which take ONE hash exchange
     (``exchange.grouped_shuffle``) co-locating each (band, hash) bucket.
     Hot-bucket detection is then a local vectorized size transform inside
     the partition reduce, and only the multi-member buckets (the actual
-    near-dup clusters, << corpus) pay per-group pair expansion; only the
-    distinct (doc_a, doc_b) int pairs land on the driver (bounded by the
-    true near-dup rate, not the corpus). ``Dataset.groupby`` is avoided
-    deliberately: its aggregate is per-group Python over the bands x corpus
-    bucket domain (measured 14 s / 90k rows — exchange.py). The verify step
-    is fully distributed too: each candidate doc's text is tagged with its
-    pair ids in a streaming pass and Jaccard runs with both texts
-    co-located by the same exchange — no driver text dict, no per-pair
-    driver loop (the round-1 form pulled every candidate text to the
-    driver)."""
+    near-dup clusters, << corpus) pay per-group pair expansion; a SECOND
+    pair-keyed exchange removes the bands-fold multiplicity distributed.
+    ``Dataset.groupby`` is avoided deliberately: its aggregate is
+    per-group Python over the bands x corpus bucket domain (measured
+    14 s / 90k rows — exchange.py). The verify step is fully distributed
+    too: two hash joins co-locate each pair with both its texts and the
+    exact Jaccard runs vectorized per joined batch — no driver text dict,
+    no per-pair driver loop (the round-1 form pulled every candidate text
+    to the driver; the round-4 form still pulled the PAIR SET)."""
     _FNV = np.uint64(0x100000001B3)
 
     if verify_threshold is not None:
@@ -187,13 +189,18 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str, text_col: str = "text",
         band_rows, ["band_id", "band_hash"], expand_partition)
     pairs = exchange.grouped_shuffle(
         pair_rows, ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"])).to_pandas()
-    if pairs.empty:
-        pairs = empty
-    pairs = pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    if verify_threshold is not None and len(pairs):
-        pairs = verify_pairs_jaccard(ds, pairs, id_col=id_col, text_col=text_col, k=k)
-        pairs = pairs[pairs["jaccard"] >= verify_threshold].reset_index(drop=True)
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
+    if verify_threshold is not None:
+        scored = verify_pairs_jaccard(ds, pairs, id_col=id_col,
+                                      text_col=text_col, k=k)
+        thr = float(verify_threshold)
+
+        def gate(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.greater_equal(t.column("jaccard"),
+                                             pa.scalar(thr)))
+
+        pairs = scored.map_batches(gate, batch_format="pyarrow")
     return pairs
 
 
@@ -250,77 +257,53 @@ def winnow_overlap_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                                     count_partition)
 
 
-def verify_pairs_jaccard(ds: rd.Dataset, pairs: pd.DataFrame,
+def verify_pairs_jaccard(ds: rd.Dataset, pairs: rd.Dataset,
                          id_col: str, text_col: str = "text", k: int = 3
-                         ) -> pd.DataFrame:
-    """Exact n-gram Jaccard for candidate (doc_a, doc_b) pairs, distributed.
+                         ) -> rd.Dataset:
+    """Exact n-gram Jaccard for candidate (doc_a, doc_b) pairs — fully
+    distributed, pairs in AND out as Datasets (nothing pair- or
+    corpus-sized touches the driver).
 
-    Broadcast the pair table (ints only, ray.put once); one streaming pass
-    tags each member doc's text with every pair_idx it participates in
-    (a doc in P pairs is replicated P times — P is bounded by the doc's
-    near-dup cluster size); groupby(pair_idx).map_groups computes Jaccard
-    with both texts co-located. Nothing corpus-sized touches the driver."""
-    import ray
+    Shape: two hash joins (``exchange.hash_join`` — the same vectorized
+    exchange) attach each side's text to its pairs, so every scored
+    batch holds both members co-located. A doc in P pairs is replicated
+    P times (P is bounded by the doc's near-dup cluster size) — but each
+    distinct TEXT is shingled once per batch, and each pair is then a
+    sorted-array intersection, not a re-shingle. Pairs whose members are
+    missing from the corpus drop out (inner join) — candidates came from
+    the corpus, so none exist in practice."""
 
-    pair_ref = ray.put((pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()))
+    def side(role: str) -> rd.Dataset:
+        def ren(t: pa.Table) -> pa.Table:
+            return pa.table({f"doc_{role}": t.column(id_col),
+                             f"__text_{role}": t.column(text_col)})
+        return ds.map_batches(ren, batch_format="pyarrow")
 
-    def tag(t: pa.Table) -> pa.Table:
-        from cocrawler_ray.hashing import concat_ranges
-        a_ids, b_ids = ray.get(pair_ref)
-        ids = t.column(id_col).to_numpy()
-        idx_parts, row_parts = [], []
-        for side in (a_ids, b_ids):
-            # a doc can sit in multiple pairs: gather every match run in
-            # the sorted side array (vectorized searchsorted + run expand)
-            order = np.argsort(side, kind="stable")
-            srt = side[order]
-            starts = np.searchsorted(srt, ids, side="left")
-            counts = np.searchsorted(srt, ids, side="right") - starts
-            if counts.sum() == 0:
-                continue
-            idx_parts.append(order[concat_ranges(starts, counts)])
-            row_parts.append(np.repeat(np.arange(len(ids), dtype=np.int64), counts))
-        if not idx_parts:
-            return pa.table({"pair_idx": pa.array([], pa.int64()),
-                             id_col: pa.array([], t.schema.field(id_col).type),
-                             text_col: pa.array([], pa.string())})
-        rows = pa.array(np.concatenate(row_parts))
-        return pa.table({
-            "pair_idx": pa.array(np.concatenate(idx_parts).astype(np.int64)),
-            id_col: t.column(id_col).take(rows),
-            text_col: t.column(text_col).take(rows),
-        })
+    j1 = exchange.hash_join(pairs, side("a"), on=["doc_a"])
+    j2 = exchange.hash_join(j1, side("b"), on=["doc_b"])
 
-    def jac_partition(df: pd.DataFrame) -> pd.DataFrame:
-        # a doc participating in many pairs is replicated per pair — hash
-        # its shingle set ONCE per partition (one vectorized batch call),
-        # then each pair is a sorted-array intersection, not a re-shingle.
-        uniq = df.drop_duplicates(subset=[id_col])
-        sh, counts = shingle_hash_batch(uniq[text_col].tolist(), k)
+    def jac_batch(t: pa.Table) -> pa.Table:
+        out_t = pa.table({"doc_a": t.column("doc_a"),
+                          "doc_b": t.column("doc_b")})
+        if not t.num_rows:
+            return out_t.append_column("jaccard",
+                                       pa.array([], pa.float64()))
+        ta = t.column("__text_a").to_pylist()
+        tb = t.column("__text_b").to_pylist()
+        texts = list(dict.fromkeys(ta + tb))
+        sh, counts = shingle_hash_batch(texts, k)
         offs = np.cumsum(counts) - counts
-        sets = {did: np.unique(sh[offs[i]:offs[i] + counts[i]])
-                for i, did in enumerate(uniq[id_col].to_numpy())}
-        idxs, jacs = [], []
-        for i, g in df.groupby("pair_idx", sort=False):
-            if len(g) != 2:
-                continue
-            ga, gb = g[id_col].to_numpy()
-            sa, sb = sets[ga], sets[gb]
+        sets = {s: np.unique(sh[offs[i]:offs[i] + counts[i]])
+                for i, s in enumerate(texts)}
+        jac = np.empty(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            sa, sb = sets[ta[i]], sets[tb[i]]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
-            jacs.append(round(1.0 if union == 0 else inter / union, 6))
-            idxs.append(int(i))
-        return pd.DataFrame({"pair_idx": np.array(idxs, dtype=np.int64),
-                             "jaccard": np.array(jacs, dtype=np.float64)})
+            jac[i] = round(1.0 if union == 0 else inter / union, 6)
+        return out_t.append_column("jaccard", pa.array(jac, pa.float64()))
 
-    scored = exchange.grouped_shuffle(
-        ds.map_batches(tag, batch_format="pyarrow"),
-        ["pair_idx"], jac_partition).to_pandas()
-    out = pairs.reset_index(drop=True).copy()
-    out["jaccard"] = np.nan
-    out.loc[scored["pair_idx"].to_numpy(), "jaccard"] = scored["jaccard"].to_numpy()
-    assert not out["jaccard"].isna().any(), "pair member missing from corpus"
-    return out
+    return j2.map_batches(jac_batch, batch_format="pyarrow")
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -415,16 +398,25 @@ def embedding_neardup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
 def embedding_neardup_lsh_pairs(ds: rd.Dataset, id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 threshold: float = 0.45, n_bits: int = 4,
-                                n_tables: int = 8, seed: int = 29
-                                ) -> pd.DataFrame:
+                                n_tables: int = 8, seed: int = 29,
+                                tile: int = 2048) -> rd.Dataset:
     """Approximate near-dup pairs — the 100 TB path: sub-quadratic
     LSH-bucketed comparison (SemDeDup-style blocking).
 
     Each row is keyed into ``n_tables`` independent hyperplane tables
-    (OR-construction recall boost); rows sharing a (table, key) bucket are
-    scored by within-bucket matmul in a groupby(bucket).map_groups —
-    bucket count is bounded by n_tables * 2^n_bits so the per-group Python
-    overhead stays fixed, and nothing corpus-sized leaves the workers.
+    (OR-construction recall boost); rows sharing a (table, key) bucket
+    are scored within the bucket. Scale shape matches
+    ``minhash_lsh_pairs``: the keying pass streams, ONE hash exchange
+    (``exchange.grouped_shuffle``) co-locates each bucket's members, and
+    in-bucket scoring is a TILED matmul — each tile scores ``tile`` rows
+    against the bucket, so worker memory is O(tile x |bucket|), never
+    O(|bucket|^2), even when a giant near-dup cluster lands one bucket.
+    A pair caught by multiple tables carries a tables-fold multiplicity,
+    so a SECOND pair-keyed exchange dedups it distributed; the result
+    STAYS a Dataset — pairs never gather on the driver (consumers
+    stream, write, or aggregate). In-bucket pair compute is inherently
+    O(|bucket|^2) — the same documented hot-bucket property as MinHash
+    banding (real near-dup clusters ARE quadratic in pair space).
     Bucketing uses the integer-exact quantized Rademacher planes
     (similarity.hyperplane_key_batch rationale), so the DuckDB mirror
     (oracles.embed_neardup_lsh_sql) restates bucket membership exactly.
@@ -450,24 +442,37 @@ def embedding_neardup_lsh_pairs(ds: rd.Dataset, id_col: str = "vec_id",
                                   vec_col: t.column(vec_col)}))
         return pa.concat_tables(outs)
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(_EMPTY_PAIRS)
-        ids = g[id_col].to_numpy()
-        M = _norm_mat(g[vec_col])
-        sims = M @ M.T
-        qa, qb = np.nonzero(sims >= threshold)
-        keep = ids[qa] < ids[qb]
-        return pd.DataFrame({"vec_a": ids[qa][keep], "vec_b": ids[qb][keep],
-                             "sim": np.round(sims[qa, qb][keep], 6)})
+    empty = pd.DataFrame(_EMPTY_PAIRS)
 
-    out = (ds.map_batches(key, batch_format="pyarrow")
-           .groupby("bucket").map_groups(score, batch_format="pandas")
-           .to_pandas())
-    if out.empty:
-        return pd.DataFrame(_EMPTY_PAIRS)
-    out = out.drop_duplicates(["vec_a", "vec_b"])
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    def score_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # every member of each bucket is co-located here; buckets are
+        # bounded by n_tables * 2^n_bits so this group loop is O(128),
+        # and the per-bucket work is vectorized tiled matmul.
+        out = []
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            M = _norm_mat(g[vec_col])
+            for s in range(0, len(g), tile):
+                A = M[s:s + tile]
+                sims = A @ M.T            # (tile x |bucket|) — bounded
+                qa, qb = np.nonzero(sims >= threshold)
+                keep = ids[qa + s] < ids[qb]   # a<b once per bucket
+                out.append(pd.DataFrame({
+                    "vec_a": ids[qa + s][keep], "vec_b": ids[qb][keep],
+                    "sim": np.round(sims[qa, qb][keep], 6)}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pair_rows = exchange.grouped_shuffle(
+        ds.map_batches(key, batch_format="pyarrow"),
+        ["bucket"], score_partition)
+    # tables-fold multiplicity dedups DISTRIBUTED (copies of a pair hash
+    # to the same partition); sims are deterministic per pair, so any
+    # copy may survive
+    return exchange.grouped_shuffle(
+        pair_rows, ["vec_a", "vec_b"],
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]))
 
 
 # -- phash hamming near-dup (image axis) ------------------------------------
@@ -487,7 +492,7 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 
 def phash_hamming_pairs(ds: rd.Dataset, id_col: str, phash_col: str,
                         bits: int = 32, bands: int = 4,
-                        max_dist: int = 6) -> pd.DataFrame:
+                        max_dist: int = 6) -> rd.Dataset:
     """Near-duplicate image pairs by perceptual-hash Hamming distance,
     LSH-blocked: split each ``bits``-bit phash into ``bands`` equal-width
     exact-match bands; pairs sharing >= 1 aligned band are candidates, and
@@ -498,8 +503,10 @@ def phash_hamming_pairs(ds: rd.Dataset, id_col: str, phash_col: str,
     ``bands`` to the target distance. Scale shape mirrors MinHash-LSH:
     int-only (band, band_value) rows through ONE ``grouped_shuffle``;
     every bucket's members are co-located so pair expansion + Hamming
-    verification run vectorized inside the partition reduce, and only the
-    verified int pairs reach the driver (bounded by the near-dup rate)."""
+    verification run vectorized inside the partition reduce; a SECOND
+    pair-keyed exchange removes the bands-fold multiplicity distributed,
+    and the verified pairs STAY a Dataset (bounded by the near-dup rate
+    but never funneled through driver pandas)."""
     assert bits % bands == 0
     width = bits // bands
     mask = np.int64((1 << width) - 1)
@@ -537,13 +544,12 @@ def phash_hamming_pairs(ds: rd.Dataset, id_col: str, phash_col: str,
                                      "hamming": d[keep]}))
         return pd.concat(out, ignore_index=True) if out else empty
 
-    pairs = exchange.grouped_shuffle(
+    pair_rows = exchange.grouped_shuffle(
         ds.map_batches(band_rows, batch_format="pyarrow"),
-        ["band", "bv"], expand).to_pandas()
-    if pairs.empty:
-        return empty
-    return (pairs.drop_duplicates(["vec_a", "vec_b"])
-            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+        ["band", "bv"], expand)
+    return exchange.grouped_shuffle(
+        pair_rows, ["vec_a", "vec_b"],
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]))
 
 
 def span_dedup(spans: rd.Dataset, id_col: str, ord_col: str,

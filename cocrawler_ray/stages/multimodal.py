@@ -1325,8 +1325,13 @@ class OtsuThreshold:
             S = np.int64((hist * bin_ids).sum())
             cnt = np.cumsum(hist)[:-1]          # class0 size at t=0..62
             cums = np.cumsum(hist * bin_ids)[:-1]
-            num = (cums * N - S * cnt) ** 2     # int64-exact (see doc)
-            den = cnt * (N - cnt)
+            # Python-int (object dtype) arithmetic: (cums*N - S*cnt)^2
+            # wraps int64 past ~7k pixels (ADVICE r4) — the bins axis is
+            # only 63 wide, so exact bigint math here costs nothing and
+            # the argmax stays exact for ANY image size.
+            diff = cums.astype(object) * int(N) - int(S) * cnt.astype(object)
+            num = diff * diff
+            den = cnt.astype(object) * (int(N) - cnt.astype(object))
             best = -1
             bn = bd = 0
             for t in np.flatnonzero(den > 0):
@@ -1335,6 +1340,11 @@ class OtsuThreshold:
                     best, bn, bd = int(t), nt, dt
             if best < 0:
                 continue
+            if bn > (1 << 63) - 1:
+                raise ValueError(
+                    "sep_num exceeds int64 (image too large for the "
+                    "exact-report contract, ~7k px); the argmax above "
+                    "is still exact — widen the output schema to carry it")
             ids.append(batch.column("image_id")[i].as_py())
             t_out.append(best)
             fg.append(int(N) - int(cnt[best]))

@@ -73,14 +73,58 @@ def test_embedding_neardup_block_pairs_exact(emb):
 
 
 def test_embedding_neardup_lsh_subset_of_exact(emb):
-    """Bucketed pairs are a subset of the exact pair set with equal sims."""
+    """Bucketed pairs are a subset of the exact pair set with equal sims
+    (and the op returns a streaming Dataset, never driver pandas)."""
+    import ray.data as rd
+
     from cocrawler_ray.stages import dedup
     ds, _ = emb
     exact = dedup.embedding_neardup_pairs(ds, threshold=0.4)
-    lsh = dedup.embedding_neardup_lsh_pairs(ds, threshold=0.4)
+    lsh_ds = dedup.embedding_neardup_lsh_pairs(ds, threshold=0.4)
+    assert isinstance(lsh_ds, rd.Dataset)
+    lsh = lsh_ds.to_pandas()
     ex = {(a, b): s for a, b, s in zip(exact["vec_a"], exact["vec_b"], exact["sim"])}
     assert len(lsh) > 0
+    # distributed pair dedup: each (a, b) exactly once despite n_tables
+    assert not lsh.duplicated(["vec_a", "vec_b"]).any()
     for a, b, s in zip(lsh["vec_a"], lsh["vec_b"], lsh["sim"]):
+        assert (a, b) in ex and abs(ex[(a, b)] - s) < 1e-9
+
+
+def test_embedding_neardup_lsh_skewed_hot_bucket(ray_session):
+    """One bucket >> others (a giant near-dup cluster): the tiled
+    in-bucket matmul must still produce the complete, deduped pair set.
+    tile is set below the hot-bucket size so the tiling path is actually
+    exercised."""
+    import ray.data as rd
+
+    from cocrawler_ray.stages import dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    rows = []
+    # 40 near-identical vectors -> one hot bucket in every table
+    for i in range(40):
+        v = base + rng.normal(scale=1e-3, size=8)
+        rows.append({"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()})
+    # plus scattered singletons
+    for i in range(40, 60):
+        v = rng.normal(size=8)
+        rows.append({"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()})
+    ds = rd.from_items(rows).repartition(4)
+    got = (dedup.embedding_neardup_lsh_pairs(ds, threshold=0.98, tile=7)
+           .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    # the hot cluster is mutually >= 0.98 similar: all 40*39/2 pairs,
+    # each exactly once
+    hot = got[(got["vec_a"] < 40) & (got["vec_b"] < 40)]
+    assert len(hot) == 40 * 39 // 2
+    assert not got.duplicated(["vec_a", "vec_b"]).any()
+    # sims agree with the exact block-pair path
+    exact = dedup.embedding_neardup_pairs(ds, threshold=0.98)
+    ex = {(a, b): s for a, b, s in zip(exact["vec_a"], exact["vec_b"],
+                                       exact["sim"])}
+    for a, b, s in zip(got["vec_a"], got["vec_b"], got["sim"]):
         assert (a, b) in ex and abs(ex[(a, b)] - s) < 1e-9
 
 
