@@ -10286,107 +10286,50 @@ def q_zipf_slope(sf_dir: str):
 # ===========================================================================
 
 _PRIORITY = [
-    # ROUND-4 ROTATION: the driver hard-checks only the first 50
-    # registered queries; 76 distinct queries are cumulatively
-    # driver-proven through CORRECTNESS_r01-r03. This round rotates 16
-    # r01-r03-proven basics out (each family keeps at least one
-    # driver-proven member, and every rotated-out query stays green in
-    # tests/test_queries_conformance.py + tools/check_queries.py) and
-    # rotates in 16 queries that have never had a driver row —
-    # substring-dup, graph link analysis (HITS/k-core/triangles), the
-    # TPC-H join trees (Q5/Q7/Q13/Q16), the window/rank family, the
-    # skew census, BM25, bloom-semijoin, watermark, quantile-rank, and
-    # the round-4-rewritten q_latency_percentile.
-    # LATE-ROUND-4 ROTATION: four more never-driver-proven ops swap in
-    # (q_theta_sketch, q_bfs_layers, q_percent_rank, q_letterbox) for
-    # four r01-r03-proven basics (q_canonicalize, q_link_extract,
-    # q_frontier_order, q_anti_join_seen — each family keeps another
-    # driver-proven member in the window: q_sitemap_extract/
-    # q_recrawl_priority are crawl-semantic, q_skew_hybrid_join/
-    # q_bloom_semijoin are joins).
-    # FINAL ROUND-4 ROTATION: the seven operators added late in round 4
-    # (q_sharpness_gate, q_edge_density, q_augment_checksum,
-    # q_mip_pyramid, q_gamma_hist, q_winsorize, q_shingle_containment)
-    # swap in for seven r01-r03-driver-proven members (q_exact_dedup,
-    # q_ann_cosine, q_pricing_summary, q_pagerank, q_perplexity_gate,
-    # q_token_pack, q_clip_score_gate); every family keeps a
-    # driver-proven rep (dedup: minhash/embed-lsh/semantic/paragraph,
-    # ANN: ivf, agg: topk/distinct, graph: components, LLM-curation:
-    # decontaminate/curate_corpus, image: curate_images/psnr_gate) and
-    # every rotated-out query stays green in the conformance suite.
-    # FIFTH-SESSION ROTATION: the 12 operators added this session
-    # (q_rfm_segments, q_blob_count, q_rle_runs, q_mirror_hosts,
-    # q_gap_fill, q_random_projection, q_kmeans_update, q_vocab_drift,
-    # q_attribution, q_unchanged_revisits, q_conversion_lag,
-    # q_budget_alloc) swap in for 12 r01-r03-driver-proven members
-    # (q_embed_neardup_lsh, q_semantic_dedup, q_paragraph_dedup,
-    # q_curate_corpus, q_tfidf, q_sessionize, q_image_clusters,
-    # q_json_extract, q_cdc_chunks, q_topk_hosts, q_distinct_hosts,
-    # q_cube_revenue); every family keeps a driver-proven rep in the
-    # window (dedup: q_minhash_dedup; curation: q_decontaminate;
-    # ANN/similarity: q_ann_ivf; image: q_curate_images/q_psnr_gate;
-    # sketches: q_approx_distinct/q_bloom; joins: q_skew_hybrid_join;
-    # sampling: q_source_mix) and every rotated-out query stays green
-    # in tests/test_queries_conformance.py + tools/check_queries.py.
-    # LATE FIFTH-SESSION SWAPS: q_tail_slo, q_rrf_fusion,
-    # q_selfjoin_size in for q_source_mix, q_curate_images,
-    # q_skew_hybrid_join (all driver-proven r01-r03; q_psnr_gate stays
-    # as the image family's proven rep and the north-rule row).
-    # SIXTH-SESSION SWAPS: the four operators added this session
-    # (q_sssp weighted Bellman-Ford, q_label_prop LPA communities,
-    # q_int8_ann quantized ANN, q_winnow_overlap MOSS pairs) swap in
-    # for four r01-r03-driver-proven members (q_minhash_dedup,
-    # q_ann_ivf, q_approx_distinct, q_bloom); the dedup family keeps
-    # q_shingle_containment/q_substring_dup plus the new winnow pairs,
-    # ANN keeps the new int8 + random-projection/kmeans rows, sketches
-    # keep q_theta_sketch. All rotated-out queries stay green in
-    # tests/test_queries_conformance.py + tools/check_queries.py.
-    # crawl-depth + sketch-set-algebra + window-distribution + image
-    "q_bfs_layers", "q_theta_sketch", "q_percent_rank",
-    # joins: broadcast-anti (family rep), the skew-aware hybrid, the
-    # bloom-prefiltered semi-join, and the TPC-H Q5/Q7/Q8/Q21 join
-    # trees (Q5/Q7 rebuilt this round on auto_join; Q8 market-share and
-    # Q21 sole-offender census are new this round — q_robots_join /
-    # q_fetch_join rotate out, driver-proven in r01-r03 and still green
-    # in the conformance tests)
-    "q_letterbox", "q_market_share", "q_waiting_suppliers",
-    "q_bloom_semijoin",
-    "q_local_supplier_volume", "q_nation_volume",
-    # dedup family: exact, MinHash-LSH, embedding-LSH, semantic
-    # (SemDeDup), paragraph/span, substring-duplication fraction
-    "q_shingle_containment", "q_winnow_overlap", "q_mirror_hosts",
-    "q_substring_dup",
-    # LLM-curation: decontamination, perplexity filter, sequence
-    # packing, end-to-end curation
-    "q_decontaminate", "q_mip_pyramid", "q_gamma_hist",
-    # text retrieval/analytics
-    "q_bm25", "q_vocab_drift",
-    # similarity search: brute-force, IVF
-    "q_winsorize", "q_int8_ann", "q_random_projection", "q_kmeans_update",
-    "q_rrf_fusion", "q_selfjoin_size",
-    # sampling / mixing
-    "q_rfm_segments", "q_budget_alloc",
-    # event-time windows / sessions / rank / watermark
-    "q_window_frame", "q_rank_events",
-    "q_watermark_late", "q_gap_fill", "q_attribution",
-    "q_unchanged_revisits", "q_conversion_lag",
-    # graph (BSP): PageRank, components, HITS, k-core, triangles
-    "q_edge_density", "q_hits", "q_kcore",
-    "q_triangle_count",
-    # multimodal actor-pool stages (q_psnr_gate IS the north rule's
-    # per-row PSNR>=40dB invariant)
-    "q_augment_checksum", "q_psnr_gate",
-    "q_blob_count", "q_rle_runs",
-    # scalar function surface
-    # stats: payload chunking, exact quantile-rank normalization, the
-    # per-group exact percentile (rewritten this round on the histogram
-    # combiner — no native groupby), the skew census
-    "q_quantile_rank", "q_latency_percentile", "q_tail_slo",
-    "q_hot_keys",
-    # aggregates / top-k / distinct / TPC-H Q13 & Q16 shapes
-    "q_sharpness_gate", "q_custdist", "q_supplier_cnt",
-    # graph additions this session: weighted SSSP + LPA communities
-    "q_sssp", "q_label_prop",
+    # ROUND-5 ROTATION: the driver hard-checks only the first 50
+    # registered queries; 123 distinct queries are cumulatively
+    # driver-proven through CORRECTNESS_r01-r04 (the other 144 stay
+    # green in the full tools/check_queries.py sweep, which runs the
+    # same rows+schema+value compare). This round's window is 50
+    # entries that have NEVER had a driver row, so cumulative driver
+    # coverage reaches 173/267 — window/rank, per-group exact stats,
+    # join/set-op surface, TPC-H rollup shapes, text analytics,
+    # tokenization, the dedup-observability trio (including the
+    # round-5-rewritten Dataset-pair paths q_text_clusters /
+    # q_cluster_sizes), PQ/ANN, multimodal (including the round-5
+    # big-int-exact q_otsu_threshold), crawl scheduling, and the
+    # round-4 statistics additions. Every rotated-out query stays
+    # green in tests/test_queries_conformance.py + the local sweep;
+    # prior windows are recorded in CORRECTNESS_r01-r04.json.
+    # window / rank family
+    "q_dense_rank", "q_ntile", "q_lag_value", "q_lead_value",
+    "q_moving_avg", "q_range_frame",
+    # per-group exact stats
+    "q_topk_per_group", "q_distinct_per_group", "q_quantile_per_group",
+    "q_mode_per_group",
+    # joins / set ops
+    "q_left_join", "q_full_outer_join", "q_anti_join_orders",
+    "q_except_users", "q_intersect_users",
+    # TPC-H rollup / share shapes
+    "q_rollup_revenue", "q_revenue_share", "q_promo_revenue",
+    "q_profit_nation", "q_min_cost_supplier", "q_grouping_sets",
+    # text analytics
+    "q_word_count", "q_bigrams", "q_pmi_bigrams", "q_inverted_index",
+    "q_normalize_text", "q_edit_distance", "q_pii_redact",
+    "q_readability",
+    # tokenization / packing
+    "q_vocab_build", "q_bpe_merges", "q_tokenize_apply", "q_chunk_docs",
+    # dedup observability (round-5 Dataset pair rewrites)
+    "q_caption_phash_dedup", "q_dedup_keep_best", "q_dedup_savings",
+    "q_cluster_sizes", "q_text_clusters",
+    # ANN / quantization
+    "q_pq_encode", "q_pq_topk", "q_filtered_ann", "q_maxsim",
+    # multimodal (round-5 exact-big-int Otsu)
+    "q_dhash", "q_scene_cut", "q_keyframe_select", "q_otsu_threshold",
+    # crawl scheduling
+    "q_sitemap_extract", "q_recrawl_priority", "q_url_trap",
+    # round-4 statistics (degenerate-corpus guard added round 5)
+    "q_hill_tail",
 ]
 
 
