@@ -5076,8 +5076,9 @@ def q_pld_rollup(sf_dir: str):
     # together for politeness budgets / domain-level quality stats. The
     # q_canonicalize two-implementation pattern: both sides construct the
     # same deterministic hosts, the Ray side runs the REAL extractor
-    # (urls.registrable_domain_batch — vectorized rpartition + two-part-
-    # suffix list, incl. the co.uk rows that break naive last-two-labels)
+    # (urls.registrable_domain_batch — the embedded Public Suffix List
+    # snapshot in cocrawler_ray/psl.py, incl. the co.uk rows that break
+    # naive last-two-labels)
     # while the SQL states the expected eTLD+1 analytically. One exchange
     # on the pld key; distinct-host counting stays inside the reduce.
     def mk(t: pa.Table) -> pa.Table:

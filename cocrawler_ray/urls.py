@@ -344,34 +344,19 @@ def path_trap_stats(paths) -> dict:
             "trap": (n_dup >= 2).astype(np.int64)}
 
 
-# Two-part public suffixes the registrable-domain extractor recognizes.
-# A stand-in for the full Mozilla Public Suffix List (publicsuffix.org)
-# — swap in the real list file outside the sandbox; the extraction logic
-# below is list-size-independent.
-TWO_PART_SUFFIXES = ("co.uk", "com.au", "co.jp", "org.uk")
-
-
-def registrable_domain_batch(hosts) -> np.ndarray:
+def registrable_domain_batch(hosts, include_private: bool = True
+                             ) -> np.ndarray:
     """Registrable domain (PLD / eTLD+1) per host — the grouping key for
     per-site politeness, dedup, and domain-level quality stats (hosts of
     one site must roll up together: sub1.example.co.uk and
     www.example.co.uk are the same registrant).
 
-    PLD = last two labels, or last three when the last two form a listed
-    two-part public suffix. Vectorized with np.char.rpartition (no
-    per-row Python); hosts with fewer labels than needed return
-    themselves unchanged.
-    """
-    h = np.asarray(hosts, dtype=str)
-    b1, _, l1 = np.char.rpartition(h, ".").T            # l1 = TLD
-    b2, _, l2 = np.char.rpartition(b1, ".").T           # l2 = 2nd-level
-    last2 = np.char.add(np.char.add(l2, "."), l1)
-    has2 = b1 != ""                                     # >= 2 labels
-    pld = np.where(has2, last2, h)
-    two_part = has2 & np.isin(last2, TWO_PART_SUFFIXES)
-    if two_part.any():
-        b3, _, l3 = np.char.rpartition(b2, ".").T       # 3rd-level label
-        last3 = np.char.add(np.char.add(l3, "."), last2)
-        has3 = b2 != ""
-        pld = np.where(two_part & has3, last3, pld)
-    return pld
+    Delegates to the embedded Public Suffix List snapshot
+    (``cocrawler_ray.psl`` — the published PSL algorithm with exact,
+    wildcard, and exception rules, matching the reference's tldextract
+    behavior per ``cocrawler/urls.py::URL.registered_domain``).
+    Vectorized (rpartition chains + np.isin); hosts at or below a
+    public suffix return themselves unchanged."""
+    from cocrawler_ray import psl
+    return psl.registrable_domain_batch(hosts,
+                                        include_private=include_private)

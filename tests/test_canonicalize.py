@@ -123,3 +123,50 @@ def test_batch_matches_scalar():
             assert out["valid"][i]
             assert out["url"][i] == want_url
     assert isinstance(out["valid"], np.ndarray)
+
+
+# --- Public Suffix List extraction (cocrawler_ray/psl.py; reference:
+# cocrawler/urls.py::URL.registered_domain via tldextract) -------------
+
+def test_psl_two_part_suffixes():
+    from cocrawler_ray.urls import registrable_domain_batch as rdb
+    hosts = ["sub1.example.co.uk", "a.b.c.example.com.au",
+             "www.example.org.uk", "x.y.news.ac.jp", "shop.co.nz",
+             "cdn.static.firm.co.za"]
+    want = ["example.co.uk", "example.com.au", "example.org.uk",
+            "news.ac.jp", "shop.co.nz", "firm.co.za"]
+    assert list(rdb(hosts)) == want
+
+
+def test_psl_wildcard_and_exception_rules():
+    from cocrawler_ray.urls import registrable_domain_batch as rdb
+    # *.ck: every 2-label suffix under ck is public — EXCEPT www.ck
+    assert list(rdb(["a.shop.ck", "x.a.shop.ck", "www.ck", "sub.www.ck"])) \
+        == ["a.shop.ck", "a.shop.ck", "www.ck", "www.ck"]
+    # *.kawasaki.jp with !city.kawasaki.jp
+    assert list(rdb(["b.ward.kawasaki.jp", "city.kawasaki.jp",
+                     "sub.city.kawasaki.jp"])) \
+        == ["b.ward.kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp"]
+
+
+def test_psl_host_at_or_below_suffix_returns_itself():
+    from cocrawler_ray.urls import registrable_domain_batch as rdb
+    assert list(rdb(["co.uk", "uk", "localhost", "k12.ca.us"])) \
+        == ["co.uk", "uk", "localhost", "k12.ca.us"]
+
+
+def test_psl_private_section_toggle():
+    from cocrawler_ray.urls import registrable_domain_batch as rdb
+    hosts = ["www.user.github.io", "myblog.blogspot.com"]
+    assert list(rdb(hosts)) == ["user.github.io", "myblog.blogspot.com"]
+    assert list(rdb(hosts, include_private=False)) \
+        == ["github.io", "blogspot.com"]
+
+
+def test_psl_politeness_rollup_collapses_subdomains():
+    # the property the crawl loop needs: all hosts of one registrant
+    # map to ONE politeness key
+    from cocrawler_ray.urls import registrable_domain_batch as rdb
+    hosts = ["www.example.co.uk", "cdn.example.co.uk",
+             "a.b.example.co.uk", "example.co.uk"]
+    assert len(set(rdb(hosts))) == 1
