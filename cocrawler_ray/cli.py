@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--web-dir", help="corpus dir with web/ + web_html/ parquet")
     ap.add_argument("--robots", help="optional (host, body) robots parquet")
     ap.add_argument("--out", default="/tmp/cocrawler_ray_out")
+    ap.add_argument("--configfile", metavar="YAML",
+                    help="YAML config tree (reference crawl.py "
+                         "--configfile parity: Section:/Key: nesting, "
+                         "CamelCase reference names accepted); --config "
+                         "overrides apply on top")
     ap.add_argument("--config", action="append", default=[],
                     metavar="KEY:VALUE",
                     help="CrawlConfig override, e.g. max_depth:3 (repeatable)")
@@ -226,9 +231,14 @@ def main(argv: list[str] | None = None) -> int:
                                  rt.column("body").to_pylist()))
     seed_lines = [ln for ln in open(args.seeds).read().splitlines()]
 
-    cfg = CrawlConfig.from_overrides(
-        *args.config, out_dir=args.out,
-        checkpoint_every=args.checkpoint_every)
+    if args.configfile:
+        cfg = CrawlConfig.from_yaml(
+            args.configfile, *args.config, out_dir=args.out,
+            checkpoint_every=args.checkpoint_every)
+    else:
+        cfg = CrawlConfig.from_overrides(
+            *args.config, out_dir=args.out,
+            checkpoint_every=args.checkpoint_every)
     job = CrawlJob(cfg, web, html, robots_bodies)
 
     resumed_from = None

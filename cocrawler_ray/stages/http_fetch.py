@@ -34,6 +34,119 @@ except ImportError:
     HAS_AIOHTTP = False
 
 
+class CookieJar:
+    """Minimal RFC 6265 per-host cookie store (reference parity:
+    ``cocrawler/cookies.py`` — the reference ships a deliberately
+    no-op "Defective" jar as its DEFAULT policy, because a broad crawl
+    must not accumulate unbounded session state, and a real per-session
+    jar as the config alternative. Same knob here:
+    ``cookie_policy="none"`` (default, no cookies ever) vs
+    ``"per_host"`` (this jar).)
+
+    Honors Set-Cookie name/value plus Domain (leading-dot and host-only
+    semantics), Path (RFC 6265 path-match), Max-Age (precedence over
+    Expires; <= 0 deletes), Expires, and Secure. Per-domain cookie count
+    is capped so an adversarial server cannot balloon the actor."""
+
+    MAX_PER_DOMAIN = 50
+
+    def __init__(self):
+        # (domain, path, name) -> (value, expires_ts|None, host_only,
+        #                          secure)
+        self._store: dict = {}
+
+    @staticmethod
+    def _domain_match(host: str, domain: str) -> bool:
+        return host == domain or host.endswith("." + domain)
+
+    @staticmethod
+    def _path_match(req_path: str, cpath: str) -> bool:
+        if req_path == cpath:
+            return True
+        if req_path.startswith(cpath):
+            return cpath.endswith("/") or req_path[len(cpath)] == "/"
+        return False
+
+    def store(self, host: str, set_cookie_lines, default_path: str = "/"):
+        import email.utils
+        import http.cookies
+        import time as _t
+        for line in set_cookie_lines or ():
+            try:
+                c = http.cookies.SimpleCookie()
+                c.load(line)
+            except http.cookies.CookieError:
+                continue
+            for name, morsel in c.items():
+                dom = morsel["domain"].lstrip(".").lower()
+                host_only = not dom
+                if not dom:
+                    dom = host
+                elif not self._domain_match(host, dom):
+                    continue  # RFC 6265: reject foreign-domain cookies
+                # RFC 6265 5.1.4 default-path: the request path up to
+                # (not including) its right-most '/'
+                dp = default_path[:default_path.rfind("/")] or "/" \
+                    if default_path.startswith("/") else "/"
+                cpath = morsel["path"] or dp
+                expires = None
+                if morsel["max-age"]:
+                    try:
+                        ma = int(morsel["max-age"])
+                    except ValueError:
+                        ma = None
+                    if ma is not None:
+                        if ma <= 0:
+                            self._store.pop((dom, cpath, name), None)
+                            continue
+                        expires = _t.time() + ma
+                elif morsel["expires"]:
+                    try:
+                        dt = email.utils.parsedate_to_datetime(
+                            morsel["expires"])
+                        expires = dt.timestamp()
+                    except (TypeError, ValueError):
+                        expires = None
+                    if expires is not None and expires <= _t.time():
+                        self._store.pop((dom, cpath, name), None)
+                        continue
+                n_dom = sum(1 for (d, _, _) in self._store if d == dom)
+                if ((dom, cpath, name) not in self._store
+                        and n_dom >= self.MAX_PER_DOMAIN):
+                    continue
+                self._store[(dom, cpath, name)] = (
+                    morsel.value, expires, host_only,
+                    bool(morsel["secure"]))
+
+    def header_for(self, host: str, path: str,
+                   secure: bool = False) -> str | None:
+        import time as _t
+        now = _t.time()
+        out, dead = [], []
+        for (dom, cpath, name), (val, exp, host_only, sec) in \
+                self._store.items():
+            if exp is not None and exp <= now:
+                dead.append((dom, cpath, name))
+                continue
+            if sec and not secure:
+                continue
+            if host_only:
+                if host != dom:
+                    continue
+            elif not self._domain_match(host, dom):
+                continue
+            if not self._path_match(path or "/", cpath):
+                continue
+            out.append((cpath, name, val))
+        for k in dead:
+            self._store.pop(k, None)
+        if not out:
+            return None
+        # RFC 6265 5.4: longer (more specific) paths first
+        out.sort(key=lambda t: (-len(t[0]), t[1]))
+        return "; ".join(f"{n}={v}" for _, n, v in out)
+
+
 class StdlibHttpClient:
     """Blocking HTTP/1.1 client over stdlib ``http.client`` — the
     in-tree live-socket default (aiohttp is absent in this sandbox, and
@@ -55,11 +168,17 @@ class StdlibHttpClient:
     and connects by name."""
 
     def __init__(self, resolve=None, max_conns: int = 64,
-                 max_bytes: int | None = None):
+                 max_bytes: int | None = None,
+                 cookie_policy: str = "none"):
         import collections
         self.resolve = resolve
         self.max_conns = max_conns
         self.max_bytes = max_bytes
+        if cookie_policy not in ("none", "per_host"):
+            raise ValueError(f"unknown cookie_policy {cookie_policy!r}")
+        # reference default: the no-op jar (cocrawler/cookies.py
+        # "Defective"); "per_host" opts into the real RFC 6265 jar
+        self.jar = CookieJar() if cookie_policy == "per_host" else None
         self._conns: "collections.OrderedDict" = collections.OrderedDict()
 
     def _conn(self, scheme: str, host: str, port: int, timeout: float):
@@ -91,11 +210,23 @@ class StdlibHttpClient:
         host = u.hostname or ""
         port = u.port or (443 if scheme == "https" else 80)
         path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        req_headers = {"Host": u.netloc}
+        if self.jar is not None:
+            ck = self.jar.header_for(host, u.path or "/",
+                                     secure=scheme == "https")
+            if ck:
+                req_headers["Cookie"] = ck
         for attempt in (0, 1):
             key, conn, reused = self._conn(scheme, host, port, timeout)
             try:
-                conn.request("GET", path, headers={"Host": u.netloc})
+                conn.request("GET", path, headers=req_headers)
                 resp = conn.getresponse()
+                if self.jar is not None:
+                    # getheaders() collapses duplicate Set-Cookie lines
+                    # into one dict slot — read them all off the message
+                    self.jar.store(host,
+                                   resp.msg.get_all("Set-Cookie") or (),
+                                   default_path=u.path or "/")
                 if self.max_bytes is not None:
                     body = resp.read(self.max_bytes + 1)
                     truncated = len(body) > self.max_bytes
@@ -115,11 +246,13 @@ class StdlibHttpClient:
                 raise
 
 
-def _default_client(max_bytes: int | None = None):
+def _default_client(max_bytes: int | None = None,
+                    cookie_policy: str = "none"):
     # aiohttp (when present) would slot in here; the stdlib client is the
     # working live-socket default either way — one blocking request per
     # actor, pool-level concurrency.
-    return StdlibHttpClient(max_bytes=max_bytes)
+    return StdlibHttpClient(max_bytes=max_bytes,
+                            cookie_policy=cookie_policy)
 
 
 class HttpFetcherBackend:
@@ -129,10 +262,12 @@ class HttpFetcherBackend:
     them downstream in the multimodal stages)."""
 
     def __init__(self, part: int, client=None, timeout_s: float = 30.0,
-                 max_page_size: int = 1 << 20, resolver=None):
+                 max_page_size: int = 1 << 20, resolver=None,
+                 cookie_policy: str = "none"):
         self.part = part
         self.client = (client if client is not None
-                       else _default_client(max_bytes=max_page_size))
+                       else _default_client(max_bytes=max_page_size,
+                                            cookie_policy=cookie_policy))
         self.timeout_s = timeout_s
         self.max_page_size = max_page_size
         if resolver is not None:

@@ -85,3 +85,66 @@ def test_cli_status(cli_inputs, tmp_path, capsys):
     assert st["gens"] == s["gens"]
     assert st["last_checkpoint"]["fetched_total"] == s["fetched"]
     assert st["tables"]["fetched"] >= 1
+
+
+def test_cli_crawl_from_yaml_configfile(cli_inputs, tmp_path, capsys):
+    # reference launch parity: crawl.py --configfile config.yml
+    # --config Crawl.MaxDepth:N — file drives the crawl, dotted CLI
+    # overrides win over the file
+    d = cli_inputs
+    cfgfile = tmp_path / "config.yml"
+    cfgfile.write_text(
+        "Crawl:\n"
+        "  MaxDepth: 2\n"
+        "  MaxWorkers: 2\n"          # reference alias -> fetch_concurrency
+        "System:\n"
+        "  NumParts: 4\n"
+        "Fetcher:\n"
+        "  CookieJar: Defective\n"   # reference value -> policy "none"
+        "Logging:\n"
+        "  LoggingLevel: 2\n"        # unmodeled section -> extras
+    )
+    s = _run(["--seeds", str(d / "seeds.txt"), "--web-dir", str(d / "corpus"),
+              "--robots", str(d / "robots.parquet"),
+              "--out", str(tmp_path / "out"),
+              "--configfile", str(cfgfile),
+              "--config", "Crawl.MaxDepth:1"], capsys)
+    assert s["fetched"] > 0
+    # MaxDepth:1 override beat the file's 2: only seeds + depth-1 pages
+    assert s["gens"] <= 3
+
+
+def test_config_yaml_semantics(tmp_path):
+    from cocrawler_ray.config import CrawlConfig
+    f = tmp_path / "c.yml"
+    f.write_text(
+        "Crawl:\n"
+        "  MaxDepth: 3\n"
+        "  MaxCrawledUrls: 1000\n"
+        "  MaxTries: 2\n"
+        "Fetcher:\n"
+        "  CookieJar: Defective\n"
+        "GeoIP:\n"
+        "  DataDir: /nope\n"
+    )
+    cfg = CrawlConfig.from_yaml(str(f), "Crawl.MaxDepth:5", seed=7)
+    assert cfg.max_depth == 5          # override beats file
+    assert cfg.max_urls == 1000        # reference alias
+    assert cfg.max_tries == 2
+    assert cfg.cookie_policy == "none"  # Defective -> no-op jar
+    assert cfg.seed == 7               # kwargs beat everything
+    assert cfg.extras == {"GeoIP.DataDir": "/nope"}
+
+
+def test_config_overrides_accept_dotted_and_flat():
+    from cocrawler_ray.config import CrawlConfig
+    cfg = CrawlConfig.from_overrides(
+        "max_depth:3", "Crawl.MaxWorkers:9",
+        "Fetcher.CookieJar:per_host", "log_rejects:true")
+    assert cfg.max_depth == 3
+    assert cfg.fetch_concurrency == 9
+    assert cfg.cookie_policy == "per_host"
+    assert cfg.log_rejects is True
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        CrawlConfig.from_overrides("max_depht:3")  # flat typo still raises

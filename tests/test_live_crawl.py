@@ -248,3 +248,113 @@ def test_https_scheme_selects_tls_connection():
     assert isinstance(conn, http.client.HTTPSConnection) and not reused
     _, conn2, _ = client._conn("http", "example.invalid", 80, 5.0)
     assert not isinstance(conn2, http.client.HTTPSConnection)
+
+
+# --- cookie jar (reference: cocrawler/cookies.py — policy knob with a
+# no-op default and a real per-session jar) ----------------------------
+
+def _cookie_gated_server():
+    """GET /login sets a session cookie (plus a decoy for another path);
+    GET /secret returns 200 only when the session cookie comes back,
+    403 otherwise. Cross-host isolation: the cookie names the host."""
+    class CookieHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            host = (self.headers.get("Host") or "").split(":")[0]
+            if self.path == "/login":
+                body = b"<html>logged in</html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Set-Cookie",
+                                 f"session={host}-tok; Path=/")
+                self.send_header("Set-Cookie",
+                                 "scoped=x; Path=/other")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if self.path == "/secret":
+                sent = self.headers.get("Cookie") or ""
+                ok = f"session={host}-tok" in sent
+                bad = "scoped=x" in sent  # must NOT leak across paths
+                body = (b"<html>secret</html>"
+                        if ok and not bad else b"")
+                self.send_response(200 if ok and not bad else 403)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), CookieHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_cookie_gated_page_fetches_with_per_host_policy():
+    srv = _cookie_gated_server()
+    try:
+        port = srv.server_address[1]
+        be = HttpFetcherBackend(
+            0, client=StdlibHttpClient(
+                resolve=lambda h: ("127.0.0.1", port),
+                cookie_policy="per_host"))
+        out1 = be.fetch(_frontier_batch(["http://site-a.test/login",
+                                         "http://site-b.test/login"]))
+        assert out1.column("status").to_pylist() == [200, 200]
+        out2 = be.fetch(_frontier_batch(["http://site-a.test/secret",
+                                         "http://site-b.test/secret"]))
+        # each host's session cookie came back to ITS host only, and the
+        # /other-scoped decoy was not sent to /secret
+        assert out2.column("status").to_pylist() == [200, 200]
+        assert "secret" in out2.column("html").to_pylist()[0]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cookie_default_policy_sends_nothing():
+    srv = _cookie_gated_server()
+    try:
+        port = srv.server_address[1]
+        be = HttpFetcherBackend(
+            0, client=StdlibHttpClient(
+                resolve=lambda h: ("127.0.0.1", port)))  # policy: none
+        be.fetch(_frontier_batch(["http://site-a.test/login"]))
+        out = be.fetch(_frontier_batch(["http://site-a.test/secret"]))
+        assert out.column("status").to_pylist() == [403]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cookie_jar_semantics():
+    from cocrawler_ray.stages.http_fetch import CookieJar
+    jar = CookieJar()
+    # host-only cookie: exact host, not subdomains
+    jar.store("example.test", ["a=1; Path=/"])
+    assert jar.header_for("example.test", "/") == "a=1"
+    assert jar.header_for("sub.example.test", "/") is None
+    # domain cookie: host + subdomains, foreign domains rejected
+    jar.store("example.test", ["b=2; Domain=example.test; Path=/"])
+    jar.store("example.test", ["evil=3; Domain=other.test; Path=/"])
+    assert "b=2" in (jar.header_for("sub.example.test", "/") or "")
+    assert "evil" not in (jar.header_for("other.test", "/") or "")
+    # path scoping + RFC 6265 default-path derivation
+    jar.store("example.test", ["p=4"], default_path="/app/login")
+    assert "p=4" in jar.header_for("example.test", "/app/x")
+    assert "p=4" not in (jar.header_for("example.test", "/") or "")
+    # Max-Age=0 deletes; Secure withheld on http
+    jar.store("example.test", ["a=1; Path=/; Max-Age=0"])
+    assert "a=1" not in (jar.header_for("example.test", "/") or "")
+    jar.store("example.test", ["s=5; Path=/; Secure"])
+    assert "s=5" not in (jar.header_for("example.test", "/",
+                                        secure=False) or "")
+    assert "s=5" in jar.header_for("example.test", "/", secure=True)
