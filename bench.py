@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -362,6 +363,12 @@ def main() -> None:
     import ray
 
     probe = cpu_probe()  # before Ray spins up: clean machine-state marker
+    # parallelism-MATCHED probe: the VM's own achievable hash throughput
+    # at THIS leg's process count. (t/probe_matched) ratios across legs
+    # isolate engine scaling loss from the VM's multiprocessing ceiling
+    # (VERDICT r4 #7) — if the engine scaled as well as raw
+    # multiprocessing hashing does on this box, the cross-leg ratio is 1.
+    probe_matched = cpu_probe(procs=num_cpus)
     init_ray(num_cpus)
     import tempfile
 
@@ -381,6 +388,7 @@ def main() -> None:
         "sf": sf,
         "num_cpus": num_cpus,
         "cpu_probe_hps": probe,
+        "cpu_probe_matched_hps": probe_matched,
         "crawl": crawl,
     })
     ray.shutdown()
@@ -408,32 +416,97 @@ def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
     # the standard protocol for throughput on noisy shared hardware.
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     results: dict = {}
-    for _ in range(repeats):
+    pairs: list = []
+    for rep in range(repeats):
         # hi leg FIRST each repeat: the 8-CPU leg is phase-stable
         # (5.8-6.2k pages/s in every recorded run) while the 32-CPU leg
         # swings 4x with the VM's credit state — running it behind the
         # lo leg hands it a pre-drained budget and measures the VM, not
         # the engine (recorded: eff 0.285 with probe 2.07M->1.65M across
         # the two legs of one repeat).
+        rep_runs: dict = {}
         for cpus in (hi, lo):
+            # Pin each leg to exactly `cpus` cores (taskset; inherited
+            # by every Ray worker the child spawns). Without pinning a
+            # "num_cpus=8" Ray session on a 32-core box still spends
+            # its object-store/GCS/IO threads on the other 24 cores, so
+            # the lo leg over-performs and measured efficiency reads
+            # ~0.15 LOW (observed: unpinned 8-CPU legs at 8.2-9.6k
+            # pages/s vs the confined band 5.8-6.2k). Pinning makes the
+            # two legs an honest N-vs-4N-machine emulation.
+            cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-only",
+                   "--cpus", str(cpus)]
+            if (os.environ.get("GRAFT_SCALE_PIN", "1") == "1"
+                    and shutil.which("taskset")):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, str(REPO / "bench.py"), "--crawl-only",
-                 "--cpus", str(cpus)],
+                cmd,
                 capture_output=True, text=True, check=True, cwd=str(REPO), env=env)
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            rep_runs[cpus] = r
             if cpus not in results or (r["crawl"]["pages_per_sec"]
                                        > results[cpus]["crawl"]["pages_per_sec"]):
                 results[cpus] = r
+        # per-repeat MATCHED pair: raw efficiency plus the
+        # probe-NORMALIZED one — each leg's pages/s divided by the CPU
+        # probe measured right before that leg's Ray session, so the
+        # VM's credit-scheduler phase divides out and the residual is
+        # engine scaling loss (VERDICT r4 #7; the same-phase pure-CPU
+        # multiprocessing ceiling of this VM measured 0.53-0.69).
+        t_lo = rep_runs[lo]["crawl"]["pages_per_sec"]
+        t_hi = rep_runs[hi]["crawl"]["pages_per_sec"]
+        p_lo = rep_runs[lo].get("cpu_probe_hps") or 0
+        p_hi = rep_runs[hi].get("cpu_probe_hps") or 0
+        pm_lo = rep_runs[lo].get("cpu_probe_matched_hps") or 0
+        pm_hi = rep_runs[hi].get("cpu_probe_matched_hps") or 0
+        raw = (t_hi / t_lo) / (hi / lo)
+        # the 16-proc phase probe is only a valid cross-leg normalizer
+        # when both legs see the whole machine; under taskset pinning it
+        # measures each leg's CONFINED capacity (16 procs on 8 cores
+        # saturate the 8 cores), so the (hi/lo) divisor double-counts
+        # the core difference — the matched-probe vs_mp metric below is
+        # the meaningful one there
+        pinned = (os.environ.get("GRAFT_SCALE_PIN", "1") == "1"
+                  and shutil.which("taskset") is not None)
+        norm = ((t_hi / p_hi) / (t_lo / p_lo)) / (hi / lo) \
+            if p_lo and p_hi and not pinned else None
+        # engine-vs-multiprocessing-ceiling: pm_* already scales with
+        # the leg's parallelism, so NO hi/lo factor — 1.0 means the
+        # engine scaled exactly as well as raw mp hashing on this box
+        vs_mp = ((t_hi / pm_hi) / (t_lo / pm_lo)) \
+            if pm_lo and pm_hi else None
+        pairs.append({
+            "repeat": rep,
+            "pages_per_sec": {str(lo): t_lo, str(hi): t_hi},
+            "cpu_probe_hps": {str(lo): p_lo, str(hi): p_hi},
+            "cpu_probe_matched_hps": {str(lo): pm_lo, str(hi): pm_hi},
+            "eff_raw": round(raw, 3),
+            "eff_probe_normalized": (round(norm, 3)
+                                     if norm is not None else None),
+            "eff_vs_mp_ceiling": (round(vs_mp, 3)
+                                  if vs_mp is not None else None),
+        })
 
     thr_lo = results[lo]["crawl"]["pages_per_sec"]
     thr_hi = results[hi]["crawl"]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    norms = sorted(p["eff_probe_normalized"] for p in pairs
+                   if p["eff_probe_normalized"] is not None)
+    norm_med = norms[len(norms) // 2] if norms else None
+    vs_mps = sorted(p["eff_vs_mp_ceiling"] for p in pairs
+                    if p["eff_vs_mp_ceiling"] is not None)
     emit({
         "metric": f"crawl scaling efficiency {lo}->{hi} cpus (fresh sessions, same input)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf,
         "num_cpus": hi,
+        "eff_probe_normalized_median": norm_med,
+        "eff_probe_normalized_best": norms[-1] if norms else None,
+        "eff_vs_mp_ceiling_median": (vs_mps[len(vs_mps) // 2]
+                                     if vs_mps else None),
+        "eff_vs_mp_ceiling_best": vs_mps[-1] if vs_mps else None,
+        "pairs": pairs,
         "runs": {str(c): results[c]["crawl"] for c in (lo, hi)},
         "pages_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
         "cpu_probe_hps": {str(c): results[c].get("cpu_probe_hps")

@@ -5107,6 +5107,68 @@ def q_pld_rollup(sf_dir: str):
         ["pld"], roll)
 
 
+@_q("q_psl_extract", """
+WITH h AS (SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN 'site'  || CAST(doc_id % 20 AS VARCHAR) || '.com'
+      WHEN 1 THEN 'site'  || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+      WHEN 2 THEN 'site'  || CAST(doc_id % 20 AS VARCHAR) || '.com.au'
+      WHEN 3 THEN 'w'     || CAST(doc_id % 20 AS VARCHAR)
+                          || '.ward.kawasaki.jp'
+      WHEN 4 THEN 'city.kawasaki.jp'
+      WHEN 5 THEN 'u'     || CAST(doc_id % 20 AS VARCHAR) || '.github.io'
+      WHEN 6 THEN 'site'  || CAST(doc_id % 20 AS VARCHAR) || '.k12.ca.us'
+      ELSE 'intranet' || CAST(doc_id % 20 AS VARCHAR) END AS pld
+  FROM documents)
+SELECT pld, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY pld
+""")
+def q_psl_extract(sf_dir: str):
+    # Public-Suffix-List extraction conformance over every rule style
+    # (cocrawler_ray/psl.py; reference cocrawler/urls.py::URL via
+    # tldextract): constructed hosts hit a plain gTLD, two-part ccTLD
+    # registries (co.uk / com.au), a WILDCARD registry (*.kawasaki.jp:
+    # the ward is a public suffix, so the PLD keeps the subdomain), an
+    # EXCEPTION rule (!city.kawasaki.jp: city.kawasaki.jp IS the PLD
+    # despite the wildcard), a PRIVATE-section hosting suffix
+    # (github.io), the systematic us k12 tree, and a single-label
+    # intranet host (returned unchanged). The engine runs the real
+    # vectorized extractor on subdomain-decorated hosts; the SQL states
+    # the expected eTLD+1 analytically. One exchange on the pld key.
+    def mk(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        k = (d % 20).astype(str)
+        forms = np.empty(len(d), dtype=object)
+        sel = d % 8
+        forms[sel == 0] = np.char.add(np.char.add(
+            "www.site", k[sel == 0]), ".com")
+        forms[sel == 1] = np.char.add(np.char.add(
+            "a.b.site", k[sel == 1]), ".co.uk")
+        forms[sel == 2] = np.char.add(np.char.add(
+            "cdn.site", k[sel == 2]), ".com.au")
+        forms[sel == 3] = np.char.add(np.char.add(
+            "w", k[sel == 3]), ".ward.kawasaki.jp")
+        forms[sel == 4] = "sub.city.kawasaki.jp"
+        forms[sel == 5] = np.char.add(np.char.add(
+            "www.u", k[sel == 5]), ".github.io")
+        forms[sel == 6] = np.char.add(np.char.add(
+            "cdn.site", k[sel == 6]), ".k12.ca.us")
+        forms[sel == 7] = np.char.add("intranet", k[sel == 7])
+        pld = urls.registrable_domain_batch(forms.astype(str))
+        return pa.table({"pld": pa.array(pld, pa.string())})
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pld": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return (df.groupby("pld", sort=False).size().rename("n")
+                .reset_index())
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "documents", ["doc_id"]).map_batches(
+            mk, batch_format="pyarrow"),
+        ["pld"], cnt)
+
+
 @_q("q_salted_distinct", """
 SELECT user_id,
        CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -7651,6 +7713,56 @@ def q_sitemap_extract(sf_dir: str):
 
     return (read(sf_dir, "documents", ["doc_id"])
             .map_batches(build_and_extract, batch_format="pyarrow"))
+
+
+@_q("q_change_rate", """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS x,
+       ROUND(-ln((count(*)
+                  - sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                  + 0.5) / (count(*) + 0.5)), 6) AS rate
+FROM events GROUP BY user_id
+""")
+def q_change_rate(sf_dir: str):
+    # Cho & Garcia-Molina Poisson change-frequency estimator (the
+    # recrawl-scheduling statistic for INCOMPLETE change observation —
+    # "page changed since last visit" is a censored Poisson count, so
+    # the naive X/n underestimates; the bias-corrected MLE is
+    # r = -ln((n - X + 0.5)/(n + 0.5)) changes per revisit interval).
+    # Sibling of q_recrawl_priority's Laplace-smoothed rate; this is
+    # the estimator a change-adaptive frontier feeds into its revisit
+    # period. Events stand in for the fetch log (entity = user_id,
+    # "changed" = every 3rd event id). One entity exchange; per-entity
+    # (n, X) fold vectorized in the partition reduce; the log runs on
+    # exactly the same rational inputs on both sides, and the result
+    # STAYS a Dataset (entity domain is SF-scaled).
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "x": pd.Series([], dtype=np.int64),
+                                 "rate": pd.Series([], dtype=np.float64)})
+        g = (df.groupby("user_id", sort=False)
+             .agg(n=("changed", "size"), x=("changed", "sum"))
+             .reset_index())
+        n = g["n"].to_numpy(np.float64)
+        x = g["x"].to_numpy(np.float64)
+        g["rate"] = np.round(-np.log((n - x + 0.5) / (n + 0.5)), 6)
+        return g.astype({"user_id": np.int64, "n": np.int64,
+                         "x": np.int64})
+
+    def prep(t: pa.Table) -> pa.Table:
+        ev = t.column("event_id").to_numpy()
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "changed": pa.array((ev % 3 == 0).astype(np.int64))})
+
+    return exchange.grouped_shuffle(
+        read(sf_dir, "events", ["user_id", "event_id"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["user_id"], fold)
 
 
 @_q("q_recrawl_priority", """

@@ -50,13 +50,26 @@ class WARCWriter:
 
     def __init__(self, dest_dir: str, prefix: str = "crawl",
                  max_size: int = 1 << 30, date: str = "2026-01-01T00:00:00Z",
-                 software: str = "cocrawler-ray/2.0"):
+                 software: str = "cocrawler-ray/2.0",
+                 dedup_revisits: bool = False,
+                 max_digests: int = 1 << 20):
         self.dest = Path(dest_dir)
         self.dest.mkdir(parents=True, exist_ok=True)
         self.prefix = prefix
         self.max_size = max_size
         self.date = date
         self.software = software
+        # WARC 1.0 revisit records (identical-payload-digest profile):
+        # a 200 whose payload digest was already written in THIS series
+        # becomes a headers-only revisit record pointing at the first
+        # capture — the standard archive-side dedup for recrawls and
+        # mirrored content. Per-writer digest memory is capped
+        # (max_digests); past the cap new digests simply write full
+        # responses again (correct, just less compact).
+        self.dedup_revisits = dedup_revisits
+        self.max_digests = max_digests
+        self._digests: dict[str, str] = {}
+        self.revisit_count = 0
         self.serial = -1
         self._fh: io.BufferedWriter | None = None
         self._rotate()
@@ -109,12 +122,32 @@ class WARCWriter:
                      f"Content-Length: {len(payload)}"]
         if location:
             http_head.append(f"Location: {location}")
+        digest = sha1_b32(payload)
+        if self.dedup_revisits and status == 200:
+            first_url = self._digests.get(digest)
+            if first_url is not None:
+                # WARC 1.0 §6.7.2 revisit, identical-payload-digest
+                # profile: HTTP headers only, no payload bytes
+                head_http = ("\r\n".join(http_head) + "\r\n\r\n").encode()
+                self._write_member(_record(
+                    "revisit", resp_id, self.date,
+                    [("WARC-Target-URI", url),
+                     ("WARC-Profile", "http://netpreserve.org/warc/1.0/"
+                                      "revisit/identical-payload-digest"),
+                     ("WARC-Refers-To-Target-URI", first_url),
+                     ("Content-Type",
+                      "application/http; msgtype=response"),
+                     ("WARC-Payload-Digest", digest)], head_http))
+                self.revisit_count += 1
+                return
+            if len(self._digests) < self.max_digests:
+                self._digests[digest] = url
         resp_http = ("\r\n".join(http_head) + "\r\n\r\n").encode() + payload
         self._write_member(_record(
             "response", resp_id, self.date,
             [("WARC-Target-URI", url),
              ("Content-Type", "application/http; msgtype=response"),
-             ("WARC-Payload-Digest", sha1_b32(payload))], resp_http))
+             ("WARC-Payload-Digest", digest)], resp_http))
 
     def close(self) -> None:
         if self._fh is not None:
@@ -124,10 +157,16 @@ class WARCWriter:
 
 def write_batch(t: pa.Table, dest_dir: str, part_name: str,
                 max_size: int = 1 << 30,
-                date: str = "2026-01-01T00:00:00Z") -> int:
+                date: str = "2026-01-01T00:00:00Z",
+                dedup_revisits: bool = False) -> int:
     """Render one fetched-table batch as its own WARC series (one series
-    per part => a re-run overwrites rather than appends: resumable)."""
-    w = WARCWriter(dest_dir, prefix=part_name, max_size=max_size, date=date)
+    per part => a re-run overwrites rather than appends: resumable).
+    ``dedup_revisits``: repeated payloads within the series become
+    headers-only revisit records (digest scope is per-series, matching
+    the partition-resumable layout — cross-series dedup would make a
+    series' bytes depend on other partitions' completion order)."""
+    w = WARCWriter(dest_dir, prefix=part_name, max_size=max_size, date=date,
+                   dedup_revisits=dedup_revisits)
     urls = t.column("url").to_pylist()
     gens = t.column("gen").to_pylist()
     statuses = t.column("status").to_pylist()

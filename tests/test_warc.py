@@ -162,3 +162,45 @@ def test_parse_http_response_header_edge_cases():
     assert ctype == "text/html"
     assert loc == "http://a.test/target"
     assert payload == b"BODY"
+
+
+def test_warc_revisit_records_identical_payload_digest(tmp_path):
+    """dedup_revisits: a repeated 200 payload becomes a headers-only
+    revisit record (WARC 1.0 identical-payload-digest profile) pointing
+    at the first capture; distinct payloads and non-200s still write
+    full responses."""
+    body = b"<html>same body</html>"
+    w = warc.WARCWriter(str(tmp_path), prefix="rv", dedup_revisits=True)
+    w.write_fetch("http://h0001.test/p000001", 0, 200, body)
+    w.write_fetch("http://h0002.test/mirror", 0, 200, body)      # dup
+    w.write_fetch("http://h0001.test/p000002", 0, 200, b"other")
+    w.write_fetch("http://h0003.test/gone", 0, 404, b"")
+    w.write_fetch("http://h0003.test/gone2", 0, 404, b"")  # 404s never dedup
+    w.close()
+    assert w.revisit_count == 1
+    recs = warc.read_warc_records(str(tmp_path / "rv-00000.warc.gz"))
+    by_type = [r["WARC-Type"] for r in recs]
+    assert by_type.count("revisit") == 1
+    assert by_type.count("response") == 4  # first 200, "other", two 404s
+    rv = next(r for r in recs if r["WARC-Type"] == "revisit")
+    assert rv["WARC-Target-URI"] == "http://h0002.test/mirror"
+    assert rv["WARC-Refers-To-Target-URI"] == "http://h0001.test/p000001"
+    assert rv["WARC-Profile"].endswith("identical-payload-digest")
+    assert rv["WARC-Payload-Digest"] == warc.sha1_b32(body)
+    # headers-only block: no payload bytes after the HTTP head
+    head, _, payload = rv["block"].partition(b"\r\n\r\n")
+    assert head.startswith(b"HTTP/1.1 200 OK") and payload == b""
+
+
+def test_warc_default_off_keeps_bytes_identical(tmp_path):
+    """The revisit knob must not perturb the default golden byte
+    stream."""
+    a = warc.WARCWriter(str(tmp_path / "a"), prefix="t")
+    b = warc.WARCWriter(str(tmp_path / "b"), prefix="t",
+                        dedup_revisits=False)
+    for w in (a, b):
+        w.write_fetch("http://h.test/x", 0, 200, b"dup")
+        w.write_fetch("http://h.test/y", 0, 200, b"dup")
+        w.close()
+    assert ((tmp_path / "a" / "t-00000.warc.gz").read_bytes()
+            == (tmp_path / "b" / "t-00000.warc.gz").read_bytes())
