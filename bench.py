@@ -429,11 +429,10 @@ def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
             # Pin each leg to exactly `cpus` cores (taskset; inherited
             # by every Ray worker the child spawns). Without pinning a
             # "num_cpus=8" Ray session on a 32-core box still spends
-            # its object-store/GCS/IO threads on the other 24 cores, so
-            # the lo leg over-performs and measured efficiency reads
-            # ~0.15 LOW (observed: unpinned 8-CPU legs at 8.2-9.6k
-            # pages/s vs the confined band 5.8-6.2k). Pinning makes the
-            # two legs an honest N-vs-4N-machine emulation.
+            # its object-store/GCS/IO threads on the other 24 cores —
+            # pinning makes the two legs an honest N-vs-4N-machine
+            # emulation. Same-phase side-by-side (2026-08-20): unpinned
+            # pairs read 0.59-0.68 raw, pinned 0.63-0.74.
             cmd = [sys.executable, str(REPO / "bench.py"), "--crawl-only",
                    "--cpus", str(cpus)]
             if (os.environ.get("GRAFT_SCALE_PIN", "1") == "1"

@@ -47,9 +47,13 @@ def main() -> int:
 
     import logging
 
+    import os
+
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("GRAFT_CHECK_CPUS", "8")),
+                 include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
