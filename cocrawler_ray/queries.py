@@ -1961,7 +1961,9 @@ def q_cumsum(sf_dir: str):
 
 @_q("q_rollup_revenue", """
 SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             + 50) // 100 AS BIGINT) / 100.0 AS rev,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1977,6 +1979,12 @@ def q_rollup_revenue(sf_dir: str):
     # reduces through the combiner at the FINEST level only, and the
     # coarser rollup levels are derived from the (O(nations)) result — the
     # rollup itself never rescans or reshuffles the fact table.
+    # Revenue accumulates as EXACT int64 hundredths-of-cents (TPC-H
+    # prices/discounts are 2-decimal, so ep*(1-d) is exact in units of
+    # 1e-4) with integer half-up rounding to cents: a distributed sum of
+    # doubles associates differently than DuckDB's sequential sum and
+    # flipped a half-cent boundary at sf1 (~3e11 totals); int64 holds to
+    # ~6e18 = sf1000 fact mass.
     nat = read(sf_dir, "nation",
                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -1988,9 +1996,10 @@ def q_rollup_revenue(sf_dir: str):
         ["s_suppkey", "n_name", "r_name"])
 
     def disc(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_suppkey": t["l_suppkey"], "rev_raw": rev})
+        ep = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "rev_raw": pa.array(ep * (100 - dc), pa.int64())})
 
     fact = (read(sf_dir, "lineitem",
                  ["l_suppkey", "l_extendedprice", "l_discount"])
@@ -2006,8 +2015,9 @@ def q_rollup_revenue(sf_dir: str):
                           "rev_raw": [fine["rev_raw"].sum()],
                           "n": [fine["n"].sum()]})
     out = pd.concat([fine, region, total], ignore_index=True)
+    cents = (out["rev_raw"].to_numpy(np.int64) + 50) // 100
     return pd.DataFrame({"r_name": out["r_name"], "n_name": out["n_name"],
-                         "rev": out["rev_raw"].round(2),
+                         "rev": cents / 100.0,
                          "n": out["n"].astype(np.int64)})
 
 
@@ -2255,13 +2265,16 @@ def q_left_join(sf_dir: str):
 
 @_q("q_revenue_share", """
 WITH r AS (
-  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS raw
+  SELECT n_name,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS raw
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
   GROUP BY n_name)
-SELECT n_name, ROUND(raw, 2) AS rev,
-       ROUND(ROUND(raw, 2) / sum(ROUND(raw, 2)) OVER (), 6) AS share
+SELECT n_name, CAST((raw + 50) // 100 AS BIGINT) / 100.0 AS rev,
+       ROUND(CAST(raw AS DOUBLE) / sum(CAST(raw AS DOUBLE)) OVER (), 6)
+           AS share
 FROM r
 """)
 def q_revenue_share(sf_dir: str):
@@ -2271,15 +2284,20 @@ def q_revenue_share(sf_dir: str):
     # scan. Supplier is SF-scaled, so its nation lookup composes
     # DISTRIBUTED (nation broadcasts into the supplier scan) and the fact
     # side joins via auto_join — no driver gather of supplier rows.
+    # Revenue accumulates as EXACT int64 1e-4 units with integer half-up
+    # cent rounding (q_rollup_revenue rationale: double-sum association
+    # flipped a half-cent at sf1); the share divides the exact ints as
+    # identical doubles on both sides.
     nat = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     dim = joins.broadcast_join(
         read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
         nat[["n_nationkey", "n_name"]], "s_nationkey", "n_nationkey")
 
     def disc(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_suppkey": t["l_suppkey"], "raw": rev})
+        ep = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        dc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "raw": pa.array(ep * (100 - dc), pa.int64())})
 
     fine = partial_groupby_agg(
         joins.auto_join(
@@ -2288,9 +2306,11 @@ def q_revenue_share(sf_dir: str):
             .map_batches(disc, batch_format="pyarrow"),
             dim, "l_suppkey", "s_suppkey"),
         ["n_name"], {"raw": ("raw", "sum")})
-    rev = fine["raw"].round(2)
-    return pd.DataFrame({"n_name": fine["n_name"], "rev": rev,
-                         "share": (rev / rev.sum()).round(6)})
+    raw = fine["raw"].to_numpy(np.int64)
+    return pd.DataFrame({"n_name": fine["n_name"],
+                         "rev": ((raw + 50) // 100) / 100.0,
+                         "share": np.round(raw.astype(np.float64)
+                                           / float(raw.sum()), 6)})
 
 
 @_q("q_dense_rank", """
