@@ -951,6 +951,37 @@ def pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
             + f"\nSELECT node, ROUND(r, 6) AS pr FROM {prev}")
 
 
+def opic_sql(iters: int = 3) -> str:
+    """Unrolled fixed-iteration OPIC over the constructed doc link graph
+    (same edges as pagerank_sql) — SQL restatement of
+    stages/graph.py::opic: cash flows c_t -> c_{t+1} along edges (no
+    damping, no teleport), importance = ROUND(sum of c_0..c_K, 6)."""
+    ctes = [
+        "nn AS (SELECT count(*) AS N FROM documents)",
+        """edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT N FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT N FROM nn) FROM documents)""",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src)",
+        "c0 AS (SELECT doc_id AS node, 1.0 / (SELECT N FROM nn) AS r FROM documents)",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT d.doc_id AS node, COALESCE(m.s, 0) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / g.outdeg) AS s
+    FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) m ON m.node = d.doc_id)""")
+        prev = f"c{i}"
+    total = " + ".join(f"c{i}.r" for i in range(iters + 1))
+    joins_sql = " ".join(f"JOIN c{i} ON c{i}.node = d.doc_id"
+                         for i in range(iters + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT d.doc_id AS node, ROUND({total}, 6) AS imp"
+            + f"\nFROM documents d {joins_sql}")
+
+
 def pagerank_personalized_sql(iters: int = 3, damping: float = 0.85,
                               seed_mod: int = 20) -> str:
     """Unrolled personalized PageRank over the constructed doc graph:

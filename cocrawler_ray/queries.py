@@ -1471,6 +1471,20 @@ def q_pagerank(sf_dir: str):
         batch_format="pandas")
 
 
+@_q("q_opic", oracles.opic_sql(3))
+def q_opic(sf_dir: str):
+    # OPIC (Abiteboul-Preda-Cobena) — the online crawl-frontier
+    # importance measure: cash distributes along out-links each
+    # superstep, history banks held cash, importance = history + cash.
+    # Unlike PageRank its partial result is meaningful every round,
+    # which is why adaptive crawlers compute it WHILE crawling. Same
+    # BSP machinery as q_pagerank (mode "opic": conservation, no
+    # teleport); the oracle unrolls the identical three cash rounds.
+    from cocrawler_ray.stages.graph import opic
+    nodes, edges, n_total = _doc_link_graph(sf_dir)
+    return opic(nodes, edges, iters=3, n_total=n_total)
+
+
 def _bfs_sql(iters: int = 4, seed_mod: int = 97) -> str:
     """Unrolled fixed-depth BFS over the constructed doc link graph
     (same edge formula as q_pagerank): level i = distinct successors of

@@ -82,7 +82,7 @@ def _contrib_split(mode: str, damping: float, P: int, E: pa.Table,
         # Message volume tracks the frontier, not the reached set.
         s = s[s["label"].to_numpy() == np.int64(rnd)]
     j = e.merge(s, left_on="src", right_on="node", how="inner")
-    if mode in ("sum", "psum"):
+    if mode in ("sum", "psum", "opic"):
         c = damping * j["r"].to_numpy() / j["outdeg"].to_numpy()
     elif mode == "dist":
         c = j["label"].to_numpy() + 1
@@ -107,6 +107,20 @@ def _fold(mode: str, base: float, S: pa.Table, *subs: pa.Table) -> pa.Table:
     s = S.to_pandas()
     m = _merge(*subs).to_pandas() if subs else pd.DataFrame(
         {"node": [], "c": []})
+    if mode == "opic":
+        # OPIC superstep: history banks the cash the node held THIS
+        # round, then the node's new cash is exactly what flowed in
+        # (cash is conserved along edges; no teleport, damping = 1)
+        r_new = np.zeros(len(s))
+        if len(m):
+            agg = m.groupby("node", sort=False)["c"].sum()
+            pos = s.set_index("node").index.get_indexer(agg.index)
+            r_new[pos[pos >= 0]] += agg.to_numpy()[pos >= 0]
+        return pa.Table.from_pandas(pd.DataFrame({
+            "node": s["node"].to_numpy(),
+            "r": r_new,
+            "h": (s["h"].to_numpy(np.float64)
+                  + s["r"].to_numpy(np.float64))}), preserve_index=False)
     if mode in ("sum", "psum"):
         agg = m.groupby("node", sort=False)["c"].sum() if len(m) else None
         # "psum" (personalized): the teleport base is PER-NODE, carried
@@ -200,6 +214,56 @@ def pagerank(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 3,
                "sum", iters, damping, base, P)
     return out.map_batches(lambda t: t.select(["node", "r"]),
                            batch_format="pyarrow")
+
+
+def opic(nodes: rd.Dataset, edges: rd.Dataset, iters: int = 3,
+         num_partitions: int | None = None,
+         n_total: int | None = None) -> rd.Dataset:
+    """On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+    WWW 2003) — the crawl-frontier importance measure designed to be
+    computed WHILE crawling: each page holds "cash", distributes it
+    equally to its out-links each superstep, and banks its held cash
+    into "history"; importance after K rounds is history + cash
+    (∝ Σ of the cash sequence — converges to PageRank-like importance
+    without damping/teleport, and unlike PageRank the partial result is
+    meaningful at every round, which is what lets an online crawler
+    prioritize from it). Batch-synchronous restatement on the same BSP
+    as :func:`pagerank` (edges pre-split ONCE, only cash messages
+    move); cash leaks at dangling nodes (no virtual node), the
+    convention the unrolled SQL oracle restates. Returns
+    (node, imp:float64 rounded 6)."""
+    if n_total is None:
+        n_total = nodes.count()
+    P = _pick_p(n_total, num_partitions)
+
+    from cocrawler_ray.stages.exchange import grouped_shuffle, hash_join
+    deg_ds = rd.from_arrow_refs(
+        [ray.remote(_degree_table).remote(r) for r in edges.to_arrow_refs()])
+    deg_full = grouped_shuffle(
+        deg_ds, ["src"],
+        lambda df: (df.groupby("src", sort=False)["outdeg"].sum()
+                    .astype(np.float64).reset_index()),
+        num_partitions=P)
+    edges_w = hash_join(edges, deg_full, on=["src"], num_partitions=P)
+
+    def init(t: pa.Table) -> pa.Table:
+        return (t.append_column(
+            "r", pa.array(np.full(t.num_rows, 1.0 / n_total), pa.float64()))
+            .append_column(
+            "h", pa.array(np.zeros(t.num_rows), pa.float64())))
+
+    state0 = nodes.map_batches(init, batch_format="pyarrow")
+    out = _bsp(_presplit(state0, ["node"], P),
+               _presplit(edges_w, ["src"], P),
+               "opic", iters, 1.0, 0.0, P)
+
+    def finish(t: pa.Table) -> pa.Table:
+        imp = np.round(t.column("h").to_numpy()
+                       + t.column("r").to_numpy(), 6)
+        return pa.table({"node": t.column("node"),
+                         "imp": pa.array(imp, pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _degree_table(t: pa.Table) -> pa.Table:
