@@ -864,3 +864,37 @@ def test_label_propagation_two_cliques(ray_session):
     assert (labs[:4] == 0).all()          # clique 1 converges to min id 0
     assert (labs[4:] == labs[4]).all()    # clique 2 is ONE community...
     assert labs[4] != 0                   # ...separate from clique 1
+
+
+def test_opic_matches_dense_iteration_and_conserves_cash(ray_session):
+    import ray.data as rd
+    from cocrawler_ray.stages.graph import opic
+
+    rng = np.random.default_rng(43)
+    N, E = 50, 240
+    src = rng.integers(0, N, E).astype(np.int64)
+    dst = rng.integers(0, N, E).astype(np.int64)
+    # ensure NO dangling nodes so cash is conserved exactly
+    missing = np.setdiff1d(np.arange(N), np.unique(src))
+    src = np.concatenate([src, missing])
+    dst = np.concatenate([dst, (missing + 1) % N])
+    nodes = pd.DataFrame({"node": np.arange(N, dtype=np.int64)})
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    got = (opic(rd.from_pandas(nodes).repartition(4),
+                rd.from_pandas(edges).repartition(3), iters=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # dense reference: cash flows c -> c' along edges; imp = sum of the
+    # cash sequence c0..c3
+    deg = np.bincount(src, minlength=N).astype(float)
+    c = np.full(N, 1.0 / N)
+    imp = c.copy()
+    for _ in range(3):
+        nxt = np.zeros(N)
+        np.add.at(nxt, dst, c[src] / deg[src])
+        c = nxt
+        imp += c
+    np.testing.assert_allclose(got["imp"].to_numpy(), np.round(imp, 6),
+                               rtol=0, atol=1e-9)
+    # cash conservation: total importance = (iters + 1) * total cash
+    # (tolerance: N values each rounded to 6dp -> up to N*5e-7 drift)
+    assert abs(got["imp"].sum() - 4.0) < 5e-5

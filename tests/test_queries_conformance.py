@@ -98,7 +98,15 @@ def test_query_matches_oracle(name, ray_session, duck):
 
 def test_priority_window_covers_every_family():
     """The first 50 registered queries (the driver's hard-check window)
-    must stay one-per-family complete and fully SQL-oracled."""
+    must stay fully SQL-oracled and match _PRIORITY exactly. ROUND-5
+    ROTATION: the window is 50 queries that have NEVER had a driver row
+    in rounds 1-4 (cumulative driver coverage 123/269 before this
+    round); every rotated-out query is driver-proven in a prior
+    CORRECTNESS_r0x.json and stays green in this suite + the local
+    sweep."""
+    import json
+    from pathlib import Path
+
     from cocrawler_ray.queries import ORACLE, QUERIES, _PRIORITY
 
     names = list(QUERIES)
@@ -106,40 +114,24 @@ def test_priority_window_covers_every_family():
     assert names[:50] == _PRIORITY
     # every window query has a full value-hash oracle (not rows-only)
     assert all(n in ORACLE for n in names[:50])
-    # spot-pin one representative per family; the round-4 rotations add
-    # the never-driver-proven families the round-3 verdict called out
-    # (q_token_pack/q_tfidf/q_pagerank/q_clip_score_gate etc. rotated
-    # OUT in the final round-4 rotation — r01-r03-driver-proven, still
-    # green in this suite)
-    for must in ("q_decontaminate",
-                 # sixth-session rotation: q_minhash_dedup / q_ann_ivf /
-                 # q_approx_distinct / q_bloom rotated OUT (driver-proven
-                 # r01-r03, still green here); first driver rows for the
-                 # four sixth-session operators
-                 "q_sssp", "q_label_prop", "q_int8_ann", "q_winnow_overlap",
-                 # round-4 rotation: families gaining their first driver row
-                 "q_substring_dup", "q_hits", "q_kcore", "q_triangle_count",
-                 "q_local_supplier_volume", "q_nation_volume", "q_custdist",
-                 "q_supplier_cnt", "q_window_frame", "q_rank_events",
-                 "q_hot_keys", "q_bm25", "q_bloom_semijoin",
-                 "q_watermark_late", "q_quantile_rank",
-                 "q_latency_percentile",
-                 # final round-4 rotation: the late-round operators
-                 "q_sharpness_gate", "q_edge_density",
-                 "q_augment_checksum", "q_mip_pyramid", "q_gamma_hist",
-                 "q_winsorize", "q_shingle_containment",
-                 # fifth-session rotation: this session's 12 new
-                 # operators each gain their first driver row
-                 # (q_semantic_dedup/q_curate_corpus/q_tfidf/
-                 # q_sessionize etc. rotated OUT — driver-proven
-                 # r01-r03, still green in this suite)
-                 "q_rfm_segments", "q_blob_count", "q_rle_runs",
-                 "q_mirror_hosts", "q_gap_fill", "q_random_projection",
-                 "q_kmeans_update", "q_vocab_drift", "q_attribution",
-                 "q_unchanged_revisits", "q_conversion_lag",
-                 "q_budget_alloc",
-                 # late fifth-session swaps: three more first driver
-                 # rows (q_source_mix/q_curate_images/q_skew_hybrid_join
-                 # rotated OUT — driver-proven r01-r03, still green)
-                 "q_tail_slo", "q_rrf_fusion", "q_selfjoin_size"):
+    # the rotation contract itself: NO window entry appears in any prior
+    # round's driver correctness record
+    prior = set()
+    for f in sorted(Path("/root/repo").glob("CORRECTNESS_r0[1-4].json")):
+        try:
+            prior |= set(json.loads(f.read_text()).keys())
+        except Exception:
+            pass
+    if prior:
+        overlap = [n for n in names[:50] if n in prior]
+        assert not overlap, f"window entries already driver-proven: {overlap}"
+    # representatives of each family in the round-5 window, including
+    # the round-5-rewritten Dataset-pair dedup paths and the new PSL /
+    # Otsu / hill-tail surfaces
+    for must in ("q_dense_rank", "q_topk_per_group", "q_full_outer_join",
+                 "q_rollup_revenue", "q_grouping_sets", "q_pmi_bigrams",
+                 "q_pii_redact", "q_bpe_merges", "q_caption_phash_dedup",
+                 "q_cluster_sizes", "q_text_clusters", "q_pq_topk",
+                 "q_maxsim", "q_dhash", "q_scene_cut", "q_otsu_threshold",
+                 "q_sitemap_extract", "q_url_trap", "q_hill_tail"):
         assert must in names[:50], must
