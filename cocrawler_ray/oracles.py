@@ -1937,6 +1937,42 @@ FROM c GROUP BY d
 """
 
 
+def ycc_subsample_sql(n: int = N_IMAGES, busy_range: int = 16) -> str:
+    """q_ycc_subsample: fixed-point BT.601 RGB→YCbCr (biased
+    non-negative dividends so DuckDB's trunc // equals numpy's floor
+    division) + the 4:2:0 busy-block census — 2x2 blocks whose chroma
+    range exceeds ``busy_range`` in either plane."""
+    return f"""
+WITH {_px_ctes(n)},
+rgb AS (SELECT d, x, y,
+               sum(CASE WHEN ch = 0 THEN p END) AS r,
+               sum(CASE WHEN ch = 1 THEN p END) AS g,
+               sum(CASE WHEN ch = 2 THEN p END) AS b
+        FROM px GROUP BY 1, 2, 3),
+ycc AS (SELECT d, x, y,
+               (77*r + 150*g + 29*b) // 256 AS yy,
+               (-43*r - 85*g + 128*b + 32768) // 256 AS cb,
+               (128*r - 107*g - 21*b + 32768) // 256 AS cr
+        FROM rgb),
+sums AS (SELECT d, CAST(sum(yy) AS BIGINT) AS sum_y,
+                CAST(sum(cb) AS BIGINT) AS sum_cb,
+                CAST(sum(cr) AS BIGINT) AS sum_cr
+         FROM ycc GROUP BY d),
+blk AS (SELECT d, x // 2 AS bx, y // 2 AS by,
+               max(cb) - min(cb) AS rcb, max(cr) - min(cr) AS rcr
+        FROM ycc GROUP BY 1, 2, 3),
+bz AS (SELECT d,
+              CAST(sum(CASE WHEN rcb > {busy_range}
+                             OR rcr > {busy_range}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_busy,
+              CAST(count(*) AS BIGINT) AS n_blocks
+       FROM blk GROUP BY d)
+SELECT 'img' || lpad(CAST(s.d AS VARCHAR), 4, '0') AS image_id,
+       sum_y, sum_cb, sum_cr, n_busy, n_blocks
+FROM sums s JOIN bz ON bz.d = s.d
+"""
+
+
 def otsu_sql(n: int = N_IMAGES, divisor: int = 12) -> str:
     """q_otsu_threshold: Otsu's between-class-variance argmax restated
     over the 6-bit gray-sum histogram with EXACT fraction ordering —

@@ -8393,6 +8393,19 @@ def q_gray_gate(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_ycc_subsample", oracles.ycc_subsample_sql())
+def q_ycc_subsample(sf_dir: str):
+    # JPEG-transcode chroma audit: fixed-point BT.601 YCbCr + the 4:2:0
+    # busy-block census — which 2x2 blocks would visibly lose color if
+    # the bulk transcode pipeline picked chroma subsampling for this
+    # image (stages/multimodal.py::YCbCrSubsampleAudit; integer-exact,
+    # biased floor divisions restated verbatim in SQL).
+    from cocrawler_ray.stages.multimodal import YCbCrSubsampleAudit
+    return (_from_arrow_blocks(oracles.conformance_images(), 4)
+            .map_batches(YCbCrSubsampleAudit, batch_format="pyarrow",
+                         batch_size=16, concurrency=2))
+
+
 @_q("q_ann_recall", oracles.ann_recall_sql())
 def q_ann_recall(sf_dir: str):
     # the ANN EVALUATION harness as a query: recall@10 of the seeded-IVF

@@ -1287,6 +1287,66 @@ class GrayscaleGate:
                 1000 * n_colorful < self.permille * n_px)})
 
 
+class YCbCrSubsampleAudit:
+    """JPEG-transcode chroma audit: fixed-point BT.601 RGB→YCbCr (the
+    integer approximation every baseline JPEG pipeline uses —
+    Y = (77R+150G+29B)>>8, Cb = ((-43R-85G+128B)>>8)+128,
+    Cr = ((128R-107G-21B)>>8)+128, all floor shifts) plus a 4:2:0
+    subsampling-loss census: a 2x2 block is 'busy' when either chroma
+    plane's in-block range exceeds ``busy_range`` — exactly the blocks
+    where 4:2:0 averaging visibly loses color detail. The number a bulk
+    transcode pipeline reads before choosing 4:2:0 vs 4:4:4 per image.
+    Integer-exact end to end (floor divisions restated verbatim in the
+    SQL oracle); decode binds once per actor; per-image work is pure
+    vectorized numpy (reshape-to-blocks min/max, no Python pixel
+    loops). Requires even dimensions (the formula corpus is
+    8-divisible)."""
+
+    def __init__(self, busy_range: int = 16):
+        self.decode = codecs.decode
+        self.busy_range = int(busy_range)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        fmts = batch.column("fmt").to_pylist()
+        sum_y = np.zeros(n, np.int64)
+        sum_cb = np.zeros(n, np.int64)
+        sum_cr = np.zeros(n, np.int64)
+        n_busy = np.zeros(n, np.int64)
+        n_blocks = np.zeros(n, np.int64)
+        for i in range(n):
+            img = self.decode(data[i], int(ws[i]), int(hs[i]),
+                              fmts[i]).astype(np.int64)
+            r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+            # +32768 bias keeps the chroma dividends non-negative so
+            # floor division == truncating division — DuckDB's // is
+            # trunc-toward-zero, numpy's floor_divide floors; on
+            # non-negative operands they agree, and
+            # floor((t + 32768)/256) = floor(t/256) + 128 exactly
+            yy = np.floor_divide(77 * r + 150 * g + 29 * b, 256)
+            cb = np.floor_divide(-43 * r - 85 * g + 128 * b + 32768, 256)
+            cr = np.floor_divide(128 * r - 107 * g - 21 * b + 32768, 256)
+            sum_y[i] = int(yy.sum())
+            sum_cb[i] = int(cb.sum())
+            sum_cr[i] = int(cr.sum())
+            h2, w2 = yy.shape[0] // 2, yy.shape[1] // 2
+            busy = np.zeros((h2, w2), dtype=bool)
+            for plane in (cb, cr):
+                blk = plane[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
+                rng = blk.max(axis=(1, 3)) - blk.min(axis=(1, 3))
+                busy |= rng > self.busy_range
+            n_busy[i] = int(busy.sum())
+            n_blocks[i] = h2 * w2
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "sum_y": pa.array(sum_y), "sum_cb": pa.array(sum_cb),
+            "sum_cr": pa.array(sum_cr), "n_busy": pa.array(n_busy),
+            "n_blocks": pa.array(n_blocks)})
+
+
 class OtsuThreshold:
     """Per-image Otsu binarization threshold over the 6-bit gray-sum
     histogram — the classic adaptive document/scan segmentation gate
