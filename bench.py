@@ -397,7 +397,11 @@ def main() -> None:
 def run_scaling(num_cpus_hi: int, sf_dir: str, sf) -> None:
     """North-rule scaling evidence: same crawl, fresh sessions, 8 vs 32 CPUs
     (sandbox stand-in for N vs 4N nodes), on the 10x scaling corpus."""
-    lo, hi = 8, num_cpus_hi
+    # N vs 4N (north rule): lo derives from hi so the criterion can be
+    # evidenced at multiple absolute sizes (RAY_GRAFT_CPUS=32 -> 8 vs 32,
+    # =16 -> 4 vs 16)
+    hi = num_cpus_hi
+    lo = max(1, hi // 4)
     env = dict(os.environ,
                GRAFT_BENCH_HOSTS=str(SCALE_HOSTS),
                GRAFT_BENCH_PAGES=str(SCALE_PAGES),
