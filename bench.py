@@ -148,6 +148,16 @@ BENCH_QUERIES_R4 = [
     "q_ring_rebalance",    # consistent-hash rebalance audit (broadcast ring)
 ]
 
+BENCH_QUERIES_R5 = [
+    "q_psl_extract",       # Public Suffix List extraction (every rule style)
+    "q_change_rate",       # Cho-Garcia-Molina Poisson change-rate (1 exchange)
+    "q_opic",              # OPIC online importance (cash/history BSP)
+    "q_ycc_subsample",     # YCbCr 4:2:0 busy-block audit (actor-pool decode)
+    "q_embed_neardup_lsh",  # embedding LSH near-dup (r5: tiled hash exchange)
+    "q_phash_hamming",     # phash banding near-dup (r5: Dataset pairs)
+    "q_text_clusters",     # verified minhash pairs -> components -> census
+]
+
 
 def init_ray(num_cpus: int) -> None:
     import ray
@@ -280,7 +290,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     times: dict[str, float] = {}
     for name in (BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3
-                 + BENCH_QUERIES_R4):
+                 + BENCH_QUERIES_R4 + BENCH_QUERIES_R5):
         fn = QUERIES[name]
         t0 = time.perf_counter()
         consume(fn(sf_dir))

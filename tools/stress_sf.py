@@ -32,7 +32,8 @@ def main() -> int:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in (bench.BENCH_QUERIES + bench.BENCH_QUERIES_R2
-                 + bench.BENCH_QUERIES_R3 + bench.BENCH_QUERIES_R4):
+                 + bench.BENCH_QUERIES_R3 + bench.BENCH_QUERIES_R4
+                 + bench.BENCH_QUERIES_R5):
         t0 = time.perf_counter()
         n = bench.consume(QUERIES[name](sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
