@@ -304,3 +304,49 @@ def test_ring_rebalance_moves_only_to_new_node(ray_session, tmp_path):
     assert g["n_moved"].to_dict() == want["n_moved"].to_dict()
     # the ring moves a small slice, not (P-1)/P like modulo would
     assert got["n_moved"].sum() < 0.25 * got["n_before"].sum()
+
+
+def test_ycc_subsample_audit_matches_bruteforce():
+    """YCbCrSubsampleAudit vs a per-pixel brute force on RANDOM pixels
+    (the conformance oracle runs formula images; this covers arbitrary
+    content) — fixed-point sums exact, busy census exact, and the
+    chroma planes stay in [0, 255]."""
+    from cocrawler_ray import codecs
+    from cocrawler_ray.stages.multimodal import YCbCrSubsampleAudit
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (12, 16, 3)).astype(np.uint8),
+            np.zeros((8, 8, 3), np.uint8),
+            np.full((8, 10, 3), 255, np.uint8)]
+    batch = pa.table({
+        "image_id": pa.array([f"t{i}" for i in range(len(imgs))]),
+        "bytes": pa.array([codecs.encode(im, "raw16") for im in imgs],
+                          pa.binary()),
+        "w": pa.array(np.array([im.shape[1] for im in imgs], np.int32)),
+        "h": pa.array(np.array([im.shape[0] for im in imgs], np.int32)),
+        "fmt": pa.array(["raw16"] * len(imgs))})
+    out = YCbCrSubsampleAudit(busy_range=16)(batch)
+    for i, im in enumerate(imgs):
+        r = im[:, :, 0].astype(np.int64)
+        g = im[:, :, 1].astype(np.int64)
+        b = im[:, :, 2].astype(np.int64)
+        yy = (77 * r + 150 * g + 29 * b) // 256
+        cb = (-43 * r - 85 * g + 128 * b + 32768) // 256
+        cr = (128 * r - 107 * g - 21 * b + 32768) // 256
+        assert 0 <= cb.min() and cb.max() <= 255
+        assert 0 <= cr.min() and cr.max() <= 255
+        assert out.column("sum_y")[i].as_py() == yy.sum()
+        assert out.column("sum_cb")[i].as_py() == cb.sum()
+        assert out.column("sum_cr")[i].as_py() == cr.sum()
+        h2, w2 = im.shape[0] // 2, im.shape[1] // 2
+        busy = 0
+        for by in range(h2):
+            for bx in range(w2):
+                sl = np.s_[2 * by:2 * by + 2, 2 * bx:2 * bx + 2]
+                if (cb[sl].max() - cb[sl].min() > 16
+                        or cr[sl].max() - cr[sl].min() > 16):
+                    busy += 1
+        assert out.column("n_busy")[i].as_py() == busy
+        assert out.column("n_blocks")[i].as_py() == h2 * w2
+    # gray image: constant-chroma (128) planes, zero busy blocks
+    assert out.column("n_busy")[2].as_py() == 0
