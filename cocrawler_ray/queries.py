@@ -34,7 +34,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from cocrawler_ray import facet, oracles, parse, seeds, urls
+from cocrawler_ray import facet, oracles, parse, robots, seeds, urls
 from cocrawler_ray.stages import (agg, dedup, exchange, joins, similarity,
                                   text as textops, window)
 from cocrawler_ray.stages.agg import partial_groupby_agg
@@ -5201,6 +5201,47 @@ def q_psl_extract(sf_dir: str):
         read(sf_dir, "documents", ["doc_id"]).map_batches(
             mk, batch_format="pyarrow"),
         ["pld"], cnt)
+
+
+@_q("q_robots_sitemaps", """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 2
+                 WHEN doc_id % 3 = 0 THEN 1
+                 ELSE 0 END AS BIGINT) AS n_sitemaps,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+           AS allows_private
+FROM documents
+""")
+def q_robots_sitemaps(sf_dir: str):
+    # robots.txt Sitemap-directive discovery (the REP's UA-independent
+    # sitemap channel — how real crawlers find sitemaps; REFERENCE:
+    # cocrawler robots handling + seeds expansion): constructed robots
+    # bodies run through the REAL parser (robots.parse_robots — groups,
+    # delays, and the r5 sitemaps list) and the query emits per-host
+    # sitemap counts plus an allow decision, both stated analytically by
+    # the oracle. Pure per-batch map; the parser binds nothing.
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        n_sm = np.empty(len(d), dtype=np.int64)
+        allow = np.empty(len(d), dtype=np.int64)
+        for i, k in enumerate(d):
+            body = "User-agent: *\n"
+            if k % 2 == 0:
+                body += "Disallow: /private\n"
+            if k % 3 == 0:
+                body += f"Sitemap: https://h{k % 40}.test/sitemap.xml\n"
+            if k % 6 == 0:
+                body += f"Sitemap: https://h{k % 40}.test/sitemap2.xml\n"
+            r = robots.parse_robots(body)
+            n_sm[i] = len(r.sitemaps)
+            allow[i] = int(r.allowed("/private/x"))
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "n_sitemaps": pa.array(n_sm),
+                         "allows_private": pa.array(allow)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 @_q("q_salted_distinct", """

@@ -14,15 +14,21 @@ MAX_ROBOTS_SIZE = 512 * 1024
 
 
 class RobotsRules:
-    """Parsed rules for one host. `groups`: lower-ua -> [(allow, path), ...]."""
+    """Parsed rules for one host. `groups`: lower-ua -> [(allow, path), ...].
+    ``sitemaps``: the UA-independent ``Sitemap:`` directive URLs in file
+    order (REP: sitemap lines live outside agent groups) — the crawl
+    ecosystem's primary sitemap-discovery channel, fed to
+    seeds/parse.find_sitemap_urls for seed expansion."""
 
-    __slots__ = ("groups", "truncated", "delays")
+    __slots__ = ("groups", "truncated", "delays", "sitemaps")
 
     def __init__(self, groups: dict[str, list[tuple[bool, str]]], truncated: bool = False,
-                 delays: dict[str, float] | None = None):
+                 delays: dict[str, float] | None = None,
+                 sitemaps: list[str] | None = None):
         self.groups = groups
         self.truncated = truncated
         self.delays = delays or {}
+        self.sitemaps = sitemaps or []
 
     def crawl_delay(self, user_agent: str = "cocrawler") -> float | None:
         """Declared Crawl-delay seconds for this UA (specific-UA section
@@ -81,6 +87,7 @@ def parse_robots(body: str | None) -> RobotsRules:
         return RobotsRules({}, truncated=True)
     groups: dict[str, list[tuple[bool, str]]] = {}
     delays: dict[str, float] = {}
+    sitemaps: list[str] = []
     current: list[str] = []
     last_was_rule = True
     for line in body.splitlines():
@@ -115,6 +122,10 @@ def parse_robots(body: str | None) -> RobotsRules:
             if d > 0:
                 for ua in current:
                     delays.setdefault(ua, d)
+        elif key == "sitemap":
+            last_was_rule = True  # UA-independent; ends a UA run
+            if val and val not in sitemaps:
+                sitemaps.append(val)
         else:
-            last_was_rule = True  # sitemap etc. end a UA run
-    return RobotsRules(groups, delays=delays)
+            last_was_rule = True  # unknown fields end a UA run
+    return RobotsRules(groups, delays=delays, sitemaps=sitemaps)

@@ -115,3 +115,23 @@ def test_crawl_conformance_with_delays_ray_data_path(ray_session, corpus_delay,
                      actor_path_max_rows=0)
     assert np.array_equal(job.final_seen_surt_hashes(), oc.seen_hashes())
     assert engine_ordering(job.fetched_table()) == oc.ordering()
+
+
+def test_robots_sitemap_directives_collected():
+    """Sitemap: lines are UA-independent, collected in file order,
+    deduped, and do not break UA rule groups around them."""
+    from cocrawler_ray.robots import parse_robots
+    body = (
+        "Sitemap: https://h.test/a.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: https://h.test/b.xml\n"
+        "User-agent: bot\n"
+        "Allow: /x\n"
+        "Sitemap: https://h.test/a.xml\n"   # duplicate: kept once
+    )
+    r = parse_robots(body)
+    assert r.sitemaps == ["https://h.test/a.xml", "https://h.test/b.xml"]
+    assert not r.allowed("/x", "other")
+    assert r.allowed("/x", "bot")
+    assert parse_robots("User-agent: *\nDisallow:\n").sitemaps == []
