@@ -951,6 +951,42 @@ def pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
             + f"\nSELECT node, ROUND(r, 6) AS pr FROM {prev}")
 
 
+def bitext_margin_sql(k: int = 4, threshold: float = 1.0) -> str:
+    """q_bitext_mine: CCMatrix/LASER margin criterion over int8-exact
+    dots — even vec_ids are the source side, odd the target; margin =
+    2k*s(x,y) / (sumNNk(x) + sumNNk(y)) as ONE division of exact int64
+    sums (bit-identical doubles both sides), argmax per source with
+    (margin DESC, dst ASC) ties, threshold gate, non-positive
+    denominators excluded."""
+    return f"""
+WITH q AS (SELECT vec_id,
+         list_transform(embedding,
+             x -> GREATEST(-127.0, LEAST(127.0,
+                           FLOOR(CAST(x AS DOUBLE) * 64)))) AS qv
+  FROM embeddings),
+a AS (SELECT vec_id AS ai, qv FROM q WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS bi, qv FROM q WHERE vec_id % 2 = 1),
+d AS (SELECT ai, bi, CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS s
+      FROM a CROSS JOIN b),
+sa AS (SELECT ai, CAST(sum(s) AS BIGINT) AS sa FROM (
+         SELECT ai, s, row_number() OVER (
+             PARTITION BY ai ORDER BY s DESC, bi) AS r FROM d)
+       WHERE r <= {k} GROUP BY ai),
+sb AS (SELECT bi, CAST(sum(s) AS BIGINT) AS sb FROM (
+         SELECT bi, s, row_number() OVER (
+             PARTITION BY bi ORDER BY s DESC, ai) AS r FROM d)
+       WHERE r <= {k} GROUP BY bi),
+m AS (SELECT d.ai, d.bi,
+             CAST({2 * k} * s AS DOUBLE) / (sa.sa + sb.sb) AS margin
+      FROM d JOIN sa ON sa.ai = d.ai JOIN sb ON sb.bi = d.bi
+      WHERE sa.sa + sb.sb > 0),
+best AS (SELECT ai, bi, margin, row_number() OVER (
+             PARTITION BY ai ORDER BY margin DESC, bi) AS r FROM m)
+SELECT ai AS src, bi AS dst, ROUND(margin, 6) AS margin
+FROM best WHERE r = 1 AND margin >= {threshold}
+"""
+
+
 def opic_sql(iters: int = 3) -> str:
     """Unrolled fixed-iteration OPIC over the constructed doc link graph
     (same edges as pagerank_sql) — SQL restatement of

@@ -8434,6 +8434,21 @@ def q_gray_gate(sf_dir: str):
                          batch_size=16, concurrency=2))
 
 
+@_q("q_bitext_mine", oracles.bitext_margin_sql(4, 1.0))
+def q_bitext_mine(sf_dir: str):
+    # margin-based bitext (parallel-corpus) mining — the CCMatrix/LASER
+    # criterion behind the largest public translation corpora: per
+    # source vector, the best cross-lingual match by similarity
+    # normalized against BOTH sides' local neighborhood density
+    # (stages/similarity.py::bitext_margin_mine). Integer-exact int8
+    # dots make the margin one division of exact int64 sums, so the
+    # per-source argmax is deterministic on both sides. Even/odd vec_id
+    # stands in for the language split.
+    from cocrawler_ray.stages.similarity import bitext_margin_mine
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return bitext_margin_mine(ds, k=4, threshold=1.0)
+
+
 @_q("q_ycc_subsample", oracles.ycc_subsample_sql())
 def q_ycc_subsample(sf_dir: str):
     # JPEG-transcode chroma audit: fixed-point BT.601 YCbCr + the 4:2:0
