@@ -156,6 +156,7 @@ BENCH_QUERIES_R5 = [
     "q_embed_neardup_lsh",  # embedding LSH near-dup (r5: tiled hash exchange)
     "q_phash_hamming",     # phash banding near-dup (r5: Dataset pairs)
     "q_text_clusters",     # verified minhash pairs -> components -> census
+    "q_bitext_mine",       # CCMatrix margin bitext mining (int8-exact dots)
 ]
 
 
